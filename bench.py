@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a count-style action (collect on the
+already-small outputs) so the measurement includes the whole plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from groove_to_helpscout_migration_tool_spark import catalog, get_session
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "w03_top3_orders_per_customer",
+    "a01_asof_join_purchase_signup",
+    "a02_sessionize_events",
+    "t01_tumbling_window_events",
+    "ref_s5_nested_scan_fanout",
+    "ref_j5_dedup_antijoin",
+    "ref_groupback_threads",
+    "llm_dedup_exact",
+    "llm_doc_fingerprint",
+    "llm_text_stats",
+    "llm_ann_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_session(app_name="bench")
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so timings measure the queries
+    catalog.QUERIES["q06_forecast_revenue"].fn(spark, sf_dir).collect()
+    for name in HEADLINE:
+        spec = catalog.QUERIES.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,616 @@
+"""Relational query catalog: TPC-H-style analytics on the test tables.
+
+These are the "free tier" the reference lacks entirely (SURVEY.md section
+2.9) plus the headline bench queries. Everything is declarative DataFrame
+API so Catalyst handles pushdown/pruning/join-strategy; broadcast hints
+mark the small dimensions explicitly (region/nation/supplier are tiny at
+every scale factor -- at 100 TB the fact tables grow but these dims stay
+broadcast-able).
+
+Float policy: every floating aggregate is rounded on BOTH sides (Spark and
+the DuckDB oracle) so partition-order summation differences cannot flip
+the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_tables
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp_ntz")
+
+
+# ---------------------------------------------------------------------------
+# q01 pricing summary (TPC-H Q1 shape) -- the flagship query
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1: one scan, map-side partial agg, 6-group output.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 shipping priority (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    oracle="""
+SELECT o_orderkey AS orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3: selective dim filter -> fact join -> top-k. Deterministic tiebreak on orderkey.",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        t.lineitem.filter(F.col("l_shipdate") > _ts("1998-03-15"))
+        .join(
+            t.orders.filter(F.col("o_orderdate") < _ts("1998-03-15")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "revenue",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 local supplier volume (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q05_region_revenue",
+    oracle="""
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5: 6-way join; nation/region/supplier broadcast, fact-fact shuffle on orderkey.",
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    )
+    asia_nations = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        t.lineitem.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= _ts("1996-01-01"))
+                & (F.col("o_orderdate") < _ts("1998-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t.supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 forecast revenue (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q06_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: pure scan+filter+scalar agg; all predicates push to parquet.",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 returned items (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey AS custkey, c_name AS name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name AS nation
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10: returned-item revenue per customer, top-20.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= _ts("1997-01-01"))
+                & (F.col("o_orderdate") < _ts("1997-07-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            "revenue",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY 2.9: no reference counterpart; Spark builtins)
+# ---------------------------------------------------------------------------
+@register(
+    "w01_order_rank_lag",
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       row_number() OVER w AS rn,
+       rank()       OVER w AS rnk,
+       lag(o_orderkey)  OVER w AS prev_orderkey,
+       lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="row_number/rank/lag/lead over per-customer order history.",
+)
+def w01_order_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t.orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "w02_running_customer_spend",
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_spend
+FROM orders
+""",
+    doc="Running (cumulative) sum window per customer.",
+)
+def w02_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t.orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "w03_top3_orders_per_customer",
+    oracle="""
+SELECT custkey, orderkey, rn FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    doc="Top-k-per-group via ranked window (the scalable top-k pattern).",
+)
+def w03_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t.orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@register(
+    "s01_union_all",
+    oracle="""
+SELECT o_orderkey AS orderkey, o_orderstatus AS status FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 300000
+""",
+    doc="UNION ALL (reference: array_merge page accumulation, APIHelper.php:60,96).",
+)
+def s01_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    a = t.orders.filter(F.col("o_orderstatus") == "F")
+    b = t.orders.filter(F.col("o_totalprice") > 300000)
+    return a.unionByName(b).select(
+        F.col("o_orderkey").alias("orderkey"), F.col("o_orderstatus").alias("status")
+    )
+
+
+@register(
+    "s02_intersect_except",
+    oracle="""
+SELECT 'both' AS side, c_custkey AS custkey FROM (
+  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT 'customer_only' AS side, c_custkey FROM (
+  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+)
+""",
+    doc="INTERSECT / EXCEPT distinct-set semantics.",
+)
+def s02_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    cust = t.customer.select("c_custkey")
+    ocust = t.orders.select(F.col("o_custkey").alias("c_custkey"))
+    both = cust.intersect(ocust).select(F.lit("both").alias("side"), F.col("c_custkey").alias("custkey"))
+    only = cust.exceptAll(ocust.distinct()).distinct().select(
+        F.lit("customer_only").alias("side"), F.col("c_custkey").alias("custkey")
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / pivot
+# ---------------------------------------------------------------------------
+@register(
+    "g01_rollup_status_priority",
+    oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="ROLLUP hierarchy totals.",
+)
+def g01_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@register(
+    "g02_cube_returnflag_linestatus",
+    oracle="""
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE over two low-cardinality dims.",
+)
+def g02_cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "g03_pivot_status_by_segment",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="PIVOT expressed as conditional aggregation in the oracle.",
+)
+def g03_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    joined = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "segment",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON functions (SURVEY 2.9) over events.props
+# ---------------------------------------------------------------------------
+@register(
+    "j01_json_extract_events",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+""",
+    doc="JSON field extraction + group (props is a JSON string column).",
+)
+def j01_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t.events.withColumn(
+            "k_value", F.get_json_object("props", "$.k").cast("bigint")
+        )
+        .groupBy("k_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling window (batch form of the streaming agg, SURVEY 2.7)
+# ---------------------------------------------------------------------------
+@register(
+    "t01_tumbling_window_events",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="1-hour tumbling event-time window; same agg runs under Structured Streaming (streaming/events.py).",
+)
+def t01_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (no Spark builtin): last signup before each purchase, per user.
+# Implemented scalably as union + last(ignorenulls) over an event-time
+# window -- one shuffle on user_id, no range explosion.
+# ---------------------------------------------------------------------------
+@register(
+    "a01_asof_join_purchase_signup",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id  AS user_id,
+       s.event_id AS signup_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    doc="As-of join via union + last() window; DuckDB oracle uses native ASOF JOIN.",
+)
+def a01_asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t.events.select("event_id", "ts", "user_id", "event_type").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    # Tag rows; signups sort before purchases at identical ts so ties
+    # (p.ts >= s.ts) match ASOF semantics.
+    tagged = ev.withColumn(
+        "is_signup", (F.col("event_type") == "signup").cast("int")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_signup").desc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "signup_id",
+        F.last(
+            F.when(F.col("is_signup") == 1, F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("signup_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based windows) -- streaming-shaped, batch-checkable
+# ---------------------------------------------------------------------------
+@register(
+    "a02_sessionize_events",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessions GROUP BY user_id, session_id
+""",
+    doc="Gap-based sessionization (30-min inactivity) via lag + running sum.",
+)
+def a02_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # TIMESTAMP_NTZ has no direct double cast; go via instant (session TZ
+    # is pinned UTC in configure(), so this stays wall-clock deterministic).
+    secs = F.col("ts").cast("timestamp").cast("double")
+    prev_secs = F.lag(F.col("ts")).over(w_order).cast("timestamp").cast("double")
+    gap = secs - prev_secs
+    marked = t.events.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        marked.withColumn("session_id", F.sum("is_new").over(w_run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )

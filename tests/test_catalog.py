@@ -1,0 +1,58 @@
+"""Catalog-level smoke + oracle equivalence at sf0.001 (the full oracle
+sweep at sf0.01 is tools/minidriver.py; this keeps pytest fast)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from groove_to_helpscout_migration_tool_spark import catalog
+from groove_to_helpscout_migration_tool_spark.session import TABLES
+
+SAMPLE = [
+    "q01_pricing_summary",
+    "ref_p4_email_split",
+    "ref_j5_dedup_antijoin",
+    "llm_doc_fingerprint",
+    "llm_ann_topk_cosine",
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_every_query_has_unique_name():
+    assert len(catalog.QUERIES) == len(set(catalog.QUERIES))
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oras = entry_mod.oracle_sql()
+    assert set(oras) <= set(qs)
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_oracle_equivalence_smoke(spark, sf_dir, duck, name):
+    spec = catalog.QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    srows = {tuple(str(v) for v in r) for r in sdf.collect()}
+    res = duck.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    # align oracle column order to spark's
+    idx = [ocols.index(c) for c in sdf.columns]
+    orows = {tuple(str(r[i]) for i in idx) for r in res.fetchall()}
+    assert len(srows) == len(orows)
+    # string equality is stricter than the driver's hash; allow float fmt slack
+    if srows != orows:
+        only_s = list(srows - orows)[:3]
+        only_o = list(orows - srows)[:3]
+        assert not only_s and not only_o, f"spark-only={only_s} duck-only={only_o}"

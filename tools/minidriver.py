@@ -1,0 +1,110 @@
+"""Local replica of the correctness driver: run every catalog query on
+Spark AND its DuckDB oracle, compare row count / column names / value
+hash (order-insensitive, columns sorted by name). Iterate here before
+the real driver runs at sf0.01.
+
+Usage: python tools/minidriver.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from groove_to_helpscout_migration_tool_spark import catalog, get_session
+from groove_to_helpscout_migration_tool_spark.session import TABLES
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def table_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_session(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    failures = []
+    for name, spec in catalog.QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"ok?   {name}: rows-only check, {len(srows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        else:
+            sh = table_hash([tuple(r) for r in srows], scols)
+            oh = table_hash(orows, ocols)
+            if sh != oh:
+                problems.append(f"valuehash spark={sh} duck={oh}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures.append(name)
+            # show a small diff sample (columns reordered by name)
+            sord = sorted(range(len(scols)), key=lambda i: scols[i])
+            oord = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            sset = {tuple(norm_cell(r[i]) for i in sord) for r in srows[:100000]}
+            oset = {tuple(norm_cell(r[i]) for i in oord) for r in orows[:100000]}
+            so = list(sset - oset)[:3]
+            os_ = list(oset - sset)[:3]
+            if so:
+                print(f"      spark-only sample: {so}")
+            if os_:
+                print(f"      duck-only  sample: {os_}")
+        else:
+            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
