@@ -302,3 +302,201 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sniffed_mime"),
         (F.octet_length(payload) > 10485760).alias("oversize"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+from ..operators import dedup as DD  # noqa: E402
+from ..operators import similarity as SIM  # noqa: E402
+
+_COEFFS_SQL = "[" + ", ".join(f"[{a}, {b}]" for a, b in DD.MINHASH_COEFFS) + "]"
+
+_SHINGLE_CTES = f"""
+toks AS (
+  SELECT doc_id, list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT
+           % {DD.XFOLD})) AS xs
+  FROM toks
+), docs AS (SELECT doc_id, xs FROM sh WHERE len(xs) > 0)
+"""
+
+_MINHASH_SIG_SQL = f"""
+sig AS (
+  SELECT doc_id, xs,
+    list_transform({_COEFFS_SQL},
+      p -> list_min(list_transform(xs, x -> (p[1] * x + p[2]) % {DD.MINHASH_P}))) AS sig
+  FROM docs
+)
+"""
+
+
+@register(
+    "llm_minhash_signature",
+    oracle=f"""
+WITH {_SHINGLE_CTES}, {_MINHASH_SIG_SQL}
+SELECT doc_id, array_to_string(sig, ',') AS signature FROM sig
+""",
+    doc=(
+        "k=16 MinHash signature over word-3-gram shingles. Shingle hash = "
+        "md5-prefix; h_k(x) = (a_k*x + b_k) mod 2^31-1 with hardcoded "
+        "coefficients (operators/dedup.py) mirrored into the oracle."
+    ),
+)
+def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.select(
+        "doc_id", DD.shingle_hashes(F.col("text")).alias("xs")
+    ).filter(F.size("xs") > 0)
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(DD.minhash_signature(F.col("xs")), lambda v: v.cast("string")),
+            ",",
+        ).alias("signature"),
+    )
+
+
+@register(
+    "llm_neardup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLE_CTES}, {_MINHASH_SIG_SQL}, bands AS (
+  SELECT doc_id, b.b AS b,
+    b.b::VARCHAR || '-' || array_to_string(list_slice(sig, b.b*4 + 1, b.b*4 + 4), '-') AS band_key
+  FROM sig, (SELECT unnest(range({DD.N_BANDS})) AS b) b
+), cand AS (
+  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT c.i AS doc_i, c.j AS doc_j,
+       round(len(list_intersect(a.xs, b.xs))::DOUBLE
+             / len(list_distinct(list_concat(a.xs, b.xs))), 6) AS jaccard
+FROM cand c JOIN docs a ON a.doc_id = c.i JOIN docs b ON b.doc_id = c.j
+WHERE round(len(list_intersect(a.xs, b.xs))::DOUBLE
+            / len(list_distinct(list_concat(a.xs, b.xs))), 6) >= 0.5
+""",
+    doc=(
+        "MinHash LSH near-dup pairs: 4 bands x 4 rows bucket join, exact "
+        "shingle-Jaccard >= 0.5 verify. Candidate join shuffles (band_key, "
+        "doc_id) only -- never text (operators/dedup.py scale notes)."
+    ),
+)
+def llm_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return DD.minhash_lsh_pairs(t.documents, jaccard_threshold=0.5)
+
+
+_SIMHASH_CTES = f"""
+toks AS (
+  SELECT doc_id, list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks
+), wh AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+), votes AS (
+  SELECT doc_id, j.j AS j,
+         sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM wh, (SELECT unnest(range({DD.SIMHASH_BITS})) AS j) j
+  GROUP BY doc_id, j.j
+), simsig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "llm_simhash_signature",
+    oracle=f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM simsig",
+    doc=(
+        "60-bit SimHash: per-bit +-1 votes from distinct word hashes, "
+        "sign -> bit. Two partial-agg shuffles, no window."
+    ),
+)
+def llm_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return DD.simhash_signature(t.documents)
+
+
+@register(
+    "llm_neardup_simhash",
+    oracle=f"""
+WITH {_SIMHASH_CTES}, chunks AS (
+  SELECT doc_id, simhash,
+         c.c::VARCHAR || ':' || ((simhash >> (c.c * 15)) % 32768)::VARCHAR AS chunk
+  FROM simsig, (SELECT unnest(range(4)) AS c) c
+), cand AS (
+  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j,
+                  l.simhash AS sh_i, r.simhash AS sh_j
+  FROM chunks l JOIN chunks r ON l.chunk = r.chunk AND l.doc_id < r.doc_id
+)
+SELECT i AS doc_i, j AS doc_j,
+       CAST(bit_count(xor(sh_i, sh_j)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_i, sh_j)) <= 8
+""",
+    doc=(
+        "SimHash near-dup pairs: block on equal 15-bit signature chunks "
+        "(pigeonhole: hamming<=8 over 60 bits guarantees >=1 equal chunk... "
+        "for <=3; wider blocking is recall-best-effort as in production "
+        "simhash dedup), verify Hamming <= 8."
+    ),
+)
+def llm_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return DD.simhash_neardup_pairs(t.documents, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup via hyperplane (sign-random-projection) LSH
+# ---------------------------------------------------------------------------
+def _emb_lsh_oracle() -> str:
+    bit_exprs = ",\n  ".join(
+        f"CASE WHEN list_sum(list_transform(range(1, {SIM.DIM} + 1), "
+        f"i -> v[i] * ({SIM.sql_hyperplane_literal(k)})[i])) > 0 "
+        f"THEN '1' ELSE '0' END AS b{k}"
+        for k in range(SIM.N_PLANES)
+    )
+    k0 = " || ".join(["'0'"] + [f"b{k}" for k in range(0, SIM.BITS_PER_BAND)])
+    k1 = " || ".join(["'1'"] + [f"b{k}" for k in range(SIM.BITS_PER_BAND, SIM.N_PLANES)])
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), bits AS (
+  SELECT vec_id, v,
+  {bit_exprs}
+  FROM e
+), keyed AS (
+  SELECT vec_id, v, unnest([{k0}, {k1}]) AS bkey FROM bits
+), cand AS (
+  SELECT DISTINCT l.vec_id AS i, r.vec_id AS j, l.v AS v_i, r.v AS v_j
+  FROM keyed l JOIN keyed r ON l.bkey = r.bkey AND l.vec_id < r.vec_id
+), scored AS (
+  SELECT i, j,
+    round(list_sum(list_transform(range(1, {SIM.DIM} + 1), x -> v_i[x] * v_j[x]))
+      / (sqrt(list_sum(list_transform(range(1, {SIM.DIM} + 1), x -> v_i[x] * v_i[x])))
+         * sqrt(list_sum(list_transform(range(1, {SIM.DIM} + 1), x -> v_j[x] * v_j[x])))), 6)
+      AS cosine
+  FROM cand
+)
+SELECT i AS vec_i, j AS vec_j, cosine FROM scored WHERE cosine >= 0.35
+"""
+
+
+@register(
+    "llm_neardup_embedding_lsh",
+    oracle=_emb_lsh_oracle(),
+    doc=(
+        "Embedding near-dup via sign-random-projection LSH: 2 bands x 6 "
+        "hyperplanes (+-1 vectors derived from md5 bits, inlined as literals "
+        "in both engines), exact cosine >= 0.35 verify on candidates."
+    ),
+)
+def llm_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return SIM.lsh_neardup_pairs(t.embeddings, threshold=0.35)

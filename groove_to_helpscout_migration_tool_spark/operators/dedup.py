@@ -1,0 +1,193 @@
+"""Near-duplicate detection operators for the LLM-data pipeline.
+
+Three families, all DataFrame-native and oracle-mirrorable (every hash
+goes through the md5-prefix scheme shared with the DuckDB oracles):
+
+  - exact:   normalize -> md5 -> groupBy (llm_ops.llm_dedup_exact)
+  - MinHash+LSH: word-3-gram shingles -> k=16 minhash signature ->
+    4 bands x 4 rows -> band-bucket join -> exact Jaccard verify.
+  - SimHash: 60-bit signature from word-hash bit votes; near-dup pairs
+    block on 15-bit chunks and verify Hamming distance.
+
+Scale notes (the whole point of these over pairwise compare):
+  - candidate generation is always a self-equi-join on a BUCKET key --
+    shuffle moves (key, doc_id) pairs, never text; the quadratic blowup
+    is bounded per-bucket (skewed buckets = near-identical boilerplate;
+    at 100 TB you'd salt or cap bucket width).
+  - signatures are fixed-width (16 longs / 1 long), so the shuffle
+    width is constant regardless of document size.
+  - verification joins fetch shingle-hash arrays only for the candidate
+    pairs, a tiny fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+# MinHash: h_k(x) = (a_k * (x mod XFOLD) + b_k) mod MINHASH_P.
+# XFOLD keeps a_k * x inside int64 (a < 2^31, x' < 2^30 -> product < 2^61).
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+XFOLD = 1_000_000_007
+# 16 fixed (a, b) pairs -- arbitrary odd constants, hardcoded so the
+# DuckDB oracle sees byte-identical math.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1_203_877_561, 422_312_993), (1_884_591_173, 973_191_349),
+    (747_193_687, 1_558_443_229), (1_100_662_241, 88_411_511),
+    (2_071_429_331, 1_345_771_027), (433_024_253, 1_901_115_863),
+    (1_641_118_957, 250_930_369), (955_386_341, 1_713_250_181),
+    (289_502_477, 611_755_423), (1_496_839_219, 1_151_219_087),
+    (828_028_429, 1_985_366_323), (1_352_580_511, 470_538_977),
+    (581_914_643, 902_345_861), (1_757_682_437, 1_421_667_559),
+    (104_395_303, 1_667_918_011), (1_021_909_823, 333_667_337),
+]
+N_BANDS, ROWS_PER_BAND = 4, 4
+SIMHASH_BITS = 60
+
+
+def shingle_hashes(text_col) -> "F.Column":
+    """Distinct word-3-gram shingle hashes (folded to < XFOLD)."""
+    toks = TX.tokens(text_col)
+    n = F.size(toks)
+    # guard n<3: Spark's sequence(1, 0) DESCENDS instead of being empty
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(
+        F.transform(grams, lambda g: TX.word_hash(g) % XFOLD)
+    )
+
+
+def minhash_signature(xs) -> "F.Column":
+    """k=16 minhash signature array over a shingle-hash array column."""
+    return F.array(
+        *[
+            F.array_min(F.transform(xs, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
+            for a, b in MINHASH_COEFFS
+        ]
+    )
+
+
+def band_keys(sig) -> "F.Column":
+    """LSH band keys: band index + '-'-joined signature slice."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[sig[b * ROWS_PER_BAND + r].cast("string") for r in range(ROWS_PER_BAND)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """-> (doc_i, doc_j, jaccard): near-dup candidate pairs that share an
+    LSH band bucket, verified by exact Jaccard on shingle-hash sets."""
+    docs = documents.select(
+        "doc_id", shingle_hashes(F.col("text")).alias("xs")
+    ).filter(F.size("xs") > 0)
+    sigd = docs.withColumn("sig", minhash_signature(F.col("xs")))
+    exploded = sigd.select(
+        "doc_id", F.explode(band_keys(F.col("sig"))).alias("band_key")
+    )
+    left = exploded.select(F.col("doc_id").alias("i"), "band_key")
+    right = exploded.select(F.col("doc_id").alias("j"), "band_key")
+    cand = (
+        left.join(right, ["band_key"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+    xs_map = docs.select(F.col("doc_id"), F.col("xs"))
+    pairs = (
+        cand.join(xs_map.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i")), "i")
+        .join(xs_map.select(F.col("doc_id").alias("j"), F.col("xs").alias("xs_j")), "j")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("xs_i", "xs_j"))
+                / F.size(F.array_union("xs_i", "xs_j")),
+                6,
+            ),
+        )
+    )
+    return (
+        pairs.filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("i").alias("doc_i"), F.col("j").alias("doc_j"), "jaccard")
+    )
+
+
+def simhash_signature(documents: DataFrame) -> DataFrame:
+    """-> (doc_id, simhash): 60-bit SimHash over distinct word hashes.
+
+    Bit j of the signature is the sign of sum over words of
+    (bit j of word-hash ? +1 : -1). Implemented as posexplode ->
+    two partial-aggregating shuffles on (doc_id[, j]) -- never a window.
+    """
+    words = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("w"),
+    ).withColumn("h", TX.word_hash(F.col("w")))
+    # literal shift per bit keeps everything in int64 (no double pow)
+    bits = F.array(
+        *[(F.shiftright(F.col("h"), j) % 2).cast("int").alias(f"b{j}") for j in range(SIMHASH_BITS)]
+    )
+    votes = (
+        words.select("doc_id", F.posexplode(bits).alias("j", "bit"))
+        .withColumn("c", F.when(F.col("bit") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+    )
+    powers = F.array(*[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_BITS)])
+    return (
+        votes.withColumn(
+            "term",
+            F.when(F.col("s") > 0, F.element_at(powers, F.col("j") + 1)).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term").alias("simhash"))
+    )
+
+
+def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """-> (doc_i, doc_j, hamming): pairs blocked on any equal 15-bit
+    signature chunk, verified by Hamming distance <= max_hamming."""
+    sig = simhash_signature(documents)
+    chunks = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(c)),
+                (F.shiftright(F.col("simhash"), c * 15) % F.lit(1 << 15)).cast("string"),
+            )
+            for c in range(4)
+        ]
+    )
+    ex = sig.select("doc_id", "simhash", F.explode(chunks).alias("chunk"))
+    left = ex.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sh_i"), "chunk")
+    right = ex.select(F.col("doc_id").alias("j"), F.col("simhash").alias("sh_j"), "chunk")
+    cand = (
+        left.join(right, ["chunk"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "sh_i", "sh_j")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("i").alias("doc_i"), F.col("j").alias("doc_j"), "hamming")
+    )
