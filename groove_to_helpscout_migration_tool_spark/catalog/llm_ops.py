@@ -500,3 +500,85 @@ SELECT i AS vec_i, j AS vec_j, cosine FROM scored WHERE cosine >= 0.35
 def llm_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return SIM.lsh_neardup_pairs(t.embeddings, threshold=0.35)
+
+
+def _emb_lsh_topk_oracle() -> str:
+    bit_exprs = ",\n  ".join(
+        f"CASE WHEN list_sum(list_transform(range(1, {SIM.DIM} + 1), "
+        f"i -> v[i] * ({SIM.sql_hyperplane_literal(k)})[i])) > 0 "
+        f"THEN '1' ELSE '0' END AS b{k}"
+        for k in range(SIM.N_PLANES)
+    )
+    k0 = " || ".join(["'0'"] + [f"b{k}" for k in range(0, SIM.BITS_PER_BAND)])
+    k1 = " || ".join(["'1'"] + [f"b{k}" for k in range(SIM.BITS_PER_BAND, SIM.N_PLANES)])
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), bits AS (
+  SELECT vec_id, v,
+  {bit_exprs}
+  FROM e
+), keyed AS (
+  SELECT vec_id, v, unnest([{k0}, {k1}]) AS bkey FROM bits
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, q.v AS qv, c.vec_id AS nid, c.v AS nv
+  FROM keyed q JOIN keyed c ON q.bkey = c.bkey AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+), scored AS (
+  SELECT qid, nid,
+    round(list_sum(list_transform(range(1, {SIM.DIM} + 1), x -> qv[x] * nv[x]))
+      / (sqrt(list_sum(list_transform(range(1, {SIM.DIM} + 1), x -> qv[x] * qv[x])))
+         * sqrt(list_sum(list_transform(range(1, {SIM.DIM} + 1), x -> nv[x] * nv[x])))), 6)
+      AS cosine
+  FROM cand
+)
+SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register(
+    "llm_ann_lsh_topk",
+    oracle=_emb_lsh_topk_oracle(),
+    doc=(
+        "ANN top-k via LSH inverted lists (bucket equi-join + exact re-rank "
+        "of candidates) -- the scale path next to llm_ann_topk_cosine's "
+        "brute force; cost ~ bucket occupancy, not corpus size."
+    ),
+)
+def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return SIM.lsh_topk(t.embeddings, k=5, query_max_id=10)
+
+
+# ---------------------------------------------------------------------------
+# Approx distinct (SURVEY 2.9 free tier; HLL differs per engine -> the
+# catalog pairs it with an exact-distinct oracle-checked twin)
+# ---------------------------------------------------------------------------
+@register(
+    "q_distinct_users_exact",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+    doc="Exact count-distinct twin of the HLL query below.",
+)
+def q_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@register(
+    "q_distinct_users_approx",
+    oracle=None,  # HLL sketches differ across engines: rows-only check
+    doc="approx_count_distinct (HyperLogLog++); validated against the exact twin in tests.",
+)
+def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )

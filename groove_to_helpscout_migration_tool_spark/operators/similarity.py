@@ -94,3 +94,39 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFra
 def sql_hyperplane_literal(k: int) -> str:
     """DuckDB DOUBLE[] literal for hyperplane k (oracle mirror)."""
     return "[" + ", ".join(f"{float(s):.1f}" for s in HYPERPLANES[k]) + "]"
+
+
+def lsh_topk(embeddings: DataFrame, k: int = 5, query_max_id: int = 10) -> DataFrame:
+    """ANN top-k via LSH inverted lists: candidates = corpus vectors
+    sharing any band bucket with the query; exact cosine re-rank within
+    the candidate set. The scale path next to brute_force: the corpus
+    scan is replaced by a bucket-key equi-join, so cost is proportional
+    to bucket occupancy, not corpus size. Recall is tunable by bands
+    (multiprobe would flip band bits for more)."""
+    from pyspark.sql import Window as W
+
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select("vec_id", "v", F.explode(lsh_band_keys(F.col("v"))).alias("bkey"))
+    q = ex.filter(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bkey"
+    )
+    cand = (
+        q.join(ex, ["bkey"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
