@@ -8,6 +8,7 @@ Submodules:
 
 from . import relational  # noqa: F401
 from . import reference_ops  # noqa: F401
+from . import reference_ops_ext  # noqa: F401
 from . import llm_ops  # noqa: F401
 
 from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
