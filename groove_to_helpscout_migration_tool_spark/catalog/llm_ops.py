@@ -582,3 +582,126 @@ def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (bottom-1 sketch anchoring + exact verify)
+# ---------------------------------------------------------------------------
+@register(
+    "llm_neardup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+anchored AS (SELECT doc_id, xs, list_min(xs) AS anchor FROM docs),
+pairs AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         round(CAST(len(list_intersect(a.xs, b.xs)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.xs, b.xs))), 6) AS jaccard
+  FROM anchored a JOIN anchored b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_i, doc_j, jaccard FROM pairs WHERE jaccard >= 0.4
+""",
+    doc=(
+        "n-gram Jaccard near-dup: candidates share their MINIMUM 3-gram "
+        "shingle hash (bottom-1 sketch: P(candidate) = true Jaccard), then "
+        "exact set Jaccard verifies. Cheaper candidate stage than the banded "
+        "MinHash variant; shuffle carries (anchor, doc_id) only."
+    ),
+)
+def llm_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return DD.ngram_jaccard_pairs(t.documents, jaccard_threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# ANN top-k via IVF coarse quantization (probe nprobe cells, re-rank)
+# ---------------------------------------------------------------------------
+def _cos_sql(av: str, bv: str, digits: int) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, {SIM.DIM} + 1), i -> {av}[i] * {bv}[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {SIM.DIM} + 1), i -> {av}[i] * {av}[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {SIM.DIM} + 1), i -> {bv}[i] * {bv}[i])))), {digits})"
+    )
+
+
+@register(
+    "llm_ann_ivf_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {SIM.IVF_STRIDE} = 0
+), sims AS (
+  SELECT e.vec_id, e.v, c.cid, {_cos_sql('e.v', 'c.cv', 9)} AS csim
+  FROM e CROSS JOIN cents c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
+  FROM sims
+), assigned AS (
+  SELECT vec_id, v, cid AS cell FROM ranked WHERE crank = 1
+), probes AS (
+  SELECT vec_id AS qid, v AS qv, cid AS cell FROM ranked
+  WHERE crank <= 2 AND vec_id < 10
+), cand AS (
+  SELECT DISTINCT p.qid, p.qv, a.vec_id AS nid, a.v AS nv
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid
+), scored AS (
+  SELECT qid, nid, {_cos_sql('qv', 'nv', 6)} AS cosine FROM cand
+)
+SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    doc=(
+        "ANN top-k via IVF: deterministic coarse quantizer (stand-in for "
+        "offline k-means), broadcast-centroid assignment, queries probe "
+        "nprobe=2 cells and exact-re-rank. The third ANN path next to brute "
+        "force and LSH; at scale the corpus is bucketed by cell."
+    ),
+)
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return SIM.ivf_topk(t.embeddings, k=5, query_max_id=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode: Arrow-batched mapInPandas over BINARY payloads
+# ---------------------------------------------------------------------------
+@register(
+    "llm_multimodal_decode",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_raw, doc_id % 3 = 0 AS is_png
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN is_png THEN 'image/png' ELSE 'application/octet-stream' END AS mime,
+       CAST(1 + ((n_raw + CASE WHEN is_png THEN 4 ELSE 0 END) % 512) AS INTEGER)
+         AS width,
+       CAST(n_raw + CASE WHEN is_png THEN 4 ELSE 0 END AS BIGINT) AS n_bytes
+FROM sized
+""",
+    doc=(
+        "Multimodal decode plumbing (multimodal/decode.py): payloads ride as "
+        "opaque BINARY, the decode is an Arrow-batched mapInPandas stage "
+        "(deterministic fake decoder here -- codec libs absent; production "
+        "swaps in PIL/cv2 per batch). Schema/partitioning/batch shape are the "
+        "real 100 TB path; metadata consumers never touch the binary column."
+    ),
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.decode import decode_images
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    payloads = t.documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.unhex(F.lit("89504E47")), F.encode("text", "UTF-8")),
+        )
+        .otherwise(F.encode("text", "UTF-8"))
+        .alias("payload"),
+    )
+    return decode_images(payloads, fake=True).select(
+        "doc_id", "mime", "width", F.col("n_bytes").cast("bigint").alias("n_bytes")
+    )

@@ -130,6 +130,42 @@ def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5) -> D
     )
 
 
+def ngram_jaccard_pairs(documents: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
+    """-> (doc_i, doc_j, jaccard): EXACT word-3-gram Jaccard over
+    candidate pairs that share their minimum shingle hash (bottom-1
+    sketch anchoring -- equivalently MinHash LSH with one band of one
+    row, so P(candidate) = true Jaccard).
+
+    Next to minhash_lsh_pairs this trades recall for a far cheaper
+    candidate stage: one groupBy key per doc, no signature computation.
+    At 100 TB: the anchor groupBy shuffles (anchor, doc_id) pairs only;
+    hot anchors (boilerplate shingles) are capped/salted before the
+    pairwise verify."""
+    docs = documents.select(
+        "doc_id", shingle_hashes(F.col("text")).alias("xs")
+    ).filter(F.size("xs") > 0)
+    anchored = docs.withColumn("anchor", F.array_min("xs"))
+    left = anchored.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i"), "anchor")
+    right = anchored.select(F.col("doc_id").alias("j"), F.col("xs").alias("xs_j"), "anchor")
+    pairs = (
+        left.join(right, ["anchor"])
+        .filter(F.col("i") < F.col("j"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("xs_i", "xs_j"))
+                / F.size(F.array_union("xs_i", "xs_j")),
+                6,
+            ),
+        )
+    )
+    return (
+        pairs.filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("i").alias("doc_i"), F.col("j").alias("doc_j"), "jaccard")
+        .distinct()
+    )
+
+
 def simhash_signature(documents: DataFrame) -> DataFrame:
     """-> (doc_id, simhash): 60-bit SimHash over distinct word hashes.
 

@@ -96,6 +96,69 @@ def sql_hyperplane_literal(k: int) -> str:
     return "[" + ", ".join(f"{float(s):.1f}" for s in HYPERPLANES[k]) + "]"
 
 
+IVF_STRIDE = 37  # corpus vectors with vec_id % IVF_STRIDE == 0 act as centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame, k: int = 5, query_max_id: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization: every corpus
+    vector is assigned to its nearest centroid cell; a query probes only
+    its ``nprobe`` nearest cells and exact-re-ranks the candidates.
+
+    The coarse quantizer here is deterministic (corpus vectors at
+    vec_id % IVF_STRIDE == 0 stand in for offline-trained k-means
+    centroids) so the DuckDB oracle can mirror it exactly. At 100 TB the
+    assignment is one broadcast-centroids map stage writing a
+    cell-partitioned (bucketed) table; queries touch nprobe cells --
+    cost scales with cell occupancy, not corpus size."""
+    from pyspark.sql import Window as W
+
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # assignment: broadcast the (tiny) centroid set, argmax cosine
+    sim = F.round(cosine(F.col("v"), F.col("cv")), 9)
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", sim)
+        .withColumn("crank", F.row_number().over(w_assign))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    # queries probe their nprobe nearest cells
+    probes = (
+        emb.filter(F.col("vec_id") < query_max_id)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", sim)
+        .withColumn("crank", F.row_number().over(w_assign))
+        .filter(F.col("crank") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        probes.join(assigned, ["cell"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def lsh_topk(embeddings: DataFrame, k: int = 5, query_max_id: int = 10) -> DataFrame:
     """ANN top-k via LSH inverted lists: candidates = corpus vectors
     sharing any band bucket with the query; exact cosine re-rank within

@@ -15,6 +15,11 @@ SAMPLE = [
     "ref_j5_dedup_antijoin",
     "llm_doc_fingerprint",
     "llm_ann_topk_cosine",
+    "ref_p1_customer_mapping",
+    "ref_t3_idempotent_rerun",
+    "llm_neardup_ngram_jaccard",
+    "llm_ann_ivf_topk",
+    "llm_multimodal_decode",
 ]
 
 
