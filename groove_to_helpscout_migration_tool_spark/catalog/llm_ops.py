@@ -349,9 +349,7 @@ SELECT doc_id, array_to_string(sig, ',') AS signature FROM sig
 )
 def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    docs = t.documents.select(
-        "doc_id", DD.shingle_hashes(F.col("text")).alias("xs")
-    ).filter(F.size("xs") > 0)
+    docs = DD.shingled_docs(t.documents)
     return docs.select(
         "doc_id",
         F.array_join(

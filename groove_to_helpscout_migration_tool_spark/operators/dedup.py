@@ -69,6 +69,24 @@ def shingle_hashes(text_col) -> "F.Column":
     )
 
 
+def shingled_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, xs) with the expensive shingle+hash stage computed ONCE:
+    repartitioned off the raw file layout (a small parquet arrives as one
+    input split -- without this the md5-heavy shingle compute runs on a
+    single core) and persisted, because every near-dup operator references
+    it 2-3 times (explode side(s) + verify join). At 100 TB this persist
+    is a materialized signatures table, computed once per corpus snapshot
+    and reused by every downstream dedup run."""
+    docs = (
+        # repartition BEFORE the shingle expression so the md5-heavy
+        # compute runs after the shuffle, spread across all cores
+        documents.repartition(F.col("doc_id"))
+        .select("doc_id", shingle_hashes(F.col("text")).alias("xs"))
+        .filter(F.size("xs") > 0)
+    )
+    return docs.persist()
+
+
 def minhash_signature(xs) -> "F.Column":
     """k=16 minhash signature array over a shingle-hash array column."""
     return F.array(
@@ -96,13 +114,13 @@ def band_keys(sig) -> "F.Column":
 def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
     """-> (doc_i, doc_j, jaccard): near-dup candidate pairs that share an
     LSH band bucket, verified by exact Jaccard on shingle-hash sets."""
-    docs = documents.select(
-        "doc_id", shingle_hashes(F.col("text")).alias("xs")
-    ).filter(F.size("xs") > 0)
+    docs = shingled_docs(documents)
     sigd = docs.withColumn("sig", minhash_signature(F.col("xs")))
+    # persisted: both sides of the bucket self-join read the band keys --
+    # without this the k=16 minhash stage is computed twice
     exploded = sigd.select(
         "doc_id", F.explode(band_keys(F.col("sig"))).alias("band_key")
-    )
+    ).persist()
     left = exploded.select(F.col("doc_id").alias("i"), "band_key")
     right = exploded.select(F.col("doc_id").alias("j"), "band_key")
     cand = (
@@ -141,9 +159,7 @@ def ngram_jaccard_pairs(documents: DataFrame, jaccard_threshold: float = 0.4) ->
     At 100 TB: the anchor groupBy shuffles (anchor, doc_id) pairs only;
     hot anchors (boilerplate shingles) are capped/salted before the
     pairwise verify."""
-    docs = documents.select(
-        "doc_id", shingle_hashes(F.col("text")).alias("xs")
-    ).filter(F.size("xs") > 0)
+    docs = shingled_docs(documents)
     anchored = docs.withColumn("anchor", F.array_min("xs"))
     left = anchored.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i"), "anchor")
     right = anchored.select(F.col("doc_id").alias("j"), F.col("xs").alias("xs_j"), "anchor")
@@ -173,10 +189,16 @@ def simhash_signature(documents: DataFrame) -> DataFrame:
     (bit j of word-hash ? +1 : -1). Implemented as posexplode ->
     two partial-aggregating shuffles on (doc_id[, j]) -- never a window.
     """
-    words = documents.select(
-        "doc_id",
-        F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("w"),
-    ).withColumn("h", TX.word_hash(F.col("w")))
+    words = (
+        # spread the tokenize/hash stage off the raw file layout (a small
+        # parquet is one input split = one core otherwise)
+        documents.repartition(F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("w"),
+        )
+        .withColumn("h", TX.word_hash(F.col("w")))
+    )
     # literal shift per bit keeps everything in int64 (no double pow)
     bits = F.array(
         *[(F.shiftright(F.col("h"), j) % 2).cast("int").alias(f"b{j}") for j in range(SIMHASH_BITS)]
@@ -201,7 +223,8 @@ def simhash_signature(documents: DataFrame) -> DataFrame:
 def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     """-> (doc_i, doc_j, hamming): pairs blocked on any equal 15-bit
     signature chunk, verified by Hamming distance <= max_hamming."""
-    sig = simhash_signature(documents)
+    # persisted: the candidate join references the signatures twice
+    sig = simhash_signature(documents).persist()
     chunks = F.array(
         *[
             F.concat_ws(

@@ -1,19 +1,29 @@
 """Similarity search over embedding columns.
 
-Two paths:
-  - brute_force_topk: exact cosine top-k of a (small, broadcast) query
-    set against the corpus -- the baseline every approximate variant is
+Three paths:
+  - brute_force: exact cosine top-k of a (small, broadcast) query set
+    against the corpus -- the baseline every approximate variant is
     validated against (catalog: llm_ann_topk_cosine).
   - hyperplane LSH: sign-random-projection bucketing. The hyperplanes
     are +-1 vectors derived from md5 bits at BUILD time (in Python's
     hashlib, which matches SQL md5 byte-for-byte), inlined as literals
     into both the Spark plan and the DuckDB oracle -- fully
     deterministic, no engine RNG anywhere.
+  - IVF coarse quantization: nearest-centroid cells, probe nprobe cells.
 
-Scale: bucket keys are tiny ints; the candidate join shuffles
-(bucket_key, vec_id) only. Vectors are fetched for candidate pairs via
-a keyed join. Skewed buckets (dense regions) would be salted/capped at
-100 TB; the multiprobe variant widens recall without more hyperplanes.
+Scale/perf design shared by all of them:
+  - bucket/cell keys are tiny; the candidate self-join and its distinct
+    shuffle (key, vec_id) pairs ONLY -- vectors are re-joined for just
+    the surviving candidate ids. Never distinct() a row carrying two
+    64-double arrays.
+  - L2 norms are computed once per vector (attached by prepared()),
+    because the higher-order-function dot product is interpreted, not
+    codegen'd: halving the per-pair flops matters.
+  - prepared() repartitions off the raw file layout: a small parquet
+    arrives as one input split, and everything before the first shuffle
+    would otherwise run on one core.
+  - skewed buckets (dense regions) would be salted/capped at 100 TB;
+    multiprobe widens recall without more hyperplanes.
 """
 
 from __future__ import annotations
@@ -22,10 +32,12 @@ import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 DIM = 64
 N_PLANES = 12          # 2 bands x 6 hyperplanes
 N_BANDS, BITS_PER_BAND = 2, 6
+IVF_STRIDE = 37        # corpus vectors with vec_id % IVF_STRIDE == 0 = centroids
 
 
 def _plane_sign(k: int, i: int) -> int:
@@ -61,31 +73,69 @@ def lsh_band_keys(v) -> "F.Column":
     )
 
 
+def dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a) -> "F.Column":
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def cosine(a, b) -> "F.Column":
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def prepared(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm): cast + precomputed L2 norm, repartitioned off
+    the file layout and persisted (every operator below reads it 2-3
+    times). Float-op order of nrm is identical to cosine()'s norm, so
+    dot/(nrm_a*nrm_b) is bit-identical to cosine(a, b) and to the DuckDB
+    oracle's per-pair formula. At 100 TB this persist is the prepared
+    embeddings table, written once per corpus snapshot."""
+    return (
+        embeddings.repartition(F.col("vec_id"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .persist()
+    )
+
+
+def _rejoin_cosine(cand: DataFrame, emb: DataFrame, left_id: str, right_id: str,
+                   left_v: str, right_v: str) -> DataFrame:
+    """Attach vectors+norms for candidate id pairs and score cosine
+    (rounded to 6 so Spark/DuckDB float noise cannot flip order)."""
+    li = emb.select(
+        F.col("vec_id").alias(left_id), F.col("v").alias(left_v), F.col("nrm").alias("_na")
+    )
+    ri = emb.select(
+        F.col("vec_id").alias(right_id), F.col("v").alias(right_v), F.col("nrm").alias("_nb")
+    )
+    return (
+        cand.join(li, left_id)
+        .join(ri, right_id)
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col(left_v), F.col(right_v)) / (F.col("_na") * F.col("_nb")), 6),
+        )
+    )
 
 
 def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
     """-> (vec_i, vec_j, cosine): pairs sharing an LSH band bucket with
-    exact cosine >= threshold (rounded to 6 before thresholding so the
-    oracle comparison is stable)."""
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    ex = emb.select("vec_id", "v", F.explode(lsh_band_keys(F.col("v"))).alias("bkey"))
-    left = ex.select(F.col("vec_id").alias("i"), F.col("v").alias("v_i"), "bkey")
-    right = ex.select(F.col("vec_id").alias("j"), F.col("v").alias("v_j"), "bkey")
+    exact cosine >= threshold."""
+    emb = prepared(embeddings)
+    ex = emb.select("vec_id", F.explode(lsh_band_keys(F.col("v"))).alias("bkey"))
     cand = (
-        left.join(right, ["bkey"])
+        ex.select(F.col("vec_id").alias("i"), "bkey")
+        .join(ex.select(F.col("vec_id").alias("j"), "bkey"), ["bkey"])
         .filter(F.col("i") < F.col("j"))
-        .select("i", "j", "v_i", "v_j")
+        .select("i", "j")
         .distinct()
     )
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("v_i"), F.col("v_j")), 6))
+        _rejoin_cosine(cand, emb, "i", "j", "v_i", "v_j")
         .filter(F.col("cosine") >= threshold)
         .select(F.col("i").alias("vec_i"), F.col("j").alias("vec_j"), "cosine")
     )
@@ -96,56 +146,7 @@ def sql_hyperplane_literal(k: int) -> str:
     return "[" + ", ".join(f"{float(s):.1f}" for s in HYPERPLANES[k]) + "]"
 
 
-IVF_STRIDE = 37  # corpus vectors with vec_id % IVF_STRIDE == 0 act as centroids
-
-
-def ivf_topk(
-    embeddings: DataFrame, k: int = 5, query_max_id: int = 10, nprobe: int = 2
-) -> DataFrame:
-    """ANN top-k via IVF (inverted-file) coarse quantization: every corpus
-    vector is assigned to its nearest centroid cell; a query probes only
-    its ``nprobe`` nearest cells and exact-re-ranks the candidates.
-
-    The coarse quantizer here is deterministic (corpus vectors at
-    vec_id % IVF_STRIDE == 0 stand in for offline-trained k-means
-    centroids) so the DuckDB oracle can mirror it exactly. At 100 TB the
-    assignment is one broadcast-centroids map stage writing a
-    cell-partitioned (bucketed) table; queries touch nprobe cells --
-    cost scales with cell occupancy, not corpus size."""
-    from pyspark.sql import Window as W
-
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    cents = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    # assignment: broadcast the (tiny) centroid set, argmax cosine
-    sim = F.round(cosine(F.col("v"), F.col("cv")), 9)
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", sim)
-        .withColumn("crank", F.row_number().over(w_assign))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
-    )
-    # queries probe their nprobe nearest cells
-    probes = (
-        emb.filter(F.col("vec_id") < query_max_id)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("csim", sim)
-        .withColumn("crank", F.row_number().over(w_assign))
-        .filter(F.col("crank") <= nprobe)
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("cid").alias("cell"))
-    )
-    cand = (
-        probes.join(assigned, ["cell"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "qv", F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
-        .distinct()
-    )
-    scored = cand.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -166,30 +167,55 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, query_max_id: int = 10) -> DataF
     scan is replaced by a bucket-key equi-join, so cost is proportional
     to bucket occupancy, not corpus size. Recall is tunable by bands
     (multiprobe would flip band bits for more)."""
-    from pyspark.sql import Window as W
-
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    ex = emb.select("vec_id", "v", F.explode(lsh_band_keys(F.col("v"))).alias("bkey"))
-    q = ex.filter(F.col("vec_id") < query_max_id).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bkey"
-    )
+    emb = prepared(embeddings)
+    ex = emb.select("vec_id", F.explode(lsh_band_keys(F.col("v"))).alias("bkey"))
     cand = (
-        q.join(ex, ["bkey"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "qv", F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+        ex.filter(F.col("vec_id") < query_max_id)
+        .select(F.col("vec_id").alias("qid"), "bkey")
+        .join(ex.select(F.col("vec_id").alias("nid"), "bkey"), ["bkey"])
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid")
         .distinct()
     )
-    scored = cand.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
+    return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)
+
+
+def ivf_topk(
+    embeddings: DataFrame, k: int = 5, query_max_id: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization: every corpus
+    vector is assigned to its nearest centroid cell; a query probes only
+    its ``nprobe`` nearest cells and exact-re-ranks the candidates.
+
+    The coarse quantizer here is deterministic (corpus vectors at
+    vec_id % IVF_STRIDE == 0 stand in for offline-trained k-means
+    centroids) so the DuckDB oracle can mirror it exactly. At 100 TB the
+    assignment is one broadcast-centroids map stage writing a
+    cell-partitioned (bucketed) table; queries touch nprobe cells --
+    cost scales with cell occupancy, not corpus size."""
+    emb = prepared(embeddings)
+    cents = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
+    # assignment: broadcast the (tiny) centroid set, argmax cosine;
+    # carried through as ids only -- vectors re-joined at scoring time
+    sim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 9)
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", sim)
+        .withColumn("crank", F.row_number().over(w_assign))
+    )
+    assigned = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("crank") <= nprobe) & (F.col("vec_id") < query_max_id)
+    ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
+    cand = (
+        probes.join(assigned, ["cell"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+        .distinct()
+    )
+    return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)
