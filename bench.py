@@ -29,12 +29,20 @@ HEADLINE = [
     "a02_sessionize_events",
     "t01_tumbling_window_events",
     "ref_s5_nested_scan_fanout",
+    "ref_s6_two_level_fanout",
     "ref_j5_dedup_antijoin",
     "ref_groupback_threads",
+    "ref_p1_customer_mapping",
+    "ref_sort_limit_topn",
     "llm_dedup_exact",
     "llm_doc_fingerprint",
     "llm_text_stats",
     "llm_ann_topk_cosine",
+    "llm_ann_lsh_topk",
+    "llm_ann_ivf_topk",
+    "llm_neardup_minhash_lsh",
+    "llm_neardup_ngram_jaccard",
+    "llm_neardup_simhash",
 ]
 
 

@@ -316,12 +316,15 @@ _SHINGLE_CTES = f"""
 toks AS (
   SELECT doc_id, list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS t
   FROM documents
+), th AS (
+  SELECT doc_id,
+    list_transform(t, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {DD.XFOLD}) AS h
+  FROM toks
 ), sh AS (
   SELECT doc_id,
-    list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-      i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT
-           % {DD.XFOLD})) AS xs
-  FROM toks
+    list_distinct(list_transform(range(1, greatest(len(h) - 2, 0) + 1),
+      i -> (h[i] * {DD.GRAM_A} + h[i+1] * {DD.GRAM_B} + h[i+2]) % {DD.XFOLD})) AS xs
+  FROM th
 ), docs AS (SELECT doc_id, xs FROM sh WHERE len(xs) > 0)
 """
 

@@ -47,26 +47,40 @@ N_BANDS, ROWS_PER_BAND = 4, 4
 SIMHASH_BITS = 60
 
 
-def shingle_hashes(text_col) -> "F.Column":
-    """Distinct word-3-gram shingle hashes (folded to < XFOLD)."""
-    toks = TX.tokens(text_col)
-    n = F.size(toks)
+# gram hash = (h1*GRAM_A + h2*GRAM_B + h3) mod XFOLD over per-word hashes:
+# one md5 per TOKEN instead of one per 3-gram of concatenated words (3x
+# fewer md5s, no string building) -- the dominant cost of the near-dup
+# family. h < XFOLD ~ 1e9, so h*GRAM_A < 1.1e15 stays well inside int64.
+GRAM_A, GRAM_B = 1_000_003, 4093
+
+
+def token_hashes(text_col) -> "F.Column":
+    """Per-token folded hashes (one md5 per token)."""
+    return F.transform(TX.tokens(text_col), lambda w: TX.word_hash(w) % XFOLD)
+
+
+def gram_hashes(hs) -> "F.Column":
+    """Distinct 3-gram hashes from a MATERIALIZED token-hash array column.
+
+    ``hs`` must be a bound column, not the token_hashes() expression:
+    element_at over a raw expression re-evaluates the whole per-token md5
+    transform for every gram (O(n^2) md5s) -- Catalyst does not CSE
+    inside higher-order functions."""
+    n = F.size(hs)
     # guard n<3: Spark's sequence(1, 0) DESCENDS instead of being empty
     grams = F.when(
         n >= 3,
         F.transform(
             F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
+            lambda i: (
+                F.element_at(hs, i) * GRAM_A
+                + F.element_at(hs, i + 1) * GRAM_B
+                + F.element_at(hs, i + 2)
+            )
+            % XFOLD,
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(
-        F.transform(grams, lambda g: TX.word_hash(g) % XFOLD)
-    )
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(grams)
 
 
 def shingled_docs(documents: DataFrame) -> DataFrame:
@@ -78,11 +92,18 @@ def shingled_docs(documents: DataFrame) -> DataFrame:
     is a materialized signatures table, computed once per corpus snapshot
     and reused by every downstream dedup run."""
     docs = (
-        # repartition BEFORE the shingle expression so the md5-heavy
-        # compute runs after the shuffle, spread across all cores
-        documents.repartition(F.col("doc_id"))
-        .select("doc_id", shingle_hashes(F.col("text")).alias("xs"))
-        .filter(F.size("xs") > 0)
+        # xs is non-empty iff the doc has >= 3 tokens: filtering on THAT
+        # (cheap, no md5) before the shuffle prunes early AND keeps the
+        # optimizer from pushing a size(xs)>0 predicate below the
+        # exchange, which would re-inline the full hash expression onto
+        # the single pre-shuffle input split. Then: repartition BEFORE
+        # the hash expressions so the md5-heavy compute runs after the
+        # shuffle, spread across all cores; the token-hash array is
+        # materialized in its own projection (see gram_hashes on why).
+        documents.filter(F.size(TX.tokens(F.col("text"))) >= 3)
+        .repartition(F.col("doc_id"))
+        .select("doc_id", token_hashes(F.col("text")).alias("hs"))
+        .select("doc_id", gram_hashes(F.col("hs")).alias("xs"))
     )
     return docs.persist()
 
