@@ -962,3 +962,36 @@ def ref_t3_idempotent_rerun(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run1.agg(F.count(F.lit(1)).alias("run1_published")).crossJoin(
         run2.agg(F.count(F.lit(1)).alias("run2_published"))
     )
+
+
+# ---------------------------------------------------------------------------
+# T1 as a streaming custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+@register(
+    "ref_t1_streaming_quota",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_seen,
+       least(count(*), 50) AS n_accepted,
+       count(*) - least(count(*), 50) AS n_rejected
+FROM events GROUP BY user_id
+""",
+    doc=(
+        "T1 rate limiting as a streaming custom stateful operator"
+        " (applyInPandasWithState): per-user admission quota with the"
+        " cumulative count in the state store (SyncCommandBase.php:163-193"
+        " re-expressed). Runs the real stream (availableNow trigger) and"
+        " returns the materialized result; the single-file source arrives as"
+        " one micro-batch, so the totals are deterministic and the oracle is"
+        " the batch-SQL twin."
+    ),
+)
+def ref_t1_streaming_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import run_to_memory, streaming_user_quota
+
+    out = run_to_memory(
+        streaming_user_quota(spark, sf_dir, quota=50),
+        "stateful_quota",
+        output_mode="update",
+    )
+    return out.select("user_id", "n_seen", "n_accepted", "n_rejected")

@@ -73,13 +73,74 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> DataFrame:
+QUOTA_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_seen", T.LongType()),
+    T.StructField("n_accepted", T.LongType()),
+    T.StructField("n_rejected", T.LongType()),
+])
+QUOTA_STATE_SCHEMA = T.StructType([T.StructField("used", T.LongType())])
+
+
+def streaming_user_quota(spark: SparkSession, sf_dir: str, quota: int = 50) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    admission quota -- the reference's token-bucket rate limiting (T1,
+    SyncCommandBase.php:163-193) re-expressed as streaming state. Each
+    user's cumulative admitted count lives in the state store; events
+    beyond ``quota`` are rejected, and the op emits per-user running
+    totals every micro-batch.
+
+    Scale: state is one long per user, partitioned by the groupBy key;
+    the state store shuffles only (user_id, used). Watermark-less
+    NoTimeout state is fine here because the key space is bounded; an
+    unbounded key space would use event-time timeout to expire keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def apply_quota(key, pdfs, state: "GroupState"):
+        (user_id,) = key
+        used = state.get[0] if state.exists else 0
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+        accepted = max(0, min(seen, quota - used))
+        state.update((used + accepted,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_seen": [seen],
+                "n_accepted": [accepted],
+                "n_rejected": [seen - accepted],
+            }
+        )
+
+    return (
+        _read_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            apply_quota,
+            outputStructType=QUOTA_OUT_SCHEMA,
+            stateStructType=QUOTA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_RUN_SEQ = [0]
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DF with availableNow (process-everything-then-
     stop) into an in-memory sink; returns the result as a batch DF."""
+    _RUN_SEQ[0] += 1
+    name = f"{name}_{_RUN_SEQ[0]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -194,3 +194,33 @@ class TestSketchOperators:
         )
         # <3 tokens -> no shingles -> no candidates (and no crash)
         assert minhash_lsh_pairs(docs).count() == 0
+
+
+class TestStatefulQuota:
+    def test_quota_matches_batch_twin(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from groove_to_helpscout_migration_tool_spark.streaming.events import (
+            run_to_memory,
+            streaming_user_quota,
+        )
+
+        got = run_to_memory(
+            streaming_user_quota(spark, sf_dir, quota=50),
+            "quota_test",
+            output_mode="update",
+        )
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        want = {
+            (r["user_id"], r["n"], min(r["n"], 50), r["n"] - min(r["n"], 50))
+            for r in batch.collect()
+        }
+        have = {
+            (r["user_id"], r["n_seen"], r["n_accepted"], r["n_rejected"])
+            for r in got.collect()
+        }
+        assert have == want
