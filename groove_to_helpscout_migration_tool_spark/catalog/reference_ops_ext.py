@@ -995,3 +995,76 @@ def ref_t1_streaming_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return out.select("user_id", "n_seen", "n_accepted", "n_rejected")
+
+
+# ---------------------------------------------------------------------------
+# S1 via the registered Python Data Source (spark.dataSource.register)
+# ---------------------------------------------------------------------------
+@register(
+    "ref_s1_python_datasource",
+    oracle="""
+WITH numbered AS (
+  SELECT c_custkey,
+         lower(replace(c_name, '#', '')) || '@example.com' AS email,
+         c_mktsegment,
+         row_number() OVER (ORDER BY c_custkey) AS rn
+  FROM customer
+)
+SELECT CAST(floor((rn - 1) / 50) + 1 AS INTEGER) AS page,
+       c_custkey AS custkey, email, c_mktsegment AS segment
+FROM numbered
+WHERE floor((rn - 1) / 50) + 1 BETWEEN 3 AND 7
+""",
+    doc=(
+        "S1/S2 as a REAL registered Python Data Source (sources/pyds.py,"
+        " format 'groove_pages'): page partitions planned from the S3 probe,"
+        " and the page-range predicate pushed down (pushFilters) so pruned"
+        " pages are never fetched -- the --startPage/--stopPage semantics as"
+        " genuine partition pruning. The JSONL snapshot is exported once"
+        " driver-side (fixture build, not the operator under test)."
+    ),
+)
+def ref_s1_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import json
+
+    from ..sources.pyds import PagedJsonDataSource
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_exports/customers_{tag}.jsonl"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = load_tables(spark, sf_dir, ["customer"])
+        rows = (
+            t.customer.select(
+                "c_custkey",
+                F.concat(
+                    F.lower(F.regexp_replace("c_name", "#", "")), F.lit("@example.com")
+                ).alias("email"),
+                "c_mktsegment",
+            )
+            .orderBy("c_custkey")
+            .collect()
+        )
+        with open(path + ".tmp", "w") as f:
+            for r in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "custkey": r["c_custkey"],
+                            "email": r["email"],
+                            "segment": r["c_mktsegment"],
+                        }
+                    )
+                    + "\n"
+                )
+        os.replace(path + ".tmp", path)
+    spark.dataSource.register(PagedJsonDataSource)
+    return (
+        spark.read.format("groove_pages")
+        .schema("page int, custkey bigint, email string, segment string")
+        .option("path", path)
+        .option("per_page", 50)
+        .load()
+        .filter("page BETWEEN 3 AND 7")
+    )
