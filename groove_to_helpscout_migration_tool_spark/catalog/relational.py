@@ -614,3 +614,356 @@ def a02_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("session_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q04 -- EXISTS semi-join on late-shipped lineitems (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q04_priority_exists",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    doc=(
+        "TPC-H Q4 shape (shipdate-lag EXISTS; the test tables lack "
+        "commit/receipt dates): EXISTS plans as LEFT SEMI join -- the "
+        "probe side never duplicates order rows however many lineitems match."
+    ),
+)
+def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    late = t.lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 -- bilateral nation volume (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q07_nation_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+""",
+    doc=(
+        "TPC-H Q7 shape: big fact-fact join (lineitem x orders) shuffles on "
+        "orderkey; every dim (supplier/customer/nation x2) broadcasts. "
+        "Grouping keys are low-cardinality -> map-side partial agg collapses "
+        "the shuffle. Revenue summed in exact integer 1/100-cents: with 2090 "
+        "output groups, double-summation order noise WILL flip a cent "
+        "somewhere -- integer sums are order-independent."
+    ),
+)
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier", "customer", "nation"])
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 -- market share via conditional aggregation (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q08_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN region  ON sn.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'CHINA' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM rev GROUP BY o_year
+""",
+    doc=(
+        "TPC-H Q8 shape: market share = conditional-sum / sum in ONE "
+        "aggregation pass -- no second join or self-union to compute the "
+        "numerator."
+    ),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier", "nation", "region"])
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "CHINA", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 -- product profit by nation/year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q09_product_profit",
+    oracle="""
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           - 6 * CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, year(l_shipdate)
+""",
+    doc=(
+        "TPC-H Q9 shape (no partsupp table: supplycost modeled as "
+        "0.6*p_retailprice): part/supplier/nation all broadcast; the only "
+        "shuffle is the final low-cardinality group-by. Profit summed in "
+        "exact integer 1/100-cents (order-independent across engines)."
+    ),
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    profit_e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    ) - 6 * F.round(F.col("p_retailprice") * 100).cast("bigint") * F.col(
+        "l_quantity"
+    ).cast("bigint")
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("p_name").like("%a%"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg((F.sum(profit_e4) / 10000.0).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 -- promo revenue share (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-02-01'
+""",
+    doc="TPC-H Q14 shape: broadcast part join + single conditional-agg pass.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-02-01"))
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 -- large-quantity orders via agg-then-semi-join (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c_name, o_orderkey AS orderkey, o_orderdate AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON lineitem.l_orderkey = o_orderkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+""",
+    doc=(
+        "TPC-H Q18 shape: HAVING pre-aggregation shrinks the key set "
+        "BEFORE the joins (semi-join on the aggregated ids), so the wide "
+        "join only sees qualifying orders."
+    ),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer", "lineitem"])
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    return (
+        t.orders.join(big, F.col("o_orderkey") == F.col("big_key"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name", "orderkey", "orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"), "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 -- disjunctive pushdown predicates (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+   OR (p_brand = 'Brand#5'  AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15)
+   OR (p_type  = 'PROMO'    AND l_quantity >= 30)
+""",
+    doc=(
+        "TPC-H Q19 shape: disjunctive mixed-table predicates -- Catalyst "
+        "still pushes the part-only disjuncts below the join as a "
+        "partial filter."
+    ),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    cond = (
+        ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 15))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 30))
+    )
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 -- scalar subquery + anti join (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q22_idle_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment AS segment,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+""",
+    doc=(
+        "TPC-H Q22 shape: scalar-subquery threshold (computed once, "
+        "broadcast as a literal-ish 1-row plan) + LEFT ANTI join for "
+        "customers with no orders."
+    ),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    avg_bal = t.customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        t.customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            t.orders.filter(F.col("o_orderdate") >= _ts("2000-01-01")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
