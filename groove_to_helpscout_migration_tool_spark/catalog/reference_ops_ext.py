@@ -1068,3 +1068,56 @@ def ref_s1_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter("page BETWEEN 3 AND 7")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew: salted join produces identical results to the plain join
+# ---------------------------------------------------------------------------
+@register(
+    "ref_skew_salted_join",
+    oracle="""
+WITH facts AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         CASE WHEN l_orderkey % 3 = 0 THEN 0
+              ELSE CAST(l_orderkey % 50 AS INTEGER) END AS mailbox_id
+  FROM lineitem
+), dim AS (
+  SELECT n_nationkey * 2 AS mailbox_id, n_name AS mailbox_name FROM nation
+)
+SELECT d.mailbox_name, count(*) AS n_rows,
+       CAST(sum(CAST(f.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM facts f JOIN dim d ON f.mailbox_id = d.mailbox_id
+GROUP BY d.mailbox_name
+""",
+    doc=(
+        "Skew mitigation (operators/skew.py): a third of all facts hash to"
+        " mailbox 0 (the one-hot-mailbox skew a migration would see); the"
+        " salted join spreads that key over 8 salt buckets and must produce"
+        " EXACTLY the plain join's rows -- the oracle is the unsalted SQL."
+        " Deterministic salt (pmod of linenumber), no rand()."
+    ),
+)
+def ref_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ["lineitem", "nation"])
+    facts = t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 3 == 0, 0)
+        .otherwise((F.col("l_orderkey") % 50).cast("int"))
+        .cast("int")
+        .alias("mailbox_id"),
+    )
+    dim = t.nation.select(
+        (F.col("n_nationkey") * 2).cast("int").alias("mailbox_id"),
+        F.col("n_name").alias("mailbox_name"),
+    )
+    joined = salted_join(
+        facts, dim, "mailbox_id", salt_src=F.col("l_linenumber"), n_salts=8
+    )
+    return joined.groupBy("mailbox_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+    )

@@ -56,7 +56,10 @@ def paginated_source(
     total_pages = math.ceil(total_count / per_page)
     stop = min(stop_page or total_pages, total_pages)
     if start_page > stop:
-        return spark.createDataFrame([], schema)
+        # empty range still carries the OUTPUT schema (records + page)
+        return spark.createDataFrame(
+            [], T.StructType(schema.fields + [T.StructField("page", T.LongType())])
+        )
     n_pages = stop - start_page + 1
     num_parts = min(n_pages, max(1, requests_per_minute))
     pages = spark.range(start_page, stop + 1).withColumnRenamed("id", "page")

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for the quirky reference semantics
+SURVEY.md section 7 says must hold bit-for-bit, plus the resume-
+equivalence property (T2). Each property runs ONE Spark job over a
+generated batch (never a job per example) to keep the suite fast."""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from groove_to_helpscout_migration_tool_spark.functions import (
+    split_and_validate_emails,
+    split_full_name,
+)
+
+SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+NAME_ALPHABET = string.ascii_letters + string.digits + " -'."
+
+
+def py_split_full_name(name: str):
+    """Driver-side mirror of the engine's P2 semantics
+    (APIHelper.php:166-176): split on FIRST space, trim the remainder,
+    no space -> last is NULL."""
+    i = name.find(" ")
+    if i < 0:
+        return name, None
+    return name[:i], name[i + 1 :].strip()
+
+
+class TestNameSplitProperty:
+    @settings(**SETTINGS)
+    @given(st.lists(st.text(alphabet=NAME_ALPHABET, min_size=1, max_size=60), min_size=1, max_size=30))
+    def test_matches_reference_semantics(self, spark, names):
+        df = spark.createDataFrame([(n,) for n in names], ["full_name"])
+        split = split_full_name(F.col("full_name"))
+        got = df.select(
+            "full_name",
+            split.getField("first_name").alias("f"),
+            split.getField("last_name").alias("l"),
+        ).collect()
+        for row in got:
+            f, l = py_split_full_name(row["full_name"])
+            assert (row["f"], row["l"]) == (f, l), row["full_name"]
+
+
+EMAIL_FRAG = st.one_of(
+    st.from_regex(r"[a-z]{1,8}@[a-z]{1,8}\.[a-z]{2,3}", fullmatch=True),  # valid
+    st.from_regex(r"[a-z]{1,10}", fullmatch=True),  # invalid (no @)
+)
+
+
+class TestEmailSplitProperty:
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.tuples(
+                st.lists(EMAIL_FRAG, min_size=1, max_size=4),
+                st.sampled_from([" ", ";", ","]),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_any_invalid_keeps_original(self, spark, cases):
+        """P4 (CustomerProcessor.php:90-133): if EVERY fragment validates,
+        primary = first fragment; if ANY fails, the ORIGINAL unsplit
+        string survives as the single email."""
+        rows = [(sep.join(frags), frags) for frags, sep in cases]
+        df = spark.createDataFrame([(raw,) for raw, _ in rows], ["email_raw"])
+        res = split_and_validate_emails(F.col("email_raw"))
+        got = df.select(
+            "email_raw",
+            res.getField("all_valid").alias("ok"),
+            res.getField("primary").alias("primary"),
+            F.size(res.getField("emails")).alias("n"),
+        ).collect()
+        by_raw = {r["email_raw"]: r for r in got}
+        for raw, frags in rows:
+            r = by_raw[raw]
+            all_valid = all("@" in f for f in frags)
+            assert r["ok"] == all_valid, raw
+            if all_valid:
+                assert r["primary"] == frags[0]
+                assert r["n"] == len(frags)
+            else:
+                assert r["primary"] == raw
+                assert r["n"] == 1
+
+
+class TestResumeEquivalence:
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.integers(min_value=1, max_value=97), st.integers(min_value=1, max_value=97))
+    def test_split_scan_equals_full_scan(self, spark, total, split_at):
+        """T2 (SyncCustomers.php:17,51): pages [1..n] == [1..k] + [k+1..n]
+        for any resume point k."""
+        from pyspark.sql import types as T
+
+        from groove_to_helpscout_migration_tool_spark.sources.api import paginated_source
+
+        per_page = 10
+        schema = T.StructType([T.StructField("id", T.LongType())])
+
+        def fetch(page, pp):
+            lo = (page - 1) * pp
+            return [{"id": i} for i in range(lo, min(lo + pp, total))]
+
+        full = paginated_source(spark, fetch, total, schema, per_page=per_page)
+        k = min(split_at, (total + per_page - 1) // per_page)
+        part1 = paginated_source(
+            spark, fetch, total, schema, per_page=per_page, stop_page=k
+        )
+        part2 = paginated_source(
+            spark, fetch, total, schema, per_page=per_page, start_page=k + 1
+        )
+        want = {r["id"] for r in full.collect()}
+        have = {r["id"] for r in part1.unionByName(part2).collect()}
+        assert have == want and len(want) == total
