@@ -967,3 +967,56 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a03 -- range join: events inside each order's 7-day window
+# ---------------------------------------------------------------------------
+@register(
+    "a03_range_join_order_events",
+    oracle="""
+WITH anchored AS (
+  SELECT o_orderkey, o_custkey,
+         TIMESTAMP '2024-01-01' + INTERVAL 1 DAY * (o_orderkey % 24) AS w_start
+  FROM orders
+)
+SELECT o_orderkey AS orderkey,
+       count(*) AS n_events,
+       round(sum(value), 2) AS event_value
+FROM anchored
+JOIN events ON user_id = o_custkey % 150
+           AND ts >= w_start
+           AND ts < w_start + INTERVAL 3 DAY
+GROUP BY o_orderkey
+""",
+    doc=(
+        "Range join (equi key + time interval): every event a user emitted "
+        "in the 7 days after their order. The equi key carries the shuffle; "
+        "the range predicate evaluates inside the join -- never a cross "
+        "join. At 100 TB both sides bucket by the equi key and the range "
+        "stays a cheap post-probe filter."
+    ),
+)
+def a03_range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "events"])
+    anchored = t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.lit("2024-01-01").cast("timestamp_ntz")
+            + (F.col("o_orderkey") % 24) * F.expr("INTERVAL 1 DAY")
+        ).alias("w_start"),
+    )
+    return (
+        anchored.join(
+            t.events,
+            (F.col("user_id") == F.col("o_custkey") % 150)
+            & (F.col("ts") >= F.col("w_start"))
+            & (F.col("ts") < F.col("w_start") + F.expr("INTERVAL 3 DAY")),
+        )
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("event_value"),
+        )
+    )
