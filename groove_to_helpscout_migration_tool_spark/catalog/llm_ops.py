@@ -706,3 +706,54 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(payloads, fake=True).select(
         "doc_id", "mime", "width", F.col("n_bytes").cast("bigint").alias("n_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: connected components over the pair graph
+# ---------------------------------------------------------------------------
+_PAIRS_05_CTES = f"""
+bands AS (
+  SELECT doc_id, b.b AS b,
+    b.b::VARCHAR || '-' || array_to_string(list_slice(sig, b.b*4 + 1, b.b*4 + 4), '-') AS band_key
+  FROM sig, (SELECT unnest(range({DD.N_BANDS})) AS b) b
+), cand AS (
+  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+), goodpairs AS (
+  SELECT c.i AS doc_i, c.j AS doc_j
+  FROM cand c JOIN docs a ON a.doc_id = c.i JOIN docs b ON b.doc_id = c.j
+  WHERE round(len(list_intersect(a.xs, b.xs))::DOUBLE
+              / len(list_distinct(list_concat(a.xs, b.xs))), 6) >= 0.5
+)
+"""
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLE_CTES}, {_MINHASH_SIG_SQL}, {_PAIRS_05_CTES},
+edges AS (
+  SELECT doc_i AS s, doc_j AS d FROM goodpairs
+  UNION ALL
+  SELECT doc_j, doc_i FROM goodpairs
+), nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id,
+       min(lab) = node AS is_keeper
+FROM reach GROUP BY node
+""",
+    doc=(
+        "Near-dup CLUSTERING: connected components over the MinHash-LSH "
+        "pair graph via iterative min-label propagation (driver loop, "
+        "localCheckpoint per round -- operators/dedup.neardup_clusters). "
+        "Turns pairs into the dedup decision: keep min doc_id per cluster. "
+        "The oracle computes the same components with a recursive CTE."
+    ),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return DD.neardup_clusters(t.documents, jaccard_threshold=0.5)

@@ -169,6 +169,62 @@ def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5) -> D
     )
 
 
+def neardup_clusters(
+    documents: DataFrame, jaccard_threshold: float = 0.5, max_iter: int = 20
+) -> DataFrame:
+    """-> (doc_id, cluster_id, is_keeper): connected components over the
+    MinHash-LSH near-dup pair graph -- the step that turns PAIRS into a
+    dedup DECISION (keep cluster min, drop the rest).
+
+    Iterative min-label propagation to fixpoint: each round every node
+    takes min(own label, neighbors' labels); lineage is truncated per
+    round with localCheckpoint (an iterative algorithm on Spark is a
+    driver loop over checkpointed DataFrames -- without truncation the
+    plan doubles each round). Rounds needed = graph diameter; near-dup
+    components are tiny dense cliques, so this converges in 2-3 rounds.
+    At 100 TB you'd swap in the large-star/small-star variant (same
+    loop shape, O(log n) rounds on pathological chains) and checkpoint
+    to storage instead of memory."""
+    pairs = minhash_lsh_pairs(documents, jaccard_threshold).select("doc_i", "doc_j")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_j").alias("doc_i"), F.col("doc_i").alias("doc_j"))
+        )
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("pnode"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, labels.node == prop.pnode, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("new_label"),
+                "label",
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )
+
+
 def ngram_jaccard_pairs(documents: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
     """-> (doc_i, doc_j, jaccard): EXACT word-3-gram Jaccard over
     candidate pairs that share their minimum shingle hash (bottom-1

@@ -18,6 +18,7 @@ SAMPLE = [
     "ref_p1_customer_mapping",
     "ref_t3_idempotent_rerun",
     "llm_neardup_ngram_jaccard",
+    "llm_dedup_clusters",
     "llm_ann_ivf_topk",
     "llm_multimodal_decode",
 ]
