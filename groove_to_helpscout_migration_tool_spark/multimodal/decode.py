@@ -159,3 +159,50 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.select(id_col, data_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resized", T.BinaryType()),
+])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    data_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Image binary -> resized binary at (width, height). Same contract
+    as decode_images: Arrow-batched mapInPandas, codec stubbed (the real
+    decoder is PIL's resize per batch); ``fake=True`` emits a
+    deterministic byte-slice standing in for the resized payload, sized
+    width*height/64 so output volume scales with the target dims the way
+    a real thumbnail stage would."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(1, width * height // 64)
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs unavailable; pass fake=True for the test path"
+                )
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[data_col]):
+                b = bytes(data) if data is not None else b""
+                out = (b * (target // max(1, len(b)) + 1))[:target] if b else b"\x00" * target
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": width,
+                        "height": height,
+                        "resized": out,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, data_col).mapInPandas(run, schema=RESIZED_SCHEMA)

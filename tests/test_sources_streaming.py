@@ -224,3 +224,28 @@ class TestStatefulQuota:
             for r in got.collect()
         }
         assert have == want
+
+
+class TestResizeImages:
+    def test_resize_fake_path_sizes_output(self, spark):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import resize_images
+
+        df = spark.createDataFrame(
+            [(1, b"\x89PNG" + b"x" * 100), (2, b"yz"), (3, None)],
+            "doc_id long, payload binary",
+        )
+        out = resize_images(df, width=16, height=16, fake=True).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert len(out) == 3
+        assert all(len(r["resized"]) == 16 * 16 // 64 for r in out)
+        assert by_id[1]["resized"][:4] == b"\x89PNG"
+        assert (by_id[1]["width"], by_id[1]["height"]) == (16, 16)
+
+    def test_resize_stub_raises_without_fake(self, spark):
+        import pytest as _pytest
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import resize_images
+
+        df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+        with _pytest.raises(Exception, match="codecs unavailable|NotImplementedError"):
+            resize_images(df, 8, 8).collect()
