@@ -757,3 +757,71 @@ FROM reach GROUP BY node
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return DD.neardup_clusters(t.documents, jaccard_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+@register(
+    "llm_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+), tf AS (
+  SELECT doc_id, lower(w) AS term, count(*) AS cnt FROM toks GROUP BY 1, 2
+), doclen AS (
+  SELECT doc_id, sum(cnt) AS n_tok FROM tf GROUP BY doc_id
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS n_docs FROM tf GROUP BY term
+), n AS (SELECT count(*) AS total_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round((tf.cnt::DOUBLE / doclen.n_tok) * ln(n.total_docs::DOUBLE / df.n_docs), 6)
+           AS tfidf
+  FROM tf JOIN doclen USING (doc_id) JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 5
+""",
+    doc=(
+        "TF-IDF top-5 terms per document. Scale shape: one explode ->"
+        " (doc, term) partial-agg shuffle; document frequency is a second"
+        " agg on the SAME partitioning (term) and joins back on term --"
+        " the vocabulary table is the only medium-size join side, and it"
+        " carries (term, count) pairs only. Ranking on the ROUNDED score"
+        " with a term tiebreak keeps top-5 deterministic across engines."
+    ),
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t.documents.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    tf = toks.groupBy("doc_id", F.lower("w").alias("term")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs"))
+    n = t.documents.agg(F.count(F.lit(1)).alias("total_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_tok"))
+                * F.log(F.col("total_docs").cast("double") / F.col("n_docs")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
