@@ -23,7 +23,10 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_region_revenue",
     "q06_forecast_revenue",
+    "q07_nation_volume",
     "q10_returned_items",
+    "q18_large_orders",
+    "a03_range_join_order_events",
     "w03_top3_orders_per_customer",
     "a01_asof_join_purchase_signup",
     "a02_sessionize_events",
@@ -43,6 +46,8 @@ HEADLINE = [
     "llm_neardup_minhash_lsh",
     "llm_neardup_ngram_jaccard",
     "llm_neardup_simhash",
+    "llm_dedup_clusters",
+    "llm_tfidf_top_terms",
 ]
 
 

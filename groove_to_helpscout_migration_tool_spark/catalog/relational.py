@@ -1020,3 +1020,37 @@ def a03_range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("event_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# g04 -- GROUPING SETS with grouping_id (SQL surface passthrough)
+# ---------------------------------------------------------------------------
+@register(
+    "g04_grouping_sets",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc=(
+        "GROUPING SETS via the engine's SQL passthrough (SURVEY section 2.9"
+        " free tier): three groupings in ONE shuffle pass (Spark expands"
+        " sets map-side), not three scans unioned."
+    ),
+)
+def g04_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    t.orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
