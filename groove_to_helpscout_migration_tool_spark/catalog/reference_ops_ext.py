@@ -1121,3 +1121,59 @@ def ref_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The two reference pipelines end-to-end (fixture inputs -> rows-only check:
+# their JSON fixture inputs are not among the driver's oracle tables; the
+# pipelines' semantics are pinned by tests/test_pipelines.py goldens)
+# ---------------------------------------------------------------------------
+@register(
+    "ref_pipeline_sync_customers",
+    oracle=None,
+    doc=(
+        "sync-customers end-to-end (SURVEY section 3.1): Groove fixture ->"
+        " P1-P5 transforms -> HelpScout customer rows. Map-only, zero"
+        " shuffles, fully codegen'd; warnings ride the side-channel. Flattened"
+        " here to scalar lineage columns for the driver's schema check."
+    ),
+)
+def ref_pipeline_sync_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.customer_pipeline import transform_customers
+    from ..sources.fixtures import groove_fixtures
+
+    customers, warnings = transform_customers(groove_fixtures(spark).customers)
+    return customers.select(
+        "source_email",
+        F.col("firstName").alias("first_name"),
+        F.col("lastName").alias("last_name"),
+        "organization",
+        F.size("emails").alias("n_emails"),
+    ).orderBy("source_email")
+
+
+@register(
+    "ref_pipeline_sync_tickets",
+    oracle=None,
+    doc=(
+        "sync-tickets end-to-end (SURVEY section 3.2): validation anti-joins,"
+        " dedup semi-join, message fan-out, thread classification/person"
+        " resolution, attachment handling with failure-note recovery, ordered"
+        " group-back -- conversations + error side-channel, summarized to"
+        " scalar columns for the driver's stable-schema check."
+    ),
+)
+def ref_pipeline_sync_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ticket_pipeline import build_conversations
+    from ..sources.fixtures import groove_fixtures, helpscout_fixtures
+
+    conversations, errors = build_conversations(
+        groove_fixtures(spark, include_invalid=False), helpscout_fixtures(spark)
+    )
+    return conversations.select(
+        F.col("groove_ticket_number").alias("ticket_number"),
+        "subject",
+        "status",
+        F.size("threads").alias("n_threads"),
+        F.size("tags").alias("n_tags"),
+    ).orderBy("ticket_number")
