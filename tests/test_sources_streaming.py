@@ -249,3 +249,19 @@ class TestResizeImages:
         df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
         with _pytest.raises(Exception, match="codecs unavailable|NotImplementedError"):
             resize_images(df, 8, 8).collect()
+
+
+class TestForeachBatchMerge:
+    def test_rerun_publishes_zero_duplicates(self, spark, sf_dir, tmp_path):
+        from groove_to_helpscout_migration_tool_spark.streaming.events import (
+            streaming_merge_to_parquet,
+        )
+
+        sink = str(tmp_path / "sink")
+        total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        n1 = streaming_merge_to_parquet(spark, sf_dir, sink, str(tmp_path / "ck1"))
+        assert n1 == total
+        # second run: fresh checkpoint (full replay), same sink -> all dups
+        n2 = streaming_merge_to_parquet(spark, sf_dir, sink, str(tmp_path / "ck2"))
+        assert n2 == 0
+        assert spark.read.parquet(sink).count() == total
