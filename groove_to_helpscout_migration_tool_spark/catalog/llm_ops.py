@@ -825,3 +825,64 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: quality gate + lang filter + exact-dedup keeper, one pass
+# ---------------------------------------------------------------------------
+@register(
+    "llm_corpus_curation",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+         CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chr,
+         CAST(len(list_filter({_TOKENS_SQL},
+              x -> list_contains(['the','a','of','and','to','in','is','it'], lower(x))))
+              AS DOUBLE) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text,
+         round(greatest(0.0, least(1.0,
+           0.4 * least(n_tok / 64.0, 1.0)
+           + 0.4 * (1.0 - n_punct / greatest(n_chr, 1.0))
+           + 0.2 * (n_stop / greatest(n_tok, 1.0)) * 4.0)), 6) AS quality
+  FROM m
+), gated AS (
+  SELECT * FROM scored WHERE quality >= 0.5 AND lang IN ('en', 'es')
+), ranked AS (
+  SELECT doc_id, lang, quality,
+         row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(norm_text)) AS n_copies
+  FROM gated
+)
+SELECT doc_id, lang, quality, CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1
+""",
+    doc=(
+        "Corpus curation in ONE pass: quality gate (length/punct/stopword"
+        " heuristics) + language allow-list + exact-dedup keeper selection"
+        " (first doc_id per normalized-text hash, window over md5 key)."
+        " The composition every pre-training data pipeline runs before the"
+        " expensive near-dup stage; filters run BEFORE the dedup shuffle so"
+        " the window only sees surviving docs."
+    ),
+)
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    scored = t.documents.select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").alias("norm_text"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    gated = scored.filter((F.col("quality") >= 0.5) & F.col("lang").isin("en", "es"))
+    w = W.partitionBy(F.md5("norm_text")).orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(W.partitionBy(F.md5("norm_text"))))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "quality", F.col("n_copies").cast("bigint").alias("n_copies"))
+    )
