@@ -1054,3 +1054,114 @@ def g04_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# s03 -- INTERSECT ALL / EXCEPT ALL (bag semantics)
+# ---------------------------------------------------------------------------
+@register(
+    "s03_bag_set_ops",
+    oracle="""
+WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+     i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+     e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+SELECT 'intersect_all' AS op, count(*) AS n, count(DISTINCT k) AS n_distinct FROM i
+UNION ALL
+SELECT 'except_all', count(*), count(DISTINCT k) FROM e
+""",
+    doc=(
+        "INTERSECT ALL / EXCEPT ALL: bag (multiplicity-aware) set ops --"
+        " Spark plans these as aggregate-count + generate, one shuffle each,"
+        " never a row-by-row comparison."
+    ),
+)
+def s03_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    a = t.orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    i = a.intersectAll(b).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("n_distinct")
+    ).select(F.lit("intersect_all").alias("op"), "n", "n_distinct")
+    e = a.exceptAll(b).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("n_distinct")
+    ).select(F.lit("except_all").alias("op"), "n", "n_distinct")
+    return i.unionByName(e)
+
+
+# ---------------------------------------------------------------------------
+# w04 -- RANGE window frame over event time (30-day trailing spend)
+# ---------------------------------------------------------------------------
+@register(
+    "w04_trailing_spend_range_frame",
+    oracle="""
+SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+         AS trailing_30d_spend
+FROM orders
+""",
+    doc=(
+        "RANGE window frame keyed on event time (not rows): 30-day trailing"
+        " spend per customer. One shuffle on the partition key; the frame is"
+        " evaluated with a sliding aggregate inside the sorted partition."
+    ),
+)
+def w04_trailing_spend_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    # orders timestamps are midnight-aligned, so an epoch-DAY ordering key
+    # makes the 30-day RANGE frame identical to the SQL INTERVAL frame
+    epoch_days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = W.partitionBy("o_custkey").orderBy(epoch_days).rangeBetween(-30, 0)
+    return t.orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p01 -- exact percentiles (+ approx twin is rows-only below)
+# ---------------------------------------------------------------------------
+@register(
+    "p01_percentiles_exact",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders GROUP BY o_orderpriority
+""",
+    doc=(
+        "Exact percentiles per group (percentile_cont interpolation --"
+        " identical definition in Spark and DuckDB). Exact percentile needs"
+        " the group sorted; the approx twin below is the 100 TB path."
+    ),
+)
+def p01_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return t.orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "p02_percentiles_approx",
+    oracle=None,  # t-digest/KLL sketches differ per engine: rows-only
+    doc=(
+        "approx_percentile (KLL-style sketch): mergeable, bounded-memory --"
+        " the percentile that scales; validated against the exact twin in"
+        " spirit (same groups, close values)."
+    ),
+)
+def p02_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return t.orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    )
