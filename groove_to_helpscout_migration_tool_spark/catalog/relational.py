@@ -1165,3 +1165,41 @@ def p02_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t02 -- multi-resolution rollup (continuous-aggregate / hypertable pattern)
+# ---------------------------------------------------------------------------
+@register(
+    "t02_multires_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(v), 2) AS total_value
+FROM hourly GROUP BY 1, 2
+""",
+    doc=(
+        "Multi-resolution rollup (the hypertable / continuous-aggregate"
+        " pattern): daily aggregates REAGGREGATED from hourly partials, not"
+        " recomputed from raw -- count/sum are mergeable, so the day level"
+        " reads ~24x fewer rows. At 100 TB the hourly table is the"
+        " materialized continuous aggregate the day/week/month levels fold."
+    ),
+)
+def t02_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").cast("date").alias("day"), "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        )
+    )

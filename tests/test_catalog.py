@@ -17,6 +17,9 @@ SAMPLE = [
     "llm_ann_topk_cosine",
     "ref_p1_customer_mapping",
     "ref_t3_idempotent_rerun",
+    "w04_trailing_spend_range_frame",
+    "t02_multires_rollup",
+    "llm_corpus_curation",
     "llm_neardup_ngram_jaccard",
     "llm_dedup_clusters",
     "llm_ann_ivf_topk",
