@@ -510,8 +510,24 @@ def _emb_lsh_topk_oracle() -> str:
         f"THEN '1' ELSE '0' END AS b{k}"
         for k in range(SIM.N_PLANES)
     )
-    k0 = " || ".join(["'0'"] + [f"b{k}" for k in range(0, SIM.BITS_PER_BAND)])
-    k1 = " || ".join(["'1'"] + [f"b{k}" for k in range(SIM.BITS_PER_BAND, SIM.N_PLANES)])
+
+    from itertools import combinations
+
+    def band_key(b: int, flips: tuple = ()) -> str:
+        parts = [f"'{b}'"]
+        for k in range(b * SIM.BITS_PER_BAND, (b + 1) * SIM.BITS_PER_BAND):
+            if k in flips:
+                parts.append(f"(CASE WHEN b{k} = '1' THEN '0' ELSE '1' END)")
+            else:
+                parts.append(f"b{k}")
+        return " || ".join(parts)
+
+    exact = [band_key(b) for b in range(SIM.N_BANDS)]
+    probes = []
+    for b in range(SIM.N_BANDS):
+        rng = range(b * SIM.BITS_PER_BAND, (b + 1) * SIM.BITS_PER_BAND)
+        flip_sets = [()] + [(f,) for f in rng] + list(combinations(rng, 2))
+        probes += [band_key(b, flips) for flips in flip_sets]
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
@@ -520,11 +536,13 @@ WITH e AS (
   {bit_exprs}
   FROM e
 ), keyed AS (
-  SELECT vec_id, v, unnest([{k0}, {k1}]) AS bkey FROM bits
+  SELECT vec_id, v, unnest([{", ".join(exact)}]) AS bkey FROM bits
+), probed AS (
+  SELECT vec_id, v, unnest([{", ".join(probes)}]) AS bkey FROM bits
+  WHERE vec_id < 10
 ), cand AS (
   SELECT DISTINCT q.vec_id AS qid, q.v AS qv, c.vec_id AS nid, c.v AS nv
-  FROM keyed q JOIN keyed c ON q.bkey = c.bkey AND c.vec_id <> q.vec_id
-  WHERE q.vec_id < 10
+  FROM probed q JOIN keyed c ON q.bkey = c.bkey AND c.vec_id <> q.vec_id
 ), scored AS (
   SELECT qid, nid,
     round(list_sum(list_transform(range(1, {SIM.DIM} + 1), x -> qv[x] * nv[x]))
@@ -641,7 +659,7 @@ WITH e AS (
   SELECT vec_id, v, cid AS cell FROM ranked WHERE crank = 1
 ), probes AS (
   SELECT vec_id AS qid, v AS qv, cid AS cell FROM ranked
-  WHERE crank <= 2 AND vec_id < 10
+  WHERE crank <= 3 AND vec_id < 10
 ), cand AS (
   SELECT DISTINCT p.qid, p.qv, a.vec_id AS nid, a.v AS nv
   FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid
@@ -656,13 +674,13 @@ SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rn AS INTEGER) AS rank 
     doc=(
         "ANN top-k via IVF: deterministic coarse quantizer (stand-in for "
         "offline k-means), broadcast-centroid assignment, queries probe "
-        "nprobe=2 cells and exact-re-rank. The third ANN path next to brute "
+        "nprobe=3 cells and exact-re-rank. The third ANN path next to brute "
         "force and LSH; at scale the corpus is bucketed by cell."
     ),
 )
 def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return SIM.ivf_topk(t.embeddings, k=5, query_max_id=10, nprobe=2)
+    return SIM.ivf_topk(t.embeddings, k=5, query_max_id=10, nprobe=3)
 
 
 # ---------------------------------------------------------------------------

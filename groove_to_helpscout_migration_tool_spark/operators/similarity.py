@@ -73,6 +73,34 @@ def lsh_band_keys(v) -> "F.Column":
     )
 
 
+def _flip(bit):
+    return F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+
+
+def lsh_probe_keys(v) -> "F.Column":
+    """Multiprobe key set: each band's exact key PLUS every 1- and 2-bit
+    flip variant (1 + 6 + 15 = 22 probes per band). Used on the QUERY
+    side of top-k search only -- recall rises steeply (a near neighbor
+    differing in up to two hyperplane signs still collides) while the
+    corpus index and the pairwise near-dup path keep the cheap exact
+    keys. Probe count is per-QUERY cost, not per-corpus-row."""
+    from itertools import combinations
+
+    bits = [_dot_sign(v, HYPERPLANES[k]) for k in range(N_PLANES)]
+    keys = []
+    for b in range(N_BANDS):
+        band_bits = bits[b * BITS_PER_BAND : (b + 1) * BITS_PER_BAND]
+        flip_sets = [()]
+        flip_sets += [(f,) for f in range(BITS_PER_BAND)]
+        flip_sets += list(combinations(range(BITS_PER_BAND), 2))
+        for flips in flip_sets:
+            probe = [
+                _flip(bit) if i in flips else bit for i, bit in enumerate(band_bits)
+            ]
+            keys.append(F.concat_ws("", F.lit(str(b)), *probe))
+    return F.array(*keys)
+
+
 def dot(a, b) -> "F.Column":
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -169,10 +197,13 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, query_max_id: int = 10) -> DataF
     (multiprobe would flip band bits for more)."""
     emb = prepared(embeddings)
     ex = emb.select("vec_id", F.explode(lsh_band_keys(F.col("v"))).alias("bkey"))
-    cand = (
-        ex.filter(F.col("vec_id") < query_max_id)
+    q = (
+        emb.filter(F.col("vec_id") < query_max_id)
+        .select("vec_id", F.explode(lsh_probe_keys(F.col("v"))).alias("bkey"))
         .select(F.col("vec_id").alias("qid"), "bkey")
-        .join(ex.select(F.col("vec_id").alias("nid"), "bkey"), ["bkey"])
+    )
+    cand = (
+        q.join(ex.select(F.col("vec_id").alias("nid"), "bkey"), ["bkey"])
         .filter(F.col("nid") != F.col("qid"))
         .select("qid", "nid")
         .distinct()

@@ -65,3 +65,24 @@ def test_oracle_equivalence_smoke(spark, sf_dir, duck, name):
         only_s = list(srows - orows)[:3]
         only_o = list(orows - srows)[:3]
         assert not only_s and not only_o, f"spark-only={only_s} duck-only={only_o}"
+
+
+class TestAnnRecall:
+    """The approximate ANN paths must actually find most of the true
+    neighbors -- recall against the brute-force baseline, deterministic
+    given the fixed corpus."""
+
+    def _recall(self, approx, exact):
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        return len(a & e) / len(e)
+
+    def test_lsh_and_ivf_recall_floor(self, spark, sf_dir):
+        exact = catalog.QUERIES["llm_ann_topk_cosine"].fn(spark, sf_dir)
+        lsh = catalog.QUERIES["llm_ann_lsh_topk"].fn(spark, sf_dir)
+        ivf = catalog.QUERIES["llm_ann_ivf_topk"].fn(spark, sf_dir)
+        r_lsh, r_ivf = self._recall(lsh, exact), self._recall(ivf, exact)
+        # measured on the fixed corpus: LSH+2-flip multiprobe ~0.76,
+        # IVF(nprobe=3, stride quantizer) ~0.56; floors leave headroom
+        assert r_lsh >= 0.6, f"LSH recall@5 degraded: {r_lsh}"
+        assert r_ivf >= 0.45, f"IVF recall@5 degraded: {r_ivf}"
