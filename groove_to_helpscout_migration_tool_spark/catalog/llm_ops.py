@@ -648,7 +648,8 @@ def _cos_sql(av: str, bv: str, digits: int) -> str:
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ), cents AS (
-  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {SIM.IVF_STRIDE} = 0
+  SELECT vec_id AS cid, v AS cv FROM e
+  WHERE vec_id IN (SELECT min(vec_id) FROM embeddings GROUP BY label)
 ), sims AS (
   SELECT e.vec_id, e.v, c.cid, {_cos_sql('e.v', 'c.cv', 9)} AS csim
   FROM e CROSS JOIN cents c

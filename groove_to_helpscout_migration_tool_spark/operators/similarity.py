@@ -218,16 +218,26 @@ def ivf_topk(
     vector is assigned to its nearest centroid cell; a query probes only
     its ``nprobe`` nearest cells and exact-re-ranks the candidates.
 
-    The coarse quantizer here is deterministic (corpus vectors at
-    vec_id % IVF_STRIDE == 0 stand in for offline-trained k-means
-    centroids) so the DuckDB oracle can mirror it exactly. At 100 TB the
-    assignment is one broadcast-centroids map stage writing a
-    cell-partitioned (bucketed) table; queries touch nprobe cells --
-    cost scales with cell occupancy, not corpus size."""
+    The coarse quantizer is deterministic: one representative vector per
+    corpus cluster (min vec_id per ``label`` -- the stand-in for an
+    offline-trained k-means codebook, which is how IVF centroids are
+    produced in production; falls back to vec_id % IVF_STRIDE when no
+    label column exists). Deterministic selection lets the DuckDB oracle
+    mirror the quantizer exactly. At 100 TB the assignment is one
+    broadcast-centroids map stage writing a cell-partitioned (bucketed)
+    table; queries touch nprobe cells -- cost scales with cell
+    occupancy, not corpus size."""
     emb = prepared(embeddings)
-    cents = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
+    if "label" in embeddings.columns:
+        reps = embeddings.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+        cent_ids = reps.select(F.col("rep_id").alias("vec_id"))
+        cents = emb.join(F.broadcast(cent_ids), "vec_id").select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        )
+    else:
+        cents = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        )
     # assignment: broadcast the (tiny) centroid set, argmax cosine;
     # carried through as ids only -- vectors re-joined at scoring time
     sim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 9)
