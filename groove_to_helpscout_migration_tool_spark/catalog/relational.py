@@ -1203,3 +1203,71 @@ def t02_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a04 -- funnel analysis: signup -> purchase conversion within 7 days
+# ---------------------------------------------------------------------------
+@register(
+    "a04_funnel_conversion",
+    oracle="""
+WITH first_signup AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), converted AS (
+  SELECT s.user_id, s.signup_ts,
+         min(p.ts) AS first_purchase_ts
+  FROM first_signup s
+  LEFT JOIN events p ON p.user_id = s.user_id
+    AND p.event_type = 'purchase'
+    AND p.ts > s.signup_ts
+    AND p.ts <= s.signup_ts + INTERVAL 7 DAY
+  GROUP BY s.user_id, s.signup_ts
+)
+SELECT CAST(date_trunc('day', signup_ts) AS DATE) AS cohort_day,
+       count(*) AS n_users,
+       count(first_purchase_ts) AS n_converted,
+       round(count(first_purchase_ts)::DOUBLE / count(*), 6) AS conversion
+FROM converted GROUP BY 1
+""",
+    doc=(
+        "Funnel analysis (signup -> purchase within 7 days, by signup-day"
+        " cohort): first-touch agg, then an equi+range join back to the"
+        " event stream, then cohort rollup. The event-sequence pattern"
+        " every product-analytics engine ships; the per-user first-touch"
+        " agg shrinks the join probe side to one row per user."
+    ),
+)
+def a04_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    first_signup = (
+        t.events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_signup.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("signup_ts"))
+            & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return (
+        converted.groupBy(
+            F.date_trunc("day", "signup_ts").cast("date").alias("cohort_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("first_purchase_ts").alias("n_converted"),
+            F.round(
+                F.count("first_purchase_ts").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conversion"),
+        )
+    )
