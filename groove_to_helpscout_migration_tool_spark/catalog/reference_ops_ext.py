@@ -1177,3 +1177,43 @@ def ref_pipeline_sync_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("threads").alias("n_threads"),
         F.size("tags").alias("n_tags"),
     ).orderBy("ticket_number")
+
+
+# ---------------------------------------------------------------------------
+# K3 -- content-addressed attachment dedup (upload each distinct blob once)
+# ---------------------------------------------------------------------------
+@register(
+    "ref_k3_content_hash_dedup",
+    oracle="""
+WITH payloads AS (
+  SELECT l_orderkey, l_linenumber,
+         'attachment-' || CAST(l_orderkey % 500 AS VARCHAR) AS content
+  FROM lineitem WHERE l_linenumber <= 2
+)
+SELECT sha256(content) AS content_hash,
+       count(*) AS n_references,
+       min(octet_length(encode(content))) AS n_bytes
+FROM payloads GROUP BY sha256(content)
+""",
+    doc=(
+        "K3 attachment upload with content addressing (TicketProcessor.php:"
+        "305-311 generalized; SURVEY section 7 risk 3): hash the bytes, group"
+        " references per distinct blob, upload ONCE per hash and carry the"
+        " hash, never the bytes, through the rest of the plan. At 100 TB the"
+        " upload fan-out collapses to |distinct blobs| and the shuffle after"
+        " this point moves 32-byte hashes."
+    ),
+)
+def ref_k3_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    payloads = t.lineitem.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lit("attachment-"), (F.col("l_orderkey") % 500).cast("string")
+        ).alias("content"),
+    )
+    return payloads.groupBy(F.sha2("content", 256).alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_references"),
+        F.min(F.octet_length(F.encode("content", "UTF-8"))).alias("n_bytes"),
+    )

@@ -265,3 +265,19 @@ class TestForeachBatchMerge:
         n2 = streaming_merge_to_parquet(spark, sf_dir, sink, str(tmp_path / "ck2"))
         assert n2 == 0
         assert spark.read.parquet(sink).count() == total
+
+
+class TestCompaction:
+    def test_target_size_controls_file_count(self, spark, sf_dir, tmp_path):
+        import glob
+
+        from groove_to_helpscout_migration_tool_spark.sources.compact import write_compacted
+
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n_small = write_compacted(df, str(tmp_path / "small"), target_mb=0.05)
+        n_big = write_compacted(df, str(tmp_path / "big"), target_mb=1024)
+        assert n_big == 1 and n_small > n_big
+        assert len(glob.glob(str(tmp_path / "big" / "*.parquet"))) == 1
+        assert (
+            spark.read.parquet(str(tmp_path / "small")).count() == df.count()
+        )
