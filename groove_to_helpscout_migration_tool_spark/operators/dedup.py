@@ -193,10 +193,12 @@ def neardup_clusters(
         .toDF("src", "dst")
         .persist()
     )
+    # initialize at min(node, neighbors) -- the first propagation round
+    # folded into one aggregation, saving an iteration on most graphs
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("node", F.least("node", "nbr_min").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
