@@ -7,6 +7,7 @@ Submodules:
 """
 
 from . import relational  # noqa: F401
+from . import partsupp  # noqa: F401
 from . import reference_ops  # noqa: F401
 from . import reference_ops_ext  # noqa: F401
 from . import llm_ops  # noqa: F401
