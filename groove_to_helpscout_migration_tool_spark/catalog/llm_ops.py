@@ -504,41 +504,80 @@ def llm_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_lsh_topk_oracle() -> str:
-    bit_exprs = ",\n  ".join(
-        f"CASE WHEN list_sum(list_transform(range(1, {SIM.DIM} + 1), "
-        f"i -> v[i] * ({SIM.sql_hyperplane_literal(k)})[i])) > 0 "
-        f"THEN '1' ELSE '0' END AS b{k}"
+    """Mirror of SIM.lsh_topk: exact band keys on the corpus side,
+    margin-ordered multiprobe (SIM.MARGIN_PATTERNS over margin ranks) on
+    the query side -- the rank arithmetic is regenerated here from the
+    same pattern list the Spark plan uses."""
+    dot_exprs = ",\n  ".join(
+        f"list_sum(list_transform(range(1, {SIM.DIM} + 1), "
+        f"i -> v[i] * ({SIM.sql_hyperplane_literal(k)})[i])) AS d{k}"
         for k in range(SIM.N_PLANES)
     )
+    bit_exprs = ",\n  ".join(
+        f"CASE WHEN d{k} > 0 THEN '1' ELSE '0' END AS b{k}, abs(d{k}) AS m{k}"
+        for k in range(SIM.N_PLANES)
+    )
+    rank_exprs = []
+    for b in range(SIM.N_BANDS):
+        band = list(range(b * SIM.BITS_PER_BAND, (b + 1) * SIM.BITS_PER_BAND))
+        for k in band:
+            cmps = " + ".join(
+                (
+                    f"(CASE WHEN m{j} <= m{k} THEN 1 ELSE 0 END)"
+                    if j < k
+                    else f"(CASE WHEN m{j} < m{k} THEN 1 ELSE 0 END)"
+                )
+                for j in band
+                if j != k
+            )
+            rank_exprs.append(f"({cmps}) AS r{k}")
+    rank_sql = ",\n  ".join(rank_exprs)
 
-    from itertools import combinations
+    def exact_key(b: int) -> str:
+        return " || ".join(
+            [f"'{b}'"]
+            + [f"b{k}" for k in range(b * SIM.BITS_PER_BAND, (b + 1) * SIM.BITS_PER_BAND)]
+        )
 
-    def band_key(b: int, flips: tuple = ()) -> str:
+    def probe_key(b: int, pat: tuple) -> str:
         parts = [f"'{b}'"]
         for k in range(b * SIM.BITS_PER_BAND, (b + 1) * SIM.BITS_PER_BAND):
-            if k in flips:
-                parts.append(f"(CASE WHEN b{k} = '1' THEN '0' ELSE '1' END)")
+            if pat:
+                in_list = ", ".join(str(p) for p in pat)
+                parts.append(
+                    f"(CASE WHEN r{k} IN ({in_list}) THEN "
+                    f"(CASE WHEN b{k} = '1' THEN '0' ELSE '1' END) ELSE b{k} END)"
+                )
             else:
                 parts.append(f"b{k}")
         return " || ".join(parts)
 
-    exact = [band_key(b) for b in range(SIM.N_BANDS)]
-    probes = []
-    for b in range(SIM.N_BANDS):
-        rng = range(b * SIM.BITS_PER_BAND, (b + 1) * SIM.BITS_PER_BAND)
-        flip_sets = [()] + [(f,) for f in rng] + list(combinations(rng, 2))
-        probes += [band_key(b, flips) for flips in flip_sets]
+    exact = [exact_key(b) for b in range(SIM.N_BANDS)]
+    probes = [
+        probe_key(b, pat)
+        for b in range(SIM.N_BANDS)
+        for pat in SIM.MARGIN_PATTERNS
+    ]
+    b_cols = ", ".join(f"b{k}" for k in range(SIM.N_PLANES))
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), dots AS (
+  SELECT vec_id, v,
+  {dot_exprs}
+  FROM e
 ), bits AS (
   SELECT vec_id, v,
   {bit_exprs}
-  FROM e
+  FROM dots
+), ranks AS (
+  SELECT vec_id, v, {b_cols},
+  {rank_sql}
+  FROM bits
 ), keyed AS (
   SELECT vec_id, v, unnest([{", ".join(exact)}]) AS bkey FROM bits
 ), probed AS (
-  SELECT vec_id, v, unnest([{", ".join(probes)}]) AS bkey FROM bits
+  SELECT vec_id, v, unnest([{", ".join(probes)}]) AS bkey FROM ranks
   WHERE vec_id < 10
 ), cand AS (
   SELECT DISTINCT q.vec_id AS qid, q.v AS qv, c.vec_id AS nid, c.v AS nv

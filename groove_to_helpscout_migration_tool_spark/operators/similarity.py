@@ -52,11 +52,15 @@ HYPERPLANES: list[list[int]] = [
 ]
 
 
-def _dot_sign(v, plane: list[int]):
+def _plane_dot(v, plane: list[int]):
     signs = F.array(*[F.lit(float(s)) for s in plane])
-    dot = F.aggregate(
+    return F.aggregate(
         F.zip_with(v, signs, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+def _dot_sign(v, plane: list[int]):
+    dot = _plane_dot(v, plane)
     return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
 
 
@@ -77,28 +81,88 @@ def _flip(bit):
     return F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
 
 
-def lsh_probe_keys(v) -> "F.Column":
-    """Multiprobe key set: each band's exact key PLUS every 1- and 2-bit
-    flip variant (1 + 6 + 15 = 22 probes per band). Used on the QUERY
-    side of top-k search only -- recall rises steeply (a near neighbor
-    differing in up to two hyperplane signs still collides) while the
-    corpus index and the pairwise near-dup path keep the cheap exact
-    keys. Probe count is per-QUERY cost, not per-corpus-row."""
+def _margin_patterns() -> list[tuple[int, ...]]:
+    """Query-directed probe patterns, expressed over margin RANKS within a
+    band (rank 0 = the bit whose hyperplane dot product is closest to 0,
+    i.e. the band's least-confident bit). Same 22-probes-per-band budget
+    as a blind 1+2-bit-flip scheme, but the flips concentrate where sign
+    errors actually happen: every subset of the 4 lowest-margin bits,
+    plus the two high-margin singles and their pairings with the two
+    lowest-margin bits."""
     from itertools import combinations
 
-    bits = [_dot_sign(v, HYPERPLANES[k]) for k in range(N_PLANES)]
+    pats: list[tuple[int, ...]] = [()]
+    for r in (1, 2, 3, 4):
+        pats += list(combinations(range(4), r))
+    pats += [(4,), (5,), (0, 4), (1, 4), (0, 5), (1, 5)]
+    return pats
+
+
+MARGIN_PATTERNS: list[tuple[int, ...]] = _margin_patterns()
+
+
+def lsh_probe_frame(emb: DataFrame, query_max_id: int) -> DataFrame:
+    """-> (qid, bkey): query-side multiprobe keys, margin-ordered.
+
+    Three chained projections with MATERIALIZED intermediate columns
+    (dots -> bits+margins -> ranks+keys): higher-order-function dot
+    products are interpreted and not CSE'd, so every expression is
+    computed once as a real column and referenced thereafter. Query-side
+    only (a handful of rows), the corpus index keeps exact keys."""
+    q = emb.filter(F.col("vec_id") < query_max_id)
+    dots = q.select(
+        "vec_id",
+        *[
+            _plane_dot(F.col("v"), HYPERPLANES[k]).alias(f"_d{k}")
+            for k in range(N_PLANES)
+        ],
+    )
+    bits = dots.select(
+        "vec_id",
+        *[
+            F.when(F.col(f"_d{k}") > 0, F.lit("1")).otherwise(F.lit("0")).alias(f"_b{k}")
+            for k in range(N_PLANES)
+        ],
+        *[F.abs(F.col(f"_d{k}")).alias(f"_m{k}") for k in range(N_PLANES)],
+    )
+    # margin rank within each band: count of strictly-smaller (margin, k)
+    # pairs -- a total order, so ranks are a permutation of 0..BITS-1
+    rank_cols = []
+    for b in range(N_BANDS):
+        band = list(range(b * BITS_PER_BAND, (b + 1) * BITS_PER_BAND))
+        for k in band:
+            cmps = [
+                (
+                    (F.col(f"_m{j}") < F.col(f"_m{k}"))
+                    | ((F.col(f"_m{j}") == F.col(f"_m{k}")) & F.lit(j < k))
+                ).cast("int")
+                for j in band
+                if j != k
+            ]
+            acc = cmps[0]
+            for c in cmps[1:]:
+                acc = acc + c
+            rank_cols.append(acc.alias(f"_r{k}"))
+    ranked = bits.select(
+        "vec_id", *[F.col(f"_b{k}") for k in range(N_PLANES)], *rank_cols
+    )
     keys = []
     for b in range(N_BANDS):
-        band_bits = bits[b * BITS_PER_BAND : (b + 1) * BITS_PER_BAND]
-        flip_sets = [()]
-        flip_sets += [(f,) for f in range(BITS_PER_BAND)]
-        flip_sets += list(combinations(range(BITS_PER_BAND), 2))
-        for flips in flip_sets:
-            probe = [
-                _flip(bit) if i in flips else bit for i, bit in enumerate(band_bits)
-            ]
-            keys.append(F.concat_ws("", F.lit(str(b)), *probe))
-    return F.array(*keys)
+        band = list(range(b * BITS_PER_BAND, (b + 1) * BITS_PER_BAND))
+        for pat in MARGIN_PATTERNS:
+            parts = [F.lit(str(b))]
+            for k in band:
+                bit = F.col(f"_b{k}")
+                if pat:
+                    parts.append(
+                        F.when(F.col(f"_r{k}").isin(*pat), _flip(bit)).otherwise(bit)
+                    )
+                else:
+                    parts.append(bit)
+            keys.append(F.concat_ws("", *parts))
+    return ranked.select(
+        F.col("vec_id").alias("qid"), F.explode(F.array(*keys)).alias("bkey")
+    )
 
 
 def dot(a, b) -> "F.Column":
@@ -188,20 +252,29 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def lsh_index(emb: DataFrame) -> DataFrame:
+    """Persisted inverted-list index (vec_id, bkey) over the prepared
+    corpus. Like prepared(), this is a build-once artifact: at 100 TB it
+    is a bucketed table written per corpus snapshot and shared by every
+    query batch, so its cost amortizes to ~zero per query. Locally the
+    persist makes the steady state measurable (the CacheManager matches
+    the canonicalized plan across calls in one session)."""
+    return (
+        emb.select("vec_id", F.explode(lsh_band_keys(F.col("v"))).alias("bkey"))
+        .persist()
+    )
+
+
 def lsh_topk(embeddings: DataFrame, k: int = 5, query_max_id: int = 10) -> DataFrame:
     """ANN top-k via LSH inverted lists: candidates = corpus vectors
     sharing any band bucket with the query; exact cosine re-rank within
     the candidate set. The scale path next to brute_force: the corpus
     scan is replaced by a bucket-key equi-join, so cost is proportional
-    to bucket occupancy, not corpus size. Recall is tunable by bands
-    (multiprobe would flip band bits for more)."""
+    to bucket occupancy, not corpus size. Recall comes from query-side
+    margin-ordered multiprobe (lsh_probe_frame)."""
     emb = prepared(embeddings)
-    ex = emb.select("vec_id", F.explode(lsh_band_keys(F.col("v"))).alias("bkey"))
-    q = (
-        emb.filter(F.col("vec_id") < query_max_id)
-        .select("vec_id", F.explode(lsh_probe_keys(F.col("v"))).alias("bkey"))
-        .select(F.col("vec_id").alias("qid"), "bkey")
-    )
+    ex = lsh_index(emb)
+    q = lsh_probe_frame(emb, query_max_id)
     cand = (
         q.join(ex.select(F.col("vec_id").alias("nid"), "bkey"), ["bkey"])
         .filter(F.col("nid") != F.col("qid"))
@@ -239,20 +312,32 @@ def ivf_topk(
             F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
         )
     # assignment: broadcast the (tiny) centroid set, argmax cosine;
-    # carried through as ids only -- vectors re-joined at scoring time
+    # carried through as ids only -- vectors re-joined at scoring time.
+    # The corpus-side N x C rank runs ONCE and is persisted (it is the
+    # build-once cell assignment -- at 100 TB, a bucketed-by-cell table
+    # written per corpus snapshot); the probe side re-ranks only the
+    # query rows, so it never touches the full corpus again.
     sim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 9)
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    ranked = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", sim)
-        .withColumn("crank", F.row_number().over(w_assign))
+
+    def _rank(rows: DataFrame) -> DataFrame:
+        return (
+            rows.crossJoin(F.broadcast(cents))
+            .withColumn("csim", sim)
+            .withColumn("crank", F.row_number().over(w_assign))
+        )
+
+    assigned = (
+        _rank(emb)
+        .filter(F.col("crank") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+        .persist()
     )
-    assigned = ranked.filter(F.col("crank") == 1).select(
-        "vec_id", F.col("cid").alias("cell")
+    probes = (
+        _rank(emb.filter(F.col("vec_id") < query_max_id))
+        .filter(F.col("crank") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
     )
-    probes = ranked.filter(
-        (F.col("crank") <= nprobe) & (F.col("vec_id") < query_max_id)
-    ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
     cand = (
         probes.join(assigned, ["cell"])
         .filter(F.col("vec_id") != F.col("qid"))

@@ -82,7 +82,8 @@ class TestAnnRecall:
         lsh = catalog.QUERIES["llm_ann_lsh_topk"].fn(spark, sf_dir)
         ivf = catalog.QUERIES["llm_ann_ivf_topk"].fn(spark, sf_dir)
         r_lsh, r_ivf = self._recall(lsh, exact), self._recall(ivf, exact)
-        # measured on the fixed corpus: LSH+2-flip multiprobe ~0.76,
-        # IVF(nprobe=3, per-cluster centroids) ~0.80; floors leave headroom
-        assert r_lsh >= 0.6, f"LSH recall@5 degraded: {r_lsh}"
-        assert r_ivf >= 0.65, f"IVF recall@5 degraded: {r_ivf}"
+        # measured on the fixed corpus: LSH margin-ordered multiprobe
+        # ~0.82 at sf0.01, IVF(nprobe=3, per-cluster centroids) ~0.86;
+        # floors leave headroom for other corpora
+        assert r_lsh >= 0.7, f"LSH recall@5 degraded: {r_lsh}"
+        assert r_ivf >= 0.7, f"IVF recall@5 degraded: {r_ivf}"
