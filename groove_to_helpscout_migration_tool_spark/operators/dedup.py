@@ -169,30 +169,24 @@ def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5) -> D
     )
 
 
-def neardup_clusters(
-    documents: DataFrame, jaccard_threshold: float = 0.5, max_iter: int = 20
-) -> DataFrame:
-    """-> (doc_id, cluster_id, is_keeper): connected components over the
-    MinHash-LSH near-dup pair graph -- the step that turns PAIRS into a
-    dedup DECISION (keep cluster min, drop the rest).
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """-> (node, label): connected components of an undirected graph given
+    as a DIRECTED edge DataFrame (src, dst) containing both orientations
+    of every edge. label = the component's minimum node id.
 
-    Iterative min-label propagation to fixpoint: each round every node
-    takes min(own label, neighbors' labels); lineage is truncated per
-    round with localCheckpoint (an iterative algorithm on Spark is a
+    Min-label propagation with PATH-HALVING pointer jumps: each round
+    every node takes min(own label, neighbors' labels, its label's
+    label). The neighbor step alone needs O(diameter) rounds -- a
+    pathological near-dup chain of length 1000 would exhaust any sane
+    iteration budget. The label-of-label jump halves pointer-chain
+    length every round, so convergence is O(log diameter): max_iter=20
+    covers diameters past 10^5 (same effect as the large-star/small-star
+    scheme of Kiveris et al., in one joined step). Lineage is truncated
+    per round with localCheckpoint (an iterative algorithm on Spark is a
     driver loop over checkpointed DataFrames -- without truncation the
-    plan doubles each round). Rounds needed = graph diameter; near-dup
-    components are tiny dense cliques, so this converges in 2-3 rounds.
-    At 100 TB you'd swap in the large-star/small-star variant (same
-    loop shape, O(log n) rounds on pathological chains) and checkpoint
-    to storage instead of memory."""
-    pairs = minhash_lsh_pairs(documents, jaccard_threshold).select("doc_i", "doc_j")
-    edges = (
-        pairs.unionByName(
-            pairs.select(F.col("doc_j").alias("doc_i"), F.col("doc_i").alias("doc_j"))
-        )
-        .toDF("src", "dst")
-        .persist()
-    )
+    plan doubles each round; at 100 TB, checkpoint to storage instead).
+    Raises if the budget is exhausted rather than silently returning
+    partial labels."""
     # initialize at min(node, neighbors) -- the first propagation round
     # folded into one aggregation, saving an iteration on most graphs
     labels = (
@@ -207,11 +201,19 @@ def neardup_clusters(
             .groupBy(F.col("dst").alias("pnode"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        jump = labels.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
         new_labels = (
             labels.join(prop, labels.node == prop.pnode, "left")
+            .join(jump, labels.label == jump.jnode, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("new_label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_min", "label"),
+                    F.coalesce("jlabel", "label"),
+                ).alias("new_label"),
                 "label",
             )
             .localCheckpoint()
@@ -219,7 +221,27 @@ def neardup_clusters(
         changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
-            break
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def neardup_clusters(
+    documents: DataFrame, jaccard_threshold: float = 0.5, max_iter: int = 20
+) -> DataFrame:
+    """-> (doc_id, cluster_id, is_keeper): connected components over the
+    MinHash-LSH near-dup pair graph -- the step that turns PAIRS into a
+    dedup DECISION (keep cluster min, drop the rest)."""
+    pairs = minhash_lsh_pairs(documents, jaccard_threshold).select("doc_i", "doc_j")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_j").alias("doc_i"), F.col("doc_i").alias("doc_j"))
+        )
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = connected_components(edges, max_iter=max_iter)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
