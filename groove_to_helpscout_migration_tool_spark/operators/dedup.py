@@ -321,12 +321,9 @@ def simhash_signature(documents: DataFrame) -> DataFrame:
     )
 
 
-def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """-> (doc_i, doc_j, hamming): pairs blocked on any equal 15-bit
-    signature chunk, verified by Hamming distance <= max_hamming."""
-    # persisted: the candidate join references the signatures twice
-    sig = simhash_signature(documents).persist()
-    chunks = F.array(
+def _chunk_keys() -> "F.Column":
+    """Four 15-bit signature chunk keys over a bound ``simhash`` column."""
+    return F.array(
         *[
             F.concat_ws(
                 ":",
@@ -336,7 +333,14 @@ def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFra
             for c in range(4)
         ]
     )
-    ex = sig.select("doc_id", "simhash", F.explode(chunks).alias("chunk"))
+
+
+def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """-> (doc_i, doc_j, hamming): pairs blocked on any equal 15-bit
+    signature chunk, verified by Hamming distance <= max_hamming."""
+    # persisted: the candidate join references the signatures twice
+    sig = simhash_signature(documents).persist()
+    ex = sig.select("doc_id", "simhash", F.explode(_chunk_keys()).alias("chunk"))
     left = ex.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sh_i"), "chunk")
     right = ex.select(F.col("doc_id").alias("j"), F.col("simhash").alias("sh_j"), "chunk")
     cand = (
@@ -350,4 +354,41 @@ def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFra
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("i").alias("doc_i"), F.col("j").alias("doc_j"), "hamming")
+    )
+
+
+def simhash_dedup_assign(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """-> (doc_id, rep_id, hamming): star-shaped dedup ASSIGNMENT -- each
+    doc is tested against one anchor per chunk bucket (the bucket's
+    minimum doc_id) and assigned to its smallest verified anchor.
+
+    This is the scale path next to simhash_neardup_pairs: full pair
+    enumeration on a clustered corpus is quadratic in cluster size (1.6M
+    pairs at sf0.1 with hamming<=8), while the dedup DECISION only needs
+    one link per duplicate. Candidate volume here is O(N x 4 chunks) and
+    output is <= N rows regardless of how clustered the corpus is. Docs
+    that anchor their own buckets (or verify against no anchor) emit
+    nothing; feeding (rep_id, doc_id) links into connected_components
+    recovers full clusters when chain-transitivity matters."""
+    sig = simhash_signature(documents).persist()
+    ex = sig.select("doc_id", "simhash", F.explode(_chunk_keys()).alias("chunk"))
+    anchors = ex.groupBy("chunk").agg(F.min("doc_id").alias("anchor"))
+    cand = (
+        ex.join(anchors, ["chunk"])
+        .filter(F.col("doc_id") > F.col("anchor"))
+        .select("doc_id", "simhash", "anchor")
+        .distinct()
+    )
+    asig = sig.select(F.col("doc_id").alias("anchor"), F.col("simhash").alias("sh_a"))
+    verified = (
+        cand.join(asig, ["anchor"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("sh_a"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return verified.groupBy("doc_id").agg(
+        F.min("anchor").alias("rep_id"),
+        F.min_by("hamming", "anchor").alias("hamming"),
     )
