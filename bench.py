@@ -26,6 +26,9 @@ HEADLINE = [
     "q07_nation_volume",
     "q10_returned_items",
     "q18_large_orders",
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "q20_surplus_suppliers",
     "a03_range_join_order_events",
     "w03_top3_orders_per_customer",
     "a01_asof_join_purchase_signup",
@@ -46,6 +49,7 @@ HEADLINE = [
     "llm_neardup_minhash_lsh",
     "llm_neardup_ngram_jaccard",
     "llm_neardup_simhash",
+    "llm_simhash_dedup_assign",
     "llm_dedup_clusters",
     "llm_tfidf_top_terms",
 ]

@@ -142,8 +142,12 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(part_sel.select("p_partkey", "p_name", "p_brand")),
         rs.ps_partkey == part_sel.p_partkey,
     )
-    mins = rs_sel.groupBy("ps_partkey").agg(
-        F.min("ps_cost_cents").alias("min_cost_cents")
+    # one row per selected part -- small by construction, broadcast the
+    # rejoin (estimator stats can't see that through the agg)
+    mins = F.broadcast(
+        rs_sel.groupBy("ps_partkey").agg(
+            F.min("ps_cost_cents").alias("min_cost_cents")
+        )
     )
     return (
         rs_sel.join(
