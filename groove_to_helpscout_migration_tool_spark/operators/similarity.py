@@ -284,8 +284,66 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, query_max_id: int = 10) -> DataF
     return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)
 
 
+QUANT_SCALE = 1_000_000.0  # fixed-point scale for deterministic centroid means
+
+
+def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, argmax cosine with
+    deterministic rounding + cid tie-break. cents: (cid, cv, cnrm)."""
+    sim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 9)
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", sim)
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
+def refined_centroids(emb: DataFrame, cents: DataFrame, n_iter: int) -> DataFrame:
+    """Lloyd k-means refinement of an initial centroid set, fully
+    DETERMINISTIC and oracle-mirrorable: member components are quantized
+    to fixed-point BIGINTs (floor(x * 1e6 + 0.5)) before summation, so
+    the per-cell mean is an INTEGER sum divided once -- order-independent
+    and bit-identical across engines, unlike a float avg whose value
+    depends on partition order. Cosine is scale-invariant, so the means
+    are not re-normalized (spherical k-means without the projection).
+    Cells that lose every member disappear (join semantics both sides)."""
+    for _ in range(n_iter):
+        assigned = _assign_cells(emb, cents)
+        members = emb.join(assigned, "vec_id")
+        sums = (
+            members.select("cell", F.posexplode(F.col("v")).alias("i0", "x"))
+            .select(
+                "cell",
+                (F.col("i0") + 1).alias("i"),
+                F.floor(F.col("x") * F.lit(QUANT_SCALE) + F.lit(0.5)).alias("q"),
+            )
+            .groupBy("cell", "i")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        comp = (F.col("s").cast("double") / F.col("n") / F.lit(QUANT_SCALE)).alias("c")
+        cents = (
+            sums.select("cell", "i", comp)
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "c"))),
+                    lambda st: st["c"],
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cid"), "cv", norm(F.col("cv")).alias("cnrm"))
+        )
+    return cents
+
+
 def ivf_topk(
-    embeddings: DataFrame, k: int = 5, query_max_id: int = 10, nprobe: int = 2
+    embeddings: DataFrame,
+    k: int = 5,
+    query_max_id: int = 10,
+    nprobe: int = 2,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization: every corpus
     vector is assigned to its nearest centroid cell; a query probes only
@@ -311,6 +369,8 @@ def ivf_topk(
         cents = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
             F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
         )
+    if kmeans_iters > 0:
+        cents = refined_centroids(emb, cents, kmeans_iters).persist()
     # assignment: broadcast the (tiny) centroid set, argmax cosine;
     # carried through as ids only -- vectors re-joined at scoring time.
     # The corpus-side N x C rank runs ONCE and is persisted (it is the
