@@ -813,39 +813,60 @@ def llm_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_multimodal_decode",
     oracle="""
 WITH sized AS (
-  SELECT doc_id, octet_length(encode(text)) AS n_raw, doc_id % 3 = 0 AS is_png
+  SELECT doc_id, octet_length(encode(text)) AS n_raw, doc_id % 4 AS kind
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN is_png THEN 'image/png' ELSE 'application/octet-stream' END AS mime,
-       CAST(1 + ((n_raw + CASE WHEN is_png THEN 4 ELSE 0 END) % 512) AS INTEGER)
-         AS width,
-       CAST(n_raw + CASE WHEN is_png THEN 4 ELSE 0 END AS BIGINT) AS n_bytes
+       CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                 WHEN 2 THEN 'image/jpeg'
+                 ELSE 'application/octet-stream' END AS mime,
+       CAST(CASE WHEN kind IN (0, 1, 2) THEN 1 + doc_id % 1920
+                 ELSE 1 + (n_raw % 512) END AS INTEGER) AS width,
+       CAST(CASE WHEN kind IN (0, 1, 2) THEN 1 + doc_id % 1080
+                 ELSE 1 + ((n_raw * 7) % 512) END AS INTEGER) AS height,
+       CAST(n_raw + CASE kind WHEN 0 THEN 24 WHEN 1 THEN 10
+                              WHEN 2 THEN 11 ELSE 0 END AS BIGINT) AS n_bytes
 FROM sized
 """,
     doc=(
-        "Multimodal decode plumbing (multimodal/decode.py): payloads ride as "
-        "opaque BINARY, the decode is an Arrow-batched mapInPandas stage "
-        "(deterministic fake decoder here -- codec libs absent; production "
-        "swaps in PIL/cv2 per batch). Schema/partitioning/batch shape are the "
-        "real 100 TB path; metadata consumers never touch the binary column."
+        "Multimodal decode (multimodal/decode.py): payloads ride as opaque "
+        "BINARY; the decode is an Arrow-batched mapInPandas stage. "
+        "Dimensions are REAL byte-parsed headers (PNG IHDR / GIF logical "
+        "screen descriptor / JPEG SOF0 scan -- no codec lib); only the "
+        "full-pixel fallback for unknown formats is the deterministic fake. "
+        "The fixture synthesizes valid headers JVM-side (unhex/concat), so "
+        "the oracle checks the parser against the widths/heights it framed."
     ),
 )
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.decode import decode_images
 
     t = load_tables(spark, sf_dir, ["documents"])
+    kind = F.col("doc_id") % 4
+    w = (F.col("doc_id") % 1920 + 1).cast("int")
+    h = (F.col("doc_id") % 1080 + 1).cast("int")
+    w_be4, h_be4 = F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0")
+    w_be2, h_be2 = F.lpad(F.hex(w), 4, "0"), F.lpad(F.hex(h), 4, "0")
+    w_le2 = F.concat(F.substring(w_be2, 3, 2), F.substring(w_be2, 1, 2))
+    h_le2 = F.concat(F.substring(h_be2, 3, 2), F.substring(h_be2, 1, 2))
+    enc = F.encode("text", "UTF-8")
+    png = F.unhex(F.concat(F.lit("89504E470D0A1A0A0000000D49484452"), w_be4, h_be4))
+    gif = F.unhex(F.concat(F.lit("474946383961"), w_le2, h_le2))
+    jpg = F.unhex(F.concat(F.lit("FFD8FFC0001108"), h_be2, w_be2))
     payloads = t.documents.select(
         "doc_id",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.unhex(F.lit("89504E47")), F.encode("text", "UTF-8")),
-        )
-        .otherwise(F.encode("text", "UTF-8"))
+        F.when(kind == 0, F.concat(png, enc))
+        .when(kind == 1, F.concat(gif, enc))
+        .when(kind == 2, F.concat(jpg, enc))
+        .otherwise(enc)
         .alias("payload"),
     )
     return decode_images(payloads, fake=True).select(
-        "doc_id", "mime", "width", F.col("n_bytes").cast("bigint").alias("n_bytes")
+        "doc_id",
+        "mime",
+        "width",
+        "height",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
     )
 
 
@@ -944,7 +965,10 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs"))
+    # tf is already distinct per (doc_id, term) -- a plain count IS the
+    # document frequency; countDistinct here would force a second
+    # expand/dedup shuffle skewed on hot terms ("the" hits every doc).
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
     n = t.documents.agg(F.count(F.lit(1)).alias("total_docs"))
     scored = (
         tf.join(doclen, "doc_id")

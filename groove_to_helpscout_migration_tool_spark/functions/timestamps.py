@@ -23,5 +23,21 @@ def to_iso8601(ts: Column, with_offset_zone: str | None = None) -> Column:
     """
     if with_offset_zone is None:
         return F.date_format(ts, ISO8601)
+    # date_format's XXX renders the SESSION zone's offset, not the target
+    # zone's, so the offset must be computed explicitly: shift the wall
+    # clock with from_utc_timestamp, then derive the zone offset from the
+    # epoch delta between shifted and original instants (DST-correct,
+    # per-row). PHP format('c') always prints +HH:MM, never 'Z'.
     shifted = F.from_utc_timestamp(ts, with_offset_zone)
-    return F.date_format(shifted, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    off_min = (
+        (shifted.cast("long") - ts.cast("long")) / F.lit(60)
+    ).cast("long")
+    sign = F.when(off_min < 0, F.lit("-")).otherwise(F.lit("+"))
+    abs_min = F.abs(off_min)
+    offset = F.concat(
+        sign,
+        F.lpad((abs_min / 60).cast("long").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((abs_min % 60).cast("string"), 2, "0"),
+    )
+    return F.concat(F.date_format(shifted, ISO8601), offset)

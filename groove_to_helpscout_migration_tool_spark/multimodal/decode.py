@@ -53,6 +53,7 @@ _MAGIC = [
     (b"GIF8", "image/gif"),
     (b"%PDF", "application/pdf"),
     (b"RIFF", "audio/wav"),
+    (b"BM", "image/bmp"),
 ]
 
 
@@ -66,32 +67,96 @@ def sniff_mime(data: "F.Column") -> "F.Column":
     return expr.otherwise(F.lit("application/octet-stream"))
 
 
+def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
+    """Real (mime, width, height) from raw header bytes -- no codec lib.
+
+    Handles the formats whose dimensions live in a fixed/scannable
+    header: PNG (IHDR), GIF (logical screen descriptor), JPEG (SOFn
+    marker scan), BMP (BITMAPINFOHEADER). Returns None when the bytes
+    are not a complete parseable header (reference sniffs content the
+    same way: TicketProcessor.php:295-298).
+    """
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            "image/png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "image/gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:2] == b"\xff\xd8":
+        # walk JPEG segments to the first frame header (SOF0..SOF15,
+        # excluding DHT/JPG/DAC which reuse the 0xC_ range)
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(b):
+                    return (
+                        "image/jpeg",
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                    )
+                return None
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return None
+    if b[:2] == b"BM" and len(b) >= 26:
+        return (
+            "image/bmp",
+            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+        )
+    return None
+
+
 def decode_images(
     df: DataFrame, id_col: str = "doc_id", data_col: str = "payload", fake: bool = False
 ) -> DataFrame:
     """Decode image binaries -> metadata rows (width/height/phash).
 
-    Arrow-batched mapInPandas; the real decoder would call PIL/cv2 per
-    batch. ``fake=True`` derives deterministic pseudo-dimensions from
-    the bytes so tests exercise the full distributed path.
+    Arrow-batched mapInPandas. Dimensions are REAL for header-parseable
+    formats (PNG/GIF/JPEG/BMP via ``parse_image_header`` -- pure byte
+    reads, no codec lib). For anything else a full pixel decode would
+    need PIL/cv2 (absent here): ``fake=True`` substitutes deterministic
+    pseudo-dimensions derived from the byte length so tests exercise
+    the full distributed path; ``fake=False`` raises.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable in this environment; "
-                    "pass fake=True for the deterministic test decoder"
-                )
             rows = []
             for doc_id, data in zip(pdf[id_col], pdf[data_col]):
                 b = bytes(data) if data is not None else b""
+                parsed = parse_image_header(b)
+                if parsed is not None:
+                    mime, width, height = parsed
+                elif fake:
+                    mime = (
+                        "image/png"
+                        if b[:4] == b"\x89PNG"
+                        else "application/octet-stream"
+                    )
+                    width = 1 + (len(b) % 512)
+                    height = 1 + ((len(b) * 7) % 512)
+                else:
+                    raise NotImplementedError(
+                        "image codecs unavailable in this environment; payload "
+                        "is not header-parseable (PNG/GIF/JPEG/BMP) -- pass "
+                        "fake=True for the deterministic test decoder"
+                    )
                 rows.append(
                     {
                         "doc_id": int(doc_id),
-                        "mime": "image/png" if b[:4] == b"\x89PNG" else "application/octet-stream",
-                        "width": 1 + (len(b) % 512),
-                        "height": 1 + (sum(b[:16]) % 512) if b else 1,
+                        "mime": mime,
+                        "width": width,
+                        "height": height,
                         "n_bytes": len(b),
                         "phash": b[:8].hex() if b else "",
                     }

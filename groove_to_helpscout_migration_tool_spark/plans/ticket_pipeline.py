@@ -173,8 +173,12 @@ def build_conversations(
         F.lower(F.col("cust_link_id")).alias("t_cust_email"),
         F.col("status").alias("conv_status"),
     )
+    # ticket_cust is one row per TICKET (a fact, not a dim): no broadcast
+    # hint -- the join key (ticket_number) matches the group-back
+    # partitioning, so a shuffle join co-partitions with the rest of the
+    # pipeline and AQE auto-broadcasts when the side is genuinely small.
     msgs = msgs.join(
-        F.broadcast(ticket_cust), F.col("ticket_number") == F.col("t_number"), "inner"
+        ticket_cust, F.col("ticket_number") == F.col("t_number"), "inner"
     )
     msgs = msgs.withColumn(
         "thread_type",
@@ -333,8 +337,10 @@ def build_conversations(
 
     # ---- Phase 6: group-back (collect_list of thread structs, ordered) ----
     threads = (
+        # att_by_msg is one row per message-with-attachments (data-sized):
+        # no broadcast hint for the same reason as ticket_cust above.
         good_msgs.join(
-            F.broadcast(att_by_msg),
+            att_by_msg,
             (F.col("ticket_number") == F.col("a_ticket"))
             & (F.col("message_id") == F.col("a_message")),
             "left",

@@ -80,36 +80,48 @@ class PagedJsonReader(DataSourceReader):
         self.path = options["path"]
         self.per_page = int(options.get("per_page", 50))
         self.start_page = int(options.get("start_page", 1))
-        self.stop_page = int(options.get("stop_page", 0)) or None
+        raw_stop = options.get("stop_page")
+        self.stop_page = None if raw_stop in (None, "") else int(raw_stop)
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         """Prune the page range from pushed `page` predicates; everything
         else is returned for Spark to evaluate post-scan."""
         unsupported = []
+
+        def tighten_stop(v: int) -> None:
+            # Explicit None check: stop_page=0 (from a pushed `page < 1`)
+            # is a real, degenerate bound -- `or` would silently drop it
+            # and the consumed filter would never be re-applied by Spark.
+            self.stop_page = v if self.stop_page is None else min(self.stop_page, v)
+
         for f in filters:
             attr = getattr(f, "attributeOrNull", None) or getattr(f, "attribute", None)
             col = attr[0] if isinstance(attr, tuple) else attr
             if col == "page" and isinstance(f, EqualTo):
                 self.start_page = max(self.start_page, int(f.value))
-                self.stop_page = min(self.stop_page or int(f.value), int(f.value))
+                tighten_stop(int(f.value))
             elif col == "page" and isinstance(f, GreaterThanOrEqual):
                 self.start_page = max(self.start_page, int(f.value))
             elif col == "page" and isinstance(f, GreaterThan):
                 self.start_page = max(self.start_page, int(f.value) + 1)
             elif col == "page" and isinstance(f, LessThanOrEqual):
-                self.stop_page = min(self.stop_page or int(f.value), int(f.value))
+                tighten_stop(int(f.value))
             elif col == "page" and isinstance(f, LessThan):
-                self.stop_page = min(self.stop_page or int(f.value), int(f.value) - 1)
+                tighten_stop(int(f.value) - 1)
             else:
                 unsupported.append(f)
         return unsupported
 
     def partitions(self):
         total_pages = math.ceil(_count_records(self.path) / self.per_page)
-        stop = min(self.stop_page or total_pages, total_pages)
+        stop = total_pages if self.stop_page is None else min(self.stop_page, total_pages)
+        # A degenerate range (stop < start, incl. negative stop) is an
+        # empty scan, not a full one.
         return [_PagePartition(p) for p in range(self.start_page, stop + 1)]
 
     def read(self, partition: _PagePartition):
+        if partition is None:  # empty partition list -> Spark calls read(None)
+            return
         fields = [f.name for f in self.schema.fields]
         for rec in _fetch_page(self.path, partition.page, self.per_page):
             rec = {**rec, "page": partition.page}

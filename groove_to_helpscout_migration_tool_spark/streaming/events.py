@@ -144,7 +144,12 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within {timeout_sec}s;"
+            " refusing to return a partially-populated memory sink"
+        )
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
@@ -183,5 +188,9 @@ def streaming_merge_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "streaming merge did not finish within 120s; sink may be partial"
+        )
     return written["n"]

@@ -134,3 +134,41 @@ class TestThreadClassify:
 
     def test_default_customer(self, spark):
         assert self._cls(spark, False, False, "someone@ex.com") == "customer"
+
+
+class TestIso8601Offset:
+    """to_iso8601 must print the TARGET zone's offset, not the session's
+    (sessions here pin spark.sql.session.timeZone=UTC)."""
+
+    def _fmt(self, spark, ts_str, zone):
+        from groove_to_helpscout_migration_tool_spark.functions import to_iso8601
+
+        return _one(
+            spark, to_iso8601(F.to_timestamp(F.col("t")), zone), t=ts_str
+        )
+
+    def test_toronto_winter_is_minus_5(self, spark):
+        assert self._fmt(spark, "2016-01-15 10:00:00", "America/Toronto") == (
+            "2016-01-15T05:00:00-05:00"
+        )
+
+    def test_toronto_summer_dst_is_minus_4(self, spark):
+        assert self._fmt(spark, "2016-07-15 10:00:00", "America/Toronto") == (
+            "2016-07-15T06:00:00-04:00"
+        )
+
+    def test_half_hour_zone(self, spark):
+        assert self._fmt(spark, "2016-01-15 10:00:00", "Asia/Kolkata") == (
+            "2016-01-15T15:30:00+05:30"
+        )
+
+    def test_utc_prints_plus_00(self, spark):
+        # PHP format('c') parity: +00:00, never 'Z'
+        assert self._fmt(spark, "2016-01-15 10:00:00", "UTC") == (
+            "2016-01-15T10:00:00+00:00"
+        )
+
+    def test_none_keeps_zoneless_form(self, spark):
+        assert self._fmt(spark, "2016-01-15 10:00:00", None) == (
+            "2016-01-15T10:00:00"
+        )

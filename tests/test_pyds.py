@@ -68,6 +68,18 @@ class TestBatchRead:
         )
         assert df.count() == 3  # 123 = 12*10 + 3
 
+    def test_degenerate_page_range_returns_zero_rows(self, registered, snapshot):
+        # `page < 1` pushes stop_page=0; a falsy-check bug would drop the
+        # consumed bound and return EVERY page (ADVICE round 1).
+        df = (
+            registered.read.format("groove_pages")
+            .option("path", snapshot)
+            .option("per_page", PER_PAGE)
+            .load()
+            .filter("page < 1")
+        )
+        assert df.count() == 0
+
     def test_residual_filter_still_applied(self, registered, snapshot):
         df = (
             registered.read.format("groove_pages")

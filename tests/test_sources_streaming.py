@@ -281,3 +281,79 @@ class TestCompaction:
         assert (
             spark.read.parquet(str(tmp_path / "small")).count() == df.count()
         )
+
+
+class TestParseImageHeader:
+    """Pure-byte header parsing -- real dimensions, no codec library."""
+
+    def test_png_ihdr(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
+
+        b = (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big") + b"IHDR"
+            + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+            + b"\x08\x02\x00\x00\x00"
+        )
+        assert parse_image_header(b) == ("image/png", 640, 480)
+
+    def test_gif_logical_screen(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
+
+        b = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+        assert parse_image_header(b) == ("image/gif", 320, 200)
+
+    def test_jpeg_sof0_after_app0(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
+
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big")
+        )
+        assert parse_image_header(b"\xff\xd8" + app0 + sof0) == (
+            "image/jpeg", 1920, 1080,
+        )
+
+    def test_jpeg_progressive_sof2(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
+
+        sof2 = (
+            b"\xff\xc2" + (17).to_bytes(2, "big") + b"\x08"
+            + (10).to_bytes(2, "big") + (20).to_bytes(2, "big")
+        )
+        assert parse_image_header(b"\xff\xd8" + sof2) == ("image/jpeg", 20, 10)
+
+    def test_jpeg_skips_dht(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
+
+        dht = b"\xff\xc4" + (4).to_bytes(2, "big") + b"\x00\x00"
+        sof0 = (
+            b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (7).to_bytes(2, "big") + (9).to_bytes(2, "big")
+        )
+        assert parse_image_header(b"\xff\xd8" + dht + sof0) == ("image/jpeg", 9, 7)
+
+    def test_bmp(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
+
+        hdr = b"BM" + b"\x00" * 16 + (800).to_bytes(4, "little") + (600).to_bytes(4, "little")
+        assert parse_image_header(hdr) == ("image/bmp", 800, 600)
+
+    def test_bmp_topdown_negative_height(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
+
+        hdr = (
+            b"BM" + b"\x00" * 16
+            + (800).to_bytes(4, "little")
+            + (-600).to_bytes(4, "little", signed=True)
+        )
+        assert parse_image_header(hdr) == ("image/bmp", 800, 600)
+
+    def test_unparseable_returns_none(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
+
+        assert parse_image_header(b"") is None
+        assert parse_image_header(b"hello world") is None
+        assert parse_image_header(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxx") is None
+        assert parse_image_header(b"\xff\xd8\xff\xe0\x79\x79rest") is None
