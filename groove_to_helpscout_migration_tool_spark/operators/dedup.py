@@ -195,7 +195,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .select("node", F.least("node", "nbr_min").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("pnode"))
@@ -204,24 +204,33 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         jump = labels.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
-        new_labels = (
-            labels.join(prop, labels.node == prop.pnode, "left")
-            .join(jump, labels.label == jump.jnode, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nbr_min", "label"),
-                    F.coalesce("jlabel", "label"),
-                ).alias("new_label"),
-                "label",
-            )
-            .localCheckpoint()
+        new_labels = labels.join(prop, labels.node == prop.pnode, "left").join(
+            jump, labels.label == jump.jnode, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"),
+                F.coalesce("nbr_min", "label"),
+                F.coalesce("jlabel", "label"),
+            ).alias("new_label"),
+            "label",
         )
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
-        labels = new_labels.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
-            return labels
+        # Checkpoint + convergence check every SECOND round (and on the
+        # last budgeted round): each is a full Spark job, and with
+        # path-halving an extra propagation round is cheaper than a
+        # per-round action. Plan depth stays bounded at two rounds.
+        # "changed == 0 over the latest round" is exactly the fixed
+        # point, whichever round it is observed on.
+        if it % 2 == 1 or it == max_iter - 1:
+            new_labels = new_labels.localCheckpoint()
+            changed = new_labels.filter(
+                F.col("new_label") != F.col("label")
+            ).count()
+            labels = new_labels.select("node", F.col("new_label").alias("label"))
+            if changed == 0:
+                return labels
+        else:
+            labels = new_labels.select("node", F.col("new_label").alias("label"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -30,9 +30,13 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 DIM = 64
 N_PLANES = 12          # 2 bands x 6 hyperplanes
@@ -59,14 +63,41 @@ def _plane_dot(v, plane: list[int]):
     )
 
 
-def _dot_sign(v, plane: list[int]):
-    dot = _plane_dot(v, plane)
-    return F.when(dot > 0, F.lit("1")).otherwise(F.lit("0"))
+_PLANES_NP = None  # lazy; built after HYPERPLANES below
 
 
-def lsh_band_keys(v) -> "F.Column":
-    """ARRAY of band bucket keys for an array<double> vector column."""
-    bits = [_dot_sign(v, HYPERPLANES[k]) for k in range(N_PLANES)]
+@pandas_udf(T.ArrayType(T.DoubleType()))
+def _plane_dots_batch(vs: pd.Series) -> pd.Series:
+    """All N_PLANES hyperplane dot products per vector, Arrow-batched.
+
+    The interpreted higher-order-function dot is the hot path of the
+    corpus-side signature build (12 interpreted 64-element folds per
+    row); this computes the same values vectorized across the batch.
+    CRITICAL for oracle parity: the accumulation loops the DIMENSION
+    axis left-to-right (acc += x_i * s_i), so every float add happens in
+    exactly the order of F.aggregate / DuckDB list_sum -- bit-identical
+    signs and margins, just batched row-wise.
+    """
+    global _PLANES_NP
+    if _PLANES_NP is None:
+        _PLANES_NP = np.array(HYPERPLANES, dtype=np.float64)
+    if len(vs) == 0:
+        return pd.Series([], dtype=object)
+    m = np.array(vs.tolist(), dtype=np.float64)  # (rows, DIM)
+    acc = np.zeros((m.shape[0], _PLANES_NP.shape[0]))
+    for i in range(m.shape[1]):
+        acc += m[:, i, None] * _PLANES_NP[None, :, i]
+    return pd.Series(list(acc))
+
+
+def _band_keys_from_dots(ds) -> "F.Column":
+    """Band bucket keys from a MATERIALIZED dots array column (the
+    _plane_dots_batch output): element_at on a real column is evaluated
+    once, unlike re-deriving each interpreted dot."""
+    bits = [
+        F.when(F.element_at(ds, k + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for k in range(N_PLANES)
+    ]
     return F.array(
         *[
             F.concat_ws(
@@ -75,10 +106,6 @@ def lsh_band_keys(v) -> "F.Column":
             for b in range(N_BANDS)
         ]
     )
-
-
-def _flip(bit):
-    return F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
 
 
 def _margin_patterns() -> list[tuple[int, ...]]:
@@ -104,71 +131,85 @@ MARGIN_PATTERNS: list[tuple[int, ...]] = _margin_patterns()
 def lsh_probe_frame(emb: DataFrame, query_max_id: int) -> DataFrame:
     """-> (qid, bkey): query-side multiprobe keys, margin-ordered.
 
-    Three chained projections with MATERIALIZED intermediate columns
-    (dots -> bits+margins -> ranks+keys): higher-order-function dot
-    products are interpreted and not CSE'd, so every expression is
-    computed once as a real column and referenced thereafter. Query-side
-    only (a handful of rows), the corpus index keeps exact keys."""
-    q = emb.filter(F.col("vec_id") < query_max_id)
-    dots = q.select(
-        "vec_id",
-        *[
-            _plane_dot(F.col("v"), HYPERPLANES[k]).alias(f"_d{k}")
-            for k in range(N_PLANES)
-        ],
+    One Arrow-batched mapInPandas stage: dots (dimension-axis sequential
+    accumulation, bit-identical to the oracle's list_sum), bits, margins,
+    per-band margin ranks, and the MARGIN_PATTERNS flips all happen in
+    Python per batch. An earlier version unrolled ranks + 2x44 probe keys
+    as Catalyst expressions; the optimizer spent multiple SECONDS on the
+    collapsed tree to then evaluate it over a handful of query rows.
+    Query-side only -- cost is O(query rows), the corpus index keeps
+    exact keys.
+    """
+    schema = T.StructType(
+        [T.StructField("qid", T.LongType()), T.StructField("bkey", T.StringType())]
     )
-    bits = dots.select(
-        "vec_id",
-        *[
-            F.when(F.col(f"_d{k}") > 0, F.lit("1")).otherwise(F.lit("0")).alias(f"_b{k}")
-            for k in range(N_PLANES)
-        ],
-        *[F.abs(F.col(f"_d{k}")).alias(f"_m{k}") for k in range(N_PLANES)],
-    )
-    # margin rank within each band: count of strictly-smaller (margin, k)
-    # pairs -- a total order, so ranks are a permutation of 0..BITS-1
-    rank_cols = []
-    for b in range(N_BANDS):
-        band = list(range(b * BITS_PER_BAND, (b + 1) * BITS_PER_BAND))
-        for k in band:
-            cmps = [
-                (
-                    (F.col(f"_m{j}") < F.col(f"_m{k}"))
-                    | ((F.col(f"_m{j}") == F.col(f"_m{k}")) & F.lit(j < k))
-                ).cast("int")
-                for j in band
-                if j != k
-            ]
-            acc = cmps[0]
-            for c in cmps[1:]:
-                acc = acc + c
-            rank_cols.append(acc.alias(f"_r{k}"))
-    ranked = bits.select(
-        "vec_id", *[F.col(f"_b{k}") for k in range(N_PLANES)], *rank_cols
-    )
-    keys = []
-    for b in range(N_BANDS):
-        band = list(range(b * BITS_PER_BAND, (b + 1) * BITS_PER_BAND))
-        for pat in MARGIN_PATTERNS:
-            parts = [F.lit(str(b))]
-            for k in band:
-                bit = F.col(f"_b{k}")
-                if pat:
-                    parts.append(
-                        F.when(F.col(f"_r{k}").isin(*pat), _flip(bit)).otherwise(bit)
-                    )
-                else:
-                    parts.append(bit)
-            keys.append(F.concat_ws("", *parts))
-    return ranked.select(
-        F.col("vec_id").alias("qid"), F.explode(F.array(*keys)).alias("bkey")
-    )
+    q = emb.select("vec_id", "v").filter(F.col("vec_id") < query_max_id)
+
+    def gen(batches):
+        planes = np.array(HYPERPLANES, dtype=np.float64)
+        bands = [
+            list(range(b * BITS_PER_BAND, (b + 1) * BITS_PER_BAND))
+            for b in range(N_BANDS)
+        ]
+        for pdf in batches:
+            out = {"qid": [], "bkey": []}
+            if len(pdf):
+                m = np.array(pdf["v"].tolist(), dtype=np.float64)
+                acc = np.zeros((m.shape[0], planes.shape[0]))
+                for i in range(m.shape[1]):
+                    acc += m[:, i, None] * planes[None, :, i]
+                for vec_id, dots in zip(pdf["vec_id"], acc):
+                    bits = ["1" if d > 0 else "0" for d in dots]
+                    margins = [abs(d) for d in dots]
+                    for b, band in enumerate(bands):
+                        # rank = count of strictly-smaller (margin, k) pairs:
+                        # a total order, so ranks permute 0..BITS_PER_BAND-1
+                        rank = {
+                            k: sum(
+                                1
+                                for j in band
+                                if j != k
+                                and (
+                                    margins[j] < margins[k]
+                                    or (margins[j] == margins[k] and j < k)
+                                )
+                            )
+                            for k in band
+                        }
+                        for pat in MARGIN_PATTERNS:
+                            key = [str(b)]
+                            for k in band:
+                                bit = bits[k]
+                                if pat and rank[k] in pat:
+                                    bit = "0" if bit == "1" else "1"
+                                key.append(bit)
+                            out["qid"].append(int(vec_id))
+                            out["bkey"].append("".join(key))
+            yield pd.DataFrame(out, columns=["qid", "bkey"])
+
+    return q.mapInPandas(gen, schema=schema)
 
 
 def dot(a, b) -> "F.Column":
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+@pandas_udf(T.DoubleType())
+def _pair_dot_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Pairwise dot product, Arrow-batched -- the candidate-scoring hot
+    path. Same bit-exactness contract as _plane_dots_batch: accumulate
+    the dimension axis left-to-right so each float add matches the
+    interpreted F.aggregate / DuckDB list_sum order exactly."""
+    if len(a) == 0:
+        return pd.Series([], dtype=float)
+    ma = np.array(a.tolist(), dtype=np.float64)
+    mb = np.array(b.tolist(), dtype=np.float64)
+    acc = np.zeros(ma.shape[0])
+    for i in range(ma.shape[1]):
+        acc += ma[:, i] * mb[:, i]
+    return pd.Series(acc)
 
 
 def norm(a) -> "F.Column":
@@ -207,10 +248,8 @@ def _rejoin_cosine(cand: DataFrame, emb: DataFrame, left_id: str, right_id: str,
     return (
         cand.join(li, left_id)
         .join(ri, right_id)
-        .withColumn(
-            "cosine",
-            F.round(dot(F.col(left_v), F.col(right_v)) / (F.col("_na") * F.col("_nb")), 6),
-        )
+        .withColumn("_dp", _pair_dot_batch(F.col(left_v), F.col(right_v)))
+        .withColumn("cosine", F.round(F.col("_dp") / (F.col("_na") * F.col("_nb")), 6))
     )
 
 
@@ -218,7 +257,9 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFra
     """-> (vec_i, vec_j, cosine): pairs sharing an LSH band bucket with
     exact cosine >= threshold."""
     emb = prepared(embeddings)
-    ex = emb.select("vec_id", F.explode(lsh_band_keys(F.col("v"))).alias("bkey"))
+    ex = emb.select("vec_id", _plane_dots_batch("v").alias("ds")).select(
+        "vec_id", F.explode(_band_keys_from_dots(F.col("ds"))).alias("bkey")
+    )
     cand = (
         ex.select(F.col("vec_id").alias("i"), "bkey")
         .join(ex.select(F.col("vec_id").alias("j"), "bkey"), ["bkey"])
@@ -260,7 +301,8 @@ def lsh_index(emb: DataFrame) -> DataFrame:
     persist makes the steady state measurable (the CacheManager matches
     the canonicalized plan across calls in one session)."""
     return (
-        emb.select("vec_id", F.explode(lsh_band_keys(F.col("v"))).alias("bkey"))
+        emb.select("vec_id", _plane_dots_batch("v").alias("ds"))
+        .select("vec_id", F.explode(_band_keys_from_dots(F.col("ds"))).alias("bkey"))
         .persist()
     )
 
