@@ -391,6 +391,46 @@ def llm_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(t.documents, jaccard_threshold=0.5)
 
 
+_LSH_CAP = 8
+
+
+@register(
+    "llm_neardup_minhash_lsh_capped",
+    oracle=f"""
+WITH {_SHINGLE_CTES}, {_MINHASH_SIG_SQL}, bands_all AS (
+  SELECT doc_id, b.b AS b,
+    b.b::VARCHAR || '-' || array_to_string(list_slice(sig, b.b*4 + 1, b.b*4 + 4), '-') AS band_key
+  FROM sig, (SELECT unnest(range({DD.N_BANDS})) AS b) b
+), bands AS (
+  SELECT doc_id, band_key FROM bands_all
+  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= {_LSH_CAP}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT c.i AS doc_i, c.j AS doc_j,
+       round(len(list_intersect(a.xs, b.xs))::DOUBLE
+             / len(list_distinct(list_concat(a.xs, b.xs))), 6) AS jaccard
+FROM cand c JOIN docs a ON a.doc_id = c.i JOIN docs b ON b.doc_id = c.j
+WHERE round(len(list_intersect(a.xs, b.xs))::DOUBLE
+            / len(list_distinct(list_concat(a.xs, b.xs))), 6) >= 0.5
+""",
+    doc=(
+        "MinHash LSH near-dup pairs with HOT-BUCKET CAPPING: each band "
+        f"bucket keeps only its {_LSH_CAP} lowest doc_ids before the "
+        "self-join (operators/dedup.cap_bucket), bounding every bucket's "
+        "candidate pairs at cap*(cap-1)/2 -- the guard that keeps one "
+        "boilerplate bucket from going quadratic at 100 TB. The oracle "
+        "mirrors the cap with a row_number() QUALIFY."
+    ),
+)
+def llm_neardup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return DD.minhash_lsh_pairs(
+        t.documents, jaccard_threshold=0.5, bucket_cap=_LSH_CAP
+    )
+
+
 _SIMHASH_CTES = f"""
 toks AS (
   SELECT doc_id, list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS t

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import (
+    extract_link_id,
     split_and_validate_emails,
     split_full_name,
     truncate_with_flag,
@@ -1216,4 +1217,78 @@ def ref_k3_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.groupBy(F.sha2("content", 256).alias("content_hash")).agg(
         F.count(F.lit(1)).alias("n_references"),
         F.min(F.octet_length(F.encode("content", "UTF-8"))).alias("n_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 -- raw-URL author fetch (fallback when the HS customer search misses)
+# ---------------------------------------------------------------------------
+@register(
+    "ref_s8_raw_author_fetch",
+    oracle="""
+WITH msgs AS (
+  SELECT c_custkey AS custkey,
+         CASE WHEN c_custkey % 7 = 0
+              THEN 'groove://broken/' || CAST(c_custkey AS VARCHAR)
+              ELSE 'https://api.groovehq.com/v1/customers/'
+                   || lower(replace(c_name, '#', '')) || '@example.com'
+         END AS author_href,
+         replace(c_name, '#', ' ') AS full_name
+  FROM customer
+), parsed AS (
+  SELECT custkey, full_name,
+         regexp_extract(author_href,
+                        '^https?://api\\.groovehq\\.com/v1/customers/(.*)$', 1)
+           AS author_email
+  FROM msgs
+)
+SELECT custkey,
+       CASE WHEN author_email <> '' THEN author_email END AS author_email,
+       CASE WHEN author_email <> ''
+            THEN CASE WHEN instr(full_name, ' ') > 0
+                      THEN split_part(full_name, ' ', 1) ELSE full_name END
+       END AS first_name,
+       CASE WHEN author_email <> '' AND instr(full_name, ' ') > 0
+            THEN trim(substr(full_name, instr(full_name, ' ') + 1))
+       END AS last_name,
+       CASE WHEN author_email = '' THEN 'CustomerFetchFailure' END AS error_type
+FROM parsed
+""",
+    doc=(
+        "S8 raw-URL author fetch (TicketProcessor.php:133-142): when the"
+        " HelpScout customer search misses, the reference fetches the Groove"
+        " author from links.author.href directly and splits the full name"
+        " (APIHelper::extractFirstAndLastNameFromFullName); a malformed href"
+        " becomes an error row, never an exception. Spark shape: regex"
+        " extract on the href (P6), name split (P2), error column for the"
+        " side-channel -- one narrow projection, no driver round-trips."
+    ),
+)
+def ref_s8_raw_author_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    msgs = t.customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.lit("groove://broken/"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://api.groovehq.com/v1/customers/"),
+                F.lower(F.regexp_replace("c_name", "#", "")),
+                F.lit("@example.com"),
+            )
+        )
+        .alias("author_href"),
+        F.regexp_replace("c_name", "#", " ").alias("full_name"),
+    )
+    parsed = msgs.withColumn("author_email", extract_link_id(F.col("author_href")))
+    ok = F.col("author_email") != ""
+    name = split_full_name(F.col("full_name"))
+    return parsed.select(
+        "custkey",
+        F.when(ok, F.col("author_email")).alias("author_email"),
+        F.when(ok, name["first_name"]).alias("first_name"),
+        F.when(ok, name["last_name"]).alias("last_name"),
+        F.when(~ok, F.lit("CustomerFetchFailure")).alias("error_type"),
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..functions import text as TX
 
@@ -132,16 +133,44 @@ def band_keys(sig) -> "F.Column":
     )
 
 
-def minhash_lsh_pairs(documents: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+def cap_bucket(df: DataFrame, key: str, id_col: str, cap: int) -> DataFrame:
+    """Keep the ``cap`` lowest ``id_col`` members per ``key`` bucket
+    (deterministic rank). The hot-bucket guard for candidate self-joins:
+    one boilerplate-heavy bucket ("the" shingle, an all-zeros band) makes
+    the self-join quadratic in ITS width no matter how good the average
+    is; capping bounds every bucket's pair count at cap*(cap-1)/2. The
+    row_number window shuffles on the same key the join needs anyway, so
+    it adds no extra exchange -- the sort is per-bucket."""
+    w = W.partitionBy(key).orderBy(id_col)
+    return (
+        df.withColumn("_bucket_rk", F.row_number().over(w))
+        .filter(F.col("_bucket_rk") <= cap)
+        .drop("_bucket_rk")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.5,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """-> (doc_i, doc_j, jaccard): near-dup candidate pairs that share an
-    LSH band bucket, verified by exact Jaccard on shingle-hash sets."""
+    LSH band bucket, verified by exact Jaccard on shingle-hash sets.
+
+    ``bucket_cap`` bounds each band bucket to its cap lowest doc_ids
+    before the self-join (see cap_bucket) -- the production guard
+    against boilerplate buckets going quadratic. Recall loss is
+    confined to pairs whose EVERY shared bucket is hot."""
     docs = shingled_docs(documents)
     sigd = docs.withColumn("sig", minhash_signature(F.col("xs")))
     # persisted: both sides of the bucket self-join read the band keys --
     # without this the k=16 minhash stage is computed twice
     exploded = sigd.select(
         "doc_id", F.explode(band_keys(F.col("sig"))).alias("band_key")
-    ).persist()
+    )
+    if bucket_cap is not None:
+        exploded = cap_bucket(exploded, "band_key", "doc_id", bucket_cap)
+    exploded = exploded.persist()
     left = exploded.select(F.col("doc_id").alias("i"), "band_key")
     right = exploded.select(F.col("doc_id").alias("j"), "band_key")
     cand = (
@@ -258,7 +287,11 @@ def neardup_clusters(
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.4,
+    anchor_cap: int | None = None,
+) -> DataFrame:
     """-> (doc_i, doc_j, jaccard): EXACT word-3-gram Jaccard over
     candidate pairs that share their minimum shingle hash (bottom-1
     sketch anchoring -- equivalently MinHash LSH with one band of one
@@ -271,6 +304,13 @@ def ngram_jaccard_pairs(documents: DataFrame, jaccard_threshold: float = 0.4) ->
     pairwise verify."""
     docs = shingled_docs(documents)
     anchored = docs.withColumn("anchor", F.array_min("xs"))
+    if anchor_cap is not None:
+        # cap on (anchor, doc_id) only -- the shingle arrays rejoin below,
+        # so the window never sorts rows carrying payloads
+        keep = cap_bucket(
+            anchored.select("doc_id", "anchor"), "anchor", "doc_id", anchor_cap
+        )
+        anchored = anchored.join(keep, ["doc_id", "anchor"], "semi")
     left = anchored.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i"), "anchor")
     right = anchored.select(F.col("doc_id").alias("j"), F.col("xs").alias("xs_j"), "anchor")
     pairs = (

@@ -253,13 +253,21 @@ def _rejoin_cosine(cand: DataFrame, emb: DataFrame, left_id: str, right_id: str,
     )
 
 
-def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+def lsh_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.35, bucket_cap: int | None = None
+) -> DataFrame:
     """-> (vec_i, vec_j, cosine): pairs sharing an LSH band bucket with
-    exact cosine >= threshold."""
+    exact cosine >= threshold. ``bucket_cap`` keeps only the cap lowest
+    vec_ids per bucket before the self-join (hot-bucket guard: a dense
+    embedding region otherwise makes one bucket quadratic)."""
     emb = prepared(embeddings)
     ex = emb.select("vec_id", _plane_dots_batch("v").alias("ds")).select(
         "vec_id", F.explode(_band_keys_from_dots(F.col("ds"))).alias("bkey")
     )
+    if bucket_cap is not None:
+        from .dedup import cap_bucket
+
+        ex = cap_bucket(ex, "bkey", "vec_id", bucket_cap)
     cand = (
         ex.select(F.col("vec_id").alias("i"), "bkey")
         .join(ex.select(F.col("vec_id").alias("j"), "bkey"), ["bkey"])

@@ -87,3 +87,44 @@ class TestAnnRecall:
         # floors leave headroom for other corpora
         assert r_lsh >= 0.7, f"LSH recall@5 degraded: {r_lsh}"
         assert r_ivf >= 0.7, f"IVF recall@5 degraded: {r_ivf}"
+
+
+class TestApproxBounds:
+    """Falsifiable epsilon-bounds for the sketch queries whose answers
+    have no exact cross-engine oracle (VERDICT round 1, item 6)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_approx_percentile_within_eps_of_exact(self, spark):
+        from groove_to_helpscout_migration_tool_spark import catalog
+
+        exact = {
+            r["priority"]: (r["p50"], r["p95"])
+            for r in catalog.QUERIES["p01_percentiles_exact"].fn(spark, self.SF).collect()
+        }
+        approx = {
+            r["priority"]: (r["p50_approx"], r["p95_approx"])
+            for r in catalog.QUERIES["p02_percentiles_approx"].fn(spark, self.SF).collect()
+        }
+        assert exact.keys() == approx.keys()
+        for prio, (p50, p95) in exact.items():
+            a50, a95 = approx[prio]
+            # accuracy=10000 -> rank error <= 1/10000; order-of-magnitude slack
+            assert abs(a50 - p50) / p50 < 0.02, (prio, p50, a50)
+            assert abs(a95 - p95) / p95 < 0.02, (prio, p95, a95)
+
+    def test_approx_count_distinct_within_rsd_of_exact(self, spark):
+        from groove_to_helpscout_migration_tool_spark import catalog
+
+        exact = {
+            r["event_type"]: r["n_users"]
+            for r in catalog.QUERIES["q_distinct_users_exact"].fn(spark, self.SF).collect()
+        }
+        approx = {
+            r["event_type"]: r["n_users_approx"]
+            for r in catalog.QUERIES["q_distinct_users_approx"].fn(spark, self.SF).collect()
+        }
+        assert exact.keys() == approx.keys()
+        for et, n in exact.items():
+            # rsd=0.02 -> 5 sigma
+            assert abs(approx[et] - n) / max(n, 1) < 0.10, (et, n, approx[et])

@@ -64,3 +64,61 @@ class TestConnectedComponents:
         pairs = [(i, i + 1) for i in range(63)]
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(_edges_df(spark, pairs), max_iter=1)
+
+
+class TestBucketCap:
+    def test_pathological_bucket_bounded(self, spark):
+        from pyspark.sql import functions as F
+
+        from groove_to_helpscout_migration_tool_spark.operators.dedup import (
+            cap_bucket,
+            minhash_lsh_pairs,
+        )
+
+        # one hot bucket (200 members) + a few cold ones
+        rows = [(i, "hot") for i in range(200)] + [(1000 + i, f"cold{i % 3}") for i in range(9)]
+        df = spark.createDataFrame(rows, "doc_id long, band_key string")
+        capped = cap_bucket(df, "band_key", "doc_id", 8)
+        per_bucket = {
+            r["band_key"]: r["n"]
+            for r in capped.groupBy("band_key").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert per_bucket["hot"] == 8
+        # deterministic: lowest ids survive
+        kept = sorted(
+            r["doc_id"] for r in capped.filter("band_key = 'hot'").collect()
+        )
+        assert kept == list(range(8))
+        # cold buckets untouched
+        assert all(n == 3 for k, n in per_bucket.items() if k != "hot")
+
+    def test_minhash_capped_is_subset_and_bounded(self, spark):
+        from groove_to_helpscout_migration_tool_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        # 40 near-identical docs: one pathological LSH bucket
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, base) for i in range(40)] + [
+            (100, "something completely different entirely unrelated text here"),
+            (101, "something completely different entirely unrelated text here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        full = {
+            (r["doc_i"], r["doc_j"])
+            for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+        }
+        capped = {
+            (r["doc_i"], r["doc_j"])
+            for r in minhash_lsh_pairs(
+                docs, jaccard_threshold=0.5, bucket_cap=8
+            ).collect()
+        }
+        assert capped <= full
+        # the identical-doc bucket is bounded at C(8,2) pairs; full blowup is C(40,2)
+        hot_full = {p for p in full if p[0] < 100}
+        hot_capped = {p for p in capped if p[0] < 100}
+        assert len(hot_full) == 780
+        assert len(hot_capped) == 28
+        # cold pair survives the cap
+        assert (100, 101) in capped
