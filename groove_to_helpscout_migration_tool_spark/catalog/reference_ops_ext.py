@@ -1292,3 +1292,52 @@ def ref_s8_raw_author_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, name["last_name"]).alias("last_name"),
         F.when(~ok, F.lit("CustomerFetchFailure")).alias("error_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 over the recorded-fixture HTTP client: cassette -> probe -> scan
+# ---------------------------------------------------------------------------
+@register(
+    "ref_s1_http_fixture_scan",
+    oracle="""
+SELECT i AS rec_id,
+       'ticket-' || CAST(i AS VARCHAR) AS payload,
+       CAST(i // 20 + 1 AS BIGINT) AS page
+FROM range(0, 123) t(i)
+""",
+    doc=(
+        "S1 paginated scan driven through the HTTP-shaped seam"
+        " (sources/http_fixture.py): a VCR-style cassette scripts 429/500"
+        " prefixes on two pages, the metadata probe supplies total_count"
+        " (S3, APIHelper.php:41-105), and the executor-side retry wrapper"
+        " (sources/retry.py) recovers inside the task that owns the page --"
+        " the full production fetch path minus the socket."
+    ),
+)
+def ref_s1_http_fixture_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.api import paginated_source
+    from ..sources.http_fixture import (
+        FixtureHttpClient,
+        RecordedTransport,
+        paged_script,
+    )
+    from ..sources.retry import with_retries
+
+    records = [{"rec_id": i, "payload": f"ticket-{i}"} for i in range(123)]
+    script = paged_script(records, per_page=20, flaky={3: [429, 500], 6: [503]})
+    client = FixtureHttpClient(RecordedTransport(script))
+    schema = T.StructType(
+        [
+            T.StructField("rec_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    fetch = with_retries(client.fetch_page, max_attempts=3, backoff_base=0.0)
+    return paginated_source(
+        spark,
+        fetch,
+        total_count=client.probe_total(),
+        schema=schema,
+        per_page=20,
+        requests_per_minute=600,
+    )
