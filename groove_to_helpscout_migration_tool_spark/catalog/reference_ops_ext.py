@@ -1341,3 +1341,53 @@ def ref_s1_http_fixture_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_page=20,
         requests_per_minute=600,
     )
+
+
+# ---------------------------------------------------------------------------
+# K5/A4 -- observed metrics surface (DataFrame.observe, zero extra jobs)
+# ---------------------------------------------------------------------------
+@register(
+    "ref_k5_observed_metrics",
+    oracle="""
+WITH src AS (
+  SELECT l_orderkey, l_quantity FROM lineitem WHERE l_linenumber = 1
+), gated AS (SELECT * FROM src WHERE l_quantity < 45)
+SELECT * FROM (
+  SELECT 'scan' AS step, 'n_rows' AS metric,
+         CAST(count(*) AS DOUBLE) AS value FROM src
+  UNION ALL
+  SELECT 'size_gate', 'n_rows', CAST(count(*) AS DOUBLE) FROM gated
+  UNION ALL
+  SELECT 'size_gate', 'qty_total', CAST(sum(l_quantity) AS DOUBLE) FROM gated
+) m
+""",
+    doc=(
+        "K5/A4 metrics surface (SyncCommandBase.php:106-127,203-221): every"
+        " pipeline phase reports counts via DataFrame.observe -- named"
+        " aggregates evaluated INSIDE the pipeline's own action, accumulated"
+        " map-side per task, merged on the driver: zero extra jobs/scans at"
+        " any scale (vs a count() per metric re-running the plan). The"
+        " oracle recomputes the observed values as plain aggregates."
+    ),
+)
+def ref_k5_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..observability import PipelineMetrics
+
+    pm = PipelineMetrics()
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    src = pm.track(
+        t.lineitem.filter(F.col("l_linenumber") == 1).select(
+            "l_orderkey", "l_quantity"
+        ),
+        "scan",
+    )
+    gated = pm.track(
+        src.filter(F.col("l_quantity") < 45),
+        "size_gate",
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("qty_total"),
+    )
+    gated.write.format("noop").mode("overwrite").save()  # the pipeline's action
+    return pm.snapshot(spark).select(
+        "step", "metric", F.col("value").cast("double").alias("value")
+    )

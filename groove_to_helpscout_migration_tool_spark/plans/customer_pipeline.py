@@ -12,19 +12,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import split_and_validate_emails, split_full_name, truncate_with_flag
+from ..observability import PipelineMetrics
 
 NAME_CAP = 40   # APIHelper.php:180-189
 ORG_CAP = 60    # CustomerProcessor.php:65-68
 TITLE_CAP = 60  # CustomerProcessor.php:72-76
 
 
-def transform_customers(groove_customers: DataFrame) -> tuple[DataFrame, DataFrame]:
+def transform_customers(
+    groove_customers: DataFrame,
+    metrics: "PipelineMetrics | None" = None,
+) -> tuple[DataFrame, DataFrame]:
     """-> (helpscout_customers, warnings).
 
     helpscout_customers matches schemas.HELPSCOUT_CUSTOMER_OUT plus a
     lineage ``source_email`` column (the HybridConversation idea: lineage
-    is a carried column, never a wrapper object).
+    is a carried column, never a wrapper object). ``metrics`` observes
+    in/out/warning counts inside the caller's action (K5/A4 surface).
     """
+    if metrics is not None:
+        groove_customers = metrics.track(groove_customers, "customers_in")
     name = split_full_name(F.col("name"))
     first = truncate_with_flag(name.getField("first_name"), NAME_CAP)
     last = truncate_with_flag(name.getField("last_name"), NAME_CAP)
@@ -101,4 +108,7 @@ def transform_customers(groove_customers: DataFrame) -> tuple[DataFrame, DataFra
     warnings = warnings.unionByName(invalid)
 
     out = staged.drop(*warn_cols.keys(), "_emails_valid")
+    if metrics is not None:
+        out = metrics.track(out, "customers_out")
+        warnings = metrics.track(warnings, "warnings_out")
     return out, warnings

@@ -34,6 +34,7 @@ from ..functions import (
     extract_link_id,
     to_iso8601,
 )
+from ..observability import PipelineMetrics
 from ..operators import dedup_anti_join, run_validations, validation_anti_join
 
 ATTACH_SIZE_CAP = 10_485_760  # TicketProcessor.php:301
@@ -85,11 +86,19 @@ def build_conversations(
     default_mailbox_id: int | None = 12,
     default_user_id: int | None = 100,
     timezone: str | None = None,
+    metrics: "PipelineMetrics | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (conversations, errors). ``groove``/``hs`` carry the fixture-shaped
     DataFrames (sources/fixtures.py); live adapters produce the same shapes.
+
+    ``metrics`` (observability.PipelineMetrics) observes per-phase row
+    counts inside the pipeline's own action -- the K5/A4 progress
+    surface, zero extra jobs.
     """
     spark = groove.tickets.sparkSession
+
+    def _track(df: DataFrame, step: str) -> DataFrame:
+        return metrics.track(df, step) if metrics is not None else df
 
     # ---- Phase 1: fail-fast validation (J6; SyncTickets.php:70-115) ----
     run_validations(
@@ -107,7 +116,7 @@ def build_conversations(
         bypass=bypass_validation,
     )
 
-    tickets = groove.tickets
+    tickets = _track(groove.tickets, "tickets_in")
 
     # ---- Phase 2: duplicate skip (J5; TicketProcessor.php:353-372) ----
     if check_duplicates:
@@ -408,7 +417,7 @@ def build_conversations(
         .unionByName(size_warnings)
         .unionByName(attach_failures)
     )
-    return conversations, errors
+    return _track(conversations, "conversations_out"), _track(errors, "errors_out")
 
 
 def view_ticket(tickets: DataFrame, number: int) -> DataFrame:

@@ -209,3 +209,67 @@ class TestViewTicket:
         df = view_ticket(groove.tickets, 2)
         rows = df.collect()
         assert len(rows) == 1 and rows[0]["title"] == "Billing question"
+
+
+class TestPipelineMetrics:
+    def test_customer_pipeline_observes_counts(self, spark):
+        from groove_to_helpscout_migration_tool_spark.observability import PipelineMetrics
+        from groove_to_helpscout_migration_tool_spark.plans import transform_customers
+        from groove_to_helpscout_migration_tool_spark.sources.fixtures import (
+            groove_fixtures,
+        )
+
+        pm = PipelineMetrics()
+        groove = groove_fixtures(spark)
+        out, warnings = transform_customers(groove.customers, metrics=pm)
+        n_out, n_warn = out.count(), warnings.count()
+        n_in = groove.customers.count()
+
+        metrics = {
+            (r["step"], r["metric"]): r["value"]
+            for r in pm.snapshot(spark).collect()
+        }
+        assert metrics[("customers_in", "n_rows")] == n_in
+        assert metrics[("customers_out", "n_rows")] == n_out
+        assert metrics[("warnings_out", "n_rows")] == n_warn
+
+    def test_ticket_pipeline_observes_counts(self, spark):
+        from groove_to_helpscout_migration_tool_spark.observability import PipelineMetrics
+        from groove_to_helpscout_migration_tool_spark.plans import build_conversations
+        from groove_to_helpscout_migration_tool_spark.sources.fixtures import (
+            groove_fixtures,
+            helpscout_fixtures,
+        )
+
+        pm = PipelineMetrics()
+        convs, errors = build_conversations(
+            groove_fixtures(spark),
+            helpscout_fixtures(spark),
+            bypass_validation=True,
+            metrics=pm,
+        )
+        n_convs, n_errors = convs.count(), errors.count()
+        metrics = {
+            (r["step"], r["metric"]): r["value"]
+            for r in pm.snapshot(spark).collect()
+        }
+        assert metrics[("conversations_out", "n_rows")] == n_convs
+        assert metrics[("errors_out", "n_rows")] == n_errors
+        assert metrics[("tickets_in", "n_rows")] > 0
+
+    def test_log_renders_progress_lines(self, spark):
+        from pyspark.sql import functions as F
+
+        from groove_to_helpscout_migration_tool_spark.observability import (
+            PipelineMetrics,
+            eta_hms,
+        )
+
+        pm = PipelineMetrics()
+        df = pm.track(spark.range(10).toDF("n"), "stage_a")
+        df.count()
+        lines = []
+        pm.log(printer=lines.append)
+        assert any("[stage_a] n_rows=10" in ln for ln in lines)
+        assert eta_hms(50, 100, 100.0) == "00:01:40"
+        assert eta_hms(0, 100, 5.0) == "--:--:--"
