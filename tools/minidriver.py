@@ -4,11 +4,16 @@ hash (order-insensitive, columns sorted by name). Iterate here before
 the real driver runs at sf0.01.
 
 Usage: python tools/minidriver.py [sf_dir] [query_name ...]
+Env: MINIDRIVER_JSON=<path> additionally writes a CORRECTNESS-style
+JSON record {name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}} covering every query it ran.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 
@@ -52,6 +57,16 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     failures = []
+    record: dict[str, dict] = {}
+
+    def rec(name, rows_match=None, schema_match=None, hash_match=None,
+            spark_rows=None, oracle_rows=None, err=None):
+        record[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, spec in catalog.QUERIES.items():
         if only and name not in only:
             continue
@@ -63,10 +78,12 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
+            rec(name, err=f"spark_error: {type(e).__name__}")
             continue
         if spec.oracle is None:
             print(f"ok?   {name}: rows-only check, {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
+            rec(name, spark_rows=len(srows), err="no_oracle")
             continue
         try:
             res = con.execute(spec.oracle)
@@ -75,6 +92,7 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
+            rec(name, spark_rows=len(srows), err=f"oracle_error: {type(e).__name__}")
             continue
         problems = []
         if len(srows) != len(orows):
@@ -102,6 +120,20 @@ def main():
                 print(f"      duck-only  sample: {os_}")
         else:
             print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+        rec(
+            name,
+            rows_match=len(srows) == len(orows),
+            schema_match=sorted(scols) == sorted(ocols),
+            hash_match=not problems,
+            spark_rows=len(srows),
+            oracle_rows=len(orows),
+            err="; ".join(problems) or None,
+        )
+    out = os.environ.get("MINIDRIVER_JSON")
+    if out:
+        with open(out, "w") as f:
+            json.dump(record, f, indent=2)
+        print(f"wrote {out} ({len(record)} entries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
