@@ -1091,3 +1091,162 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "quality", F.col("n_copies").cast("bigint").alias("n_copies"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing: emails / phones / URLs)
+# ---------------------------------------------------------------------------
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# character classes + bounded repetition only, no lookaround.
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_RE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+_PII_URL_RE = "https?://[^ ]+"
+
+
+@register(
+    "llm_pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_PII_URL_RE}')) AS INTEGER) AS n_urls,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{_PII_URL_RE}', '<URL>', 'g')) AS redacted_hash
+FROM documents
+""",
+    doc=(
+        "PII scrub for training corpora: redact emails/phones/URLs to typed"
+        " placeholders and count hits per document (the audit trail). Pure"
+        " Column regexps -- one codegen stage, zero shuffles, embarrassingly"
+        " parallel at any corpus size; the hash of the redacted text is"
+        " compared instead of the full body so the oracle check never ships"
+        " documents. Patterns are deliberately lookaround-free so Java regex"
+        " and RE2 agree byte-for-byte."
+    ),
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        _PII_URL_RE,
+        "<URL>",
+    )
+    return t.documents.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count("text", F.lit(_PII_URL_RE)).cast("int").alias("n_urls"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new snapshot vs kept-fingerprint table
+# ---------------------------------------------------------------------------
+@register(
+    "llm_dedup_incremental",
+    oracle="""
+WITH normed AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), prior AS (
+  SELECT DISTINCT fp FROM normed WHERE doc_id % 5 <> 0
+), incoming AS (
+  SELECT * FROM normed WHERE doc_id % 5 = 0
+)
+SELECT i.doc_id, i.fp AS text_hash,
+       p.fp IS NOT NULL AS already_seen
+FROM incoming i LEFT JOIN prior p ON i.fp = p.fp
+""",
+    doc=(
+        "Incremental (cross-snapshot) dedup: an incoming batch checks its"
+        " normalized-text fingerprints against the kept-fingerprint table of"
+        " all prior snapshots instead of re-deduping the whole corpus. At"
+        " 100 TB the prior side is a bucketed-by-fp table, so the probe is a"
+        " co-partitioned join shuffling 32-byte keys for the NEW batch only"
+        " -- cost scales with the increment, not corpus history. Here the"
+        " prior/incoming split is synthesized from doc_id (mod 5)."
+    ),
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    normed = t.documents.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    prior = normed.filter(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    incoming = normed.filter(F.col("doc_id") % 5 == 0)
+    return (
+        incoming.join(
+            prior.select(F.col("fp").alias("p_fp")),
+            incoming.fp == F.col("p_fp"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("fp").alias("text_hash"),
+            F.col("p_fp").isNotNull().alias("already_seen"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram counts (frequency analysis / contamination checks)
+# ---------------------------------------------------------------------------
+@register(
+    "llm_ngram_counts",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM grams GROUP BY bigram
+HAVING count(*) >= 10
+""",
+    doc=(
+        "Corpus-level bigram frequencies (the contamination / boilerplate"
+        " frequency sweep): tokenize, emit adjacent pairs, partial-agg"
+        " count with a HAVING floor so the output is the heavy tail only."
+        " At 100 TB the explode fans out but the map-side partial aggregate"
+        " collapses each partition's counts before the single shuffle;"
+        " the >=10 floor keeps the result bounded."
+    ),
+)
+def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t.documents.select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    grams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+    )

@@ -22,9 +22,13 @@ Scale notes (the whole point of these over pairwise compare):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
+from pyspark.sql.functions import pandas_udf
 
 from ..functions import text as TX
 
@@ -109,14 +113,33 @@ def shingled_docs(documents: DataFrame) -> DataFrame:
     return docs.persist()
 
 
+@pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_sig_batch(xs: pd.Series) -> pd.Series:
+    """k=16 minhash minima per shingle array, Arrow-batched.
+
+    The expression formulation (16 x array_min(transform(...))) walks
+    every shingle array 16 times through the interpreted higher-order-
+    function evaluator -- the dominant cost of the whole MinHash family.
+    This computes (a_k*x + b_k) mod P as one int64 numpy broadcast per
+    row. Pure integer arithmetic: bit-identical to the Spark expression
+    and the DuckDB oracle by construction (a < 2^31, x < 2^30 keeps
+    products inside int64)."""
+    a = np.array([c[0] for c in MINHASH_COEFFS], dtype=np.int64)
+    b = np.array([c[1] for c in MINHASH_COEFFS], dtype=np.int64)
+    out = []
+    for x in xs:
+        xv = np.asarray(x, dtype=np.int64)
+        if xv.size == 0:
+            out.append(None)
+            continue
+        h = (xv[:, None] * a[None, :] + b[None, :]) % MINHASH_P
+        out.append(h.min(axis=0))
+    return pd.Series(out, dtype=object)
+
+
 def minhash_signature(xs) -> "F.Column":
     """k=16 minhash signature array over a shingle-hash array column."""
-    return F.array(
-        *[
-            F.array_min(F.transform(xs, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P))
-            for a, b in MINHASH_COEFFS
-        ]
-    )
+    return _minhash_sig_batch(xs)
 
 
 def band_keys(sig) -> "F.Column":
