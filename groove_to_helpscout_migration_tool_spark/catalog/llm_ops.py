@@ -1250,3 +1250,74 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio features: REAL PCM16 WAV parsing (no codec lib)
+# ---------------------------------------------------------------------------
+@register(
+    "llm_audio_features",
+    oracle="""
+WITH spec AS (
+  SELECT doc_id,
+         100 + doc_id % 50 AS n_samples,
+         doc_id % 1000 AS amp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(44 + n_samples * 2 AS BIGINT) AS n_bytes,
+       round(n_samples * 2 / 16000.0, 6) AS duration_sec,
+       CAST(amp AS DOUBLE) AS rms_x32768
+FROM spec
+""",
+    doc=(
+        "Audio feature extraction with REAL PCM16 WAV parsing"
+        " (multimodal/decode.parse_wav_pcm16): RIFF chunk walk -> fmt/data,"
+        " duration from byte rate, RMS over int16 samples via numpy -- no"
+        " codec library. The fixture frames valid 8kHz mono WAVs JVM-side"
+        " (constant amplitude = doc_id mod 1000, so RMS has the closed form"
+        " amp/32768 the oracle checks; float-exact because 32768 is a power"
+        " of two and the squared-sum stays inside 53 significand bits)."
+    ),
+)
+def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.decode import extract_audio_features
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    n_samples = (F.col("doc_id") % 50 + 100).cast("int")
+    amp = (F.col("doc_id") % 1000).cast("int")
+    data_sz = (n_samples * 2).cast("int")
+    # chunk sizes, little-endian hex helpers
+    le4 = lambda c: F.concat(  # noqa: E731
+        *[
+            F.substring(F.lpad(F.hex(c), 8, "0"), i, 2)
+            for i in (7, 5, 3, 1)
+        ]
+    )
+    le2 = lambda c: F.concat(  # noqa: E731
+        F.substring(F.lpad(F.hex(c), 4, "0"), 3, 2),
+        F.substring(F.lpad(F.hex(c), 4, "0"), 1, 2),
+    )
+    riff_sz = (F.lit(36) + data_sz).cast("int")
+    # fmt: PCM(1), mono(1), 8000 Hz, byte_rate 16000, block 2, bits 16
+    fmt = F.lit("666D7420" + "10000000" + "0100" + "0100"
+                + "401F0000" + "803E0000" + "0200" + "1000")
+    sample_le = le2(amp)
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"), le4(riff_sz), F.lit("57415645"),
+            fmt,
+            F.lit("64617461"), le4(data_sz),
+            F.repeat(sample_le, n_samples),
+        )
+    )
+    payloads = t.documents.select("doc_id", payload.alias("payload"))
+    # rms itself can tie at the 6th decimal (k/2^15 expansions) where
+    # Python rounds half-even and DuckDB half-away; rms*32768 = amp is an
+    # integer-valued float on both engines -- tie-free.
+    return extract_audio_features(payloads).select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "duration_sec",
+        F.round(F.col("rms") * 32768.0, 0).alias("rms_x32768"),
+    )

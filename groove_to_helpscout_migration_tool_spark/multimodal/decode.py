@@ -166,26 +166,72 @@ def decode_images(
     return df.select(id_col, data_col).mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
+def parse_wav_pcm16(b: bytes) -> tuple[float, float] | None:
+    """Real (duration_sec, rms) from PCM16 WAV bytes -- no codec lib.
+
+    Walks RIFF chunks to the fmt/data pair; duration = data bytes /
+    byte rate, RMS over the int16 samples normalized to [-1, 1].
+    Returns None unless the bytes are a complete PCM16 WAV."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid, sz = b[i : i + 4], int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            fmt = b[i + 8 : i + 8 + sz]
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    byte_rate = int.from_bytes(fmt[8:12], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or byte_rate == 0:
+        return None
+    duration = len(data) / byte_rate
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+        np.float64
+    )
+    rms = (
+        float(np.sqrt(np.mean((samples / 32768.0) ** 2))) if samples.size else 0.0
+    )
+    return duration, rms
+
+
 def extract_audio_features(
     df: DataFrame, id_col: str = "doc_id", data_col: str = "payload", fake: bool = False
 ) -> DataFrame:
-    """Audio binary -> (duration, rms). Same contract as decode_images."""
+    """Audio binary -> (duration, rms). Features are REAL for PCM16 WAV
+    (parse_wav_pcm16 -- pure byte/numpy work, no codec lib); compressed
+    formats would need a decoder (absent here): ``fake=True`` substitutes
+    a deterministic stand-in, ``fake=False`` raises for them."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio codecs unavailable; pass fake=True for the test path"
-                )
             rows = []
             for doc_id, data in zip(pdf[id_col], pdf[data_col]):
                 b = bytes(data) if data is not None else b""
+                parsed = parse_wav_pcm16(b)
+                if parsed is not None:
+                    duration, rms = parsed
+                elif fake:
+                    duration = len(b) / 16000.0
+                    rms = (sum(b[:64]) / max(1, len(b[:64]))) / 255.0
+                else:
+                    raise NotImplementedError(
+                        "audio codecs unavailable; payload is not PCM16 WAV --"
+                        " pass fake=True for the deterministic test decoder"
+                    )
                 rows.append(
                     {
                         "doc_id": int(doc_id),
                         "n_bytes": len(b),
-                        "duration_sec": round(len(b) / 16000.0, 6),
-                        "rms": round((sum(b[:64]) / max(1, len(b[:64]))) / 255.0, 6),
+                        "duration_sec": round(duration, 6),
+                        "rms": round(rms, 6),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEAT_SCHEMA.fields])

@@ -357,3 +357,63 @@ class TestParseImageHeader:
         assert parse_image_header(b"hello world") is None
         assert parse_image_header(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxx") is None
         assert parse_image_header(b"\xff\xd8\xff\xe0\x79\x79rest") is None
+
+
+class TestParseWav:
+    def _wav(self, samples, rate=8000):
+        import struct
+
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        byte_rate = rate * 2
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, byte_rate, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def test_pcm16_duration_and_rms(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_wav_pcm16
+
+        got = parse_wav_pcm16(self._wav([16384] * 8000))
+        assert got is not None
+        duration, rms = got
+        assert duration == 1.0
+        assert abs(rms - 0.5) < 1e-9
+
+    def test_silence_rms_zero(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_wav_pcm16
+
+        assert parse_wav_pcm16(self._wav([0] * 100)) == (100 * 2 / 16000, 0.0)
+
+    def test_skips_extra_chunks(self):
+        import struct
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_wav_pcm16
+
+        wav = self._wav([100] * 10)
+        # splice a LIST chunk between WAVE and fmt
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = wav[:12] + extra + wav[12:]
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        got = parse_wav_pcm16(spliced)
+        assert got is not None and got[0] == 10 * 2 / 16000
+
+    def test_non_wav_returns_none(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_wav_pcm16
+
+        assert parse_wav_pcm16(b"") is None
+        assert parse_wav_pcm16(b"RIFFxxxxAVI ") is None
+        assert parse_wav_pcm16(b"\xff\xd8\xff\xe0") is None
+
+    def test_compressed_format_not_parsed(self):
+        import struct
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_wav_pcm16
+
+        # audio_format=85 (MP3-in-WAV) must fall to the codec-needed path
+        b = (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 85, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", 0)
+        )
+        assert parse_wav_pcm16(b) is None
