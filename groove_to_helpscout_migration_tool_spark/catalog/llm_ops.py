@@ -1321,3 +1321,82 @@ def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_sec",
         F.round(F.col("rms") * 32768.0, 0).alias("rms_x32768"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal image resize: REAL BMP decode -> nearest-neighbor -> re-encode
+# ---------------------------------------------------------------------------
+def _bmp_header_hex(width: int, height: int) -> str:
+    """Constant 54-byte BMP header for fixed out-dims (hex, uppercase)."""
+    import numpy as np
+
+    from ..multimodal.decode import encode_bmp
+
+    return encode_bmp(np.zeros((height, width, 3), dtype=np.uint8))[:54].hex().upper()
+
+
+_RESIZE_W, _RESIZE_H = 6, 4
+_OUT_HDR = _bmp_header_hex(_RESIZE_W, _RESIZE_H)
+_OUT_PAD = "00" * ((_RESIZE_W * 3 + 3) // 4 * 4 - _RESIZE_W * 3)
+
+
+@register(
+    "llm_image_resize",
+    oracle=f"""
+WITH spec AS (
+  SELECT doc_id,
+         printf('%02X%02X%02X', doc_id % 256, (doc_id * 7) % 256,
+                (doc_id * 13) % 256) AS bgr
+  FROM documents
+)
+SELECT doc_id,
+       {_RESIZE_W} AS width, {_RESIZE_H} AS height,
+       '{_OUT_HDR}' || repeat(repeat(bgr, {_RESIZE_W}) || '{_OUT_PAD}', {_RESIZE_H})
+         AS resized_hex
+FROM spec
+""",
+    doc=(
+        "Image resize with a REAL decode/transform/re-encode loop for"
+        " 24-bit uncompressed BMP (multimodal/decode: parse_bmp_pixels ->"
+        " deterministic nearest-neighbor resample -> encode_bmp), no codec"
+        " library. The fixture frames solid-color BMPs of per-doc dims"
+        " JVM-side; resampling a solid image is the same solid image at the"
+        " target dims, so the oracle constructs the expected output bytes"
+        " in SQL and the full payload hex is compared."
+    ),
+)
+def llm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.decode import resize_images
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    w_in = (F.col("doc_id") % 8 + 1).cast("int")
+    h_in = (F.col("doc_id") % 6 + 1).cast("int")
+    le4 = lambda c: F.concat(  # noqa: E731
+        *[F.substring(F.lpad(F.hex(c), 8, "0"), i, 2) for i in (7, 5, 3, 1)]
+    )
+    bgr = F.concat(
+        F.lpad(F.hex(F.col("doc_id") % 256), 2, "0"),
+        F.lpad(F.hex((F.col("doc_id") * 7) % 256), 2, "0"),
+        F.lpad(F.hex((F.col("doc_id") * 13) % 256), 2, "0"),
+    )
+    row_size = F.floor((w_in * 3 + 3) / 4).cast("int") * 4
+    img_size = (row_size * h_in).cast("int")
+    row_hex = F.concat(
+        F.repeat(bgr, w_in), F.repeat(F.lit("00"), (row_size - w_in * 3).cast("int"))
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit("424D"), le4((F.lit(54) + img_size).cast("int")),
+            F.lit("00000000"), F.lit("36000000"), F.lit("28000000"),
+            le4(w_in), le4(h_in), F.lit("0100"), F.lit("1800"),
+            F.lit("00000000"), le4(img_size), F.lit("00" * 16),
+            F.repeat(row_hex, h_in),
+        )
+    )
+    payloads = t.documents.select("doc_id", payload.alias("payload"))
+    return resize_images(payloads, width=_RESIZE_W, height=_RESIZE_H).select(
+        "doc_id",
+        "width",
+        "height",
+        F.hex("resized").alias("resized_hex"),
+    )

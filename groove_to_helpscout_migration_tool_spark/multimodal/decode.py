@@ -272,6 +272,76 @@ def sample_video_frames(
     return df.select(id_col, data_col).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def parse_bmp_pixels(b: bytes):
+    """-> (width, height, pixels) for a 24-bit uncompressed BMP, where
+    ``pixels`` is a top-down (H, W, 3) uint8 array in BGR byte order --
+    pure byte/numpy work, no codec lib. None for anything else."""
+    import numpy as np
+
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    data_offset = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    height = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    need = data_offset + row_size * height
+    if len(b) < need:
+        return None
+    rows = (
+        np.frombuffer(b[data_offset:need], dtype=np.uint8)
+        .reshape(height, row_size)[:, : w * 3]
+        .reshape(height, w, 3)
+    )
+    if h > 0:  # bottom-up storage (the default) -> flip to top-down
+        rows = rows[::-1]
+    return w, height, rows
+
+
+def encode_bmp(pixels) -> bytes:
+    """Top-down (H, W, 3) BGR uint8 array -> 24-bit uncompressed BMP
+    bytes (bottom-up storage, rows padded to 4-byte boundaries)."""
+    import numpy as np
+
+    height, width = pixels.shape[0], pixels.shape[1]
+    row_size = (width * 3 + 3) // 4 * 4
+    img_size = row_size * height
+    header = (
+        b"BM"
+        + (54 + img_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + img_size.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    padded = np.zeros((height, row_size), dtype=np.uint8)
+    padded[:, : width * 3] = pixels.reshape(height, width * 3)
+    return header + padded[::-1].tobytes()  # bottom-up rows
+
+
+def resize_nearest(pixels, width: int, height: int):
+    """Deterministic nearest-neighbor resample of a (H, W, 3) array:
+    source index = floor((i + 0.5) * src / dst), the standard pixel-
+    center mapping -- same arithmetic on any engine, no interpolation."""
+    import numpy as np
+
+    src_h, src_w = pixels.shape[0], pixels.shape[1]
+    ys = ((np.arange(height) + 0.5) * src_h / height).astype(np.int64)
+    xs = ((np.arange(width) + 0.5) * src_w / width).astype(np.int64)
+    return pixels[np.clip(ys, 0, src_h - 1)][:, np.clip(xs, 0, src_w - 1)]
+
+
 RESIZED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("width", T.IntegerType()),
@@ -288,24 +358,36 @@ def resize_images(
     data_col: str = "payload",
     fake: bool = False,
 ) -> DataFrame:
-    """Image binary -> resized binary at (width, height). Same contract
-    as decode_images: Arrow-batched mapInPandas, codec stubbed (the real
-    decoder is PIL's resize per batch); ``fake=True`` emits a
-    deterministic byte-slice standing in for the resized payload, sized
-    width*height/64 so output volume scales with the target dims the way
-    a real thumbnail stage would."""
+    """Image binary -> resized binary at (width, height).
+
+    REAL for 24-bit uncompressed BMP: parse_bmp_pixels -> deterministic
+    nearest-neighbor resample -> encode_bmp, the full decode/transform/
+    re-encode loop with no codec library. Compressed formats (PNG/JPEG
+    pixels) would need a real decoder: ``fake=True`` emits a
+    deterministic byte-slice stand-in sized width*height/64 so output
+    volume scales with the target dims; ``fake=False`` raises."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = max(1, width * height // 64)
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable; pass fake=True for the test path"
-                )
             rows = []
             for doc_id, data in zip(pdf[id_col], pdf[data_col]):
                 b = bytes(data) if data is not None else b""
-                out = (b * (target // max(1, len(b)) + 1))[:target] if b else b"\x00" * target
+                parsed = parse_bmp_pixels(b)
+                if parsed is not None:
+                    out = encode_bmp(resize_nearest(parsed[2], width, height))
+                elif fake:
+                    out = (
+                        (b * (target // max(1, len(b)) + 1))[:target]
+                        if b
+                        else b"\x00" * target
+                    )
+                else:
+                    raise NotImplementedError(
+                        "image codecs unavailable; payload is not 24-bit"
+                        " uncompressed BMP -- pass fake=True for the"
+                        " deterministic test path"
+                    )
                 rows.append(
                     {
                         "doc_id": int(doc_id),

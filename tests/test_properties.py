@@ -125,3 +125,84 @@ class TestResumeEquivalence:
         want = {r["id"] for r in full.collect()}
         have = {r["id"] for r in part1.unionByName(part2).collect()}
         assert have == want and len(want) == total
+
+
+class TestByteParserRoundtrips:
+    """Frame -> parse roundtrips for the real multimodal byte parsers:
+    whatever dimensions/samples we encode must come back exactly."""
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=65535),
+        h=st.integers(min_value=1, max_value=65535),
+    )
+    def test_png_roundtrip(self, w, h):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
+
+        b = (
+            b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+        )
+        assert parse_image_header(b) == ("image/png", w, h)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=65535),
+        h=st.integers(min_value=1, max_value=65535),
+        n_app=st.integers(min_value=0, max_value=3),
+    )
+    def test_jpeg_roundtrip_with_leading_segments(self, w, h, n_app):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
+
+        app = b"\xff\xe1" + (10).to_bytes(2, "big") + b"\x00" * 8
+        sof = (
+            b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        )
+        assert parse_image_header(b"\xff\xd8" + app * n_app + sof) == (
+            "image/jpeg", w, h,
+        )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+        ),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def test_wav_roundtrip(self, samples, rate):
+        import math
+        import struct
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_wav_pcm16
+
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        got = parse_wav_pcm16(wav)
+        assert got is not None
+        duration, rms = got
+        assert abs(duration - len(data) / (rate * 2)) < 1e-12
+        want_rms = math.sqrt(
+            sum((s / 32768.0) ** 2 for s in samples) / len(samples)
+        )
+        assert abs(rms - want_rms) < 1e-9
+
+    @settings(max_examples=30, deadline=None)
+    @given(junk=st.binary(max_size=64))
+    def test_junk_never_parses_as_image_or_wav(self, junk):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            parse_image_header,
+            parse_wav_pcm16,
+        )
+
+        # exclude byte strings that happen to start with a real magic
+        if junk[:8] == b"\x89PNG\r\n\x1a\n" or junk[:2] in (b"\xff\xd8", b"BM"):
+            return
+        if junk[:6] in (b"GIF87a", b"GIF89a") or junk[:4] == b"RIFF":
+            return
+        assert parse_image_header(junk) is None
+        assert parse_wav_pcm16(junk) is None

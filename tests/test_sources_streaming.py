@@ -417,3 +417,73 @@ class TestParseWav:
             + b"data" + struct.pack("<I", 0)
         )
         assert parse_wav_pcm16(b) is None
+
+
+class TestBmpResize:
+    def _bmp(self, pixels):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import encode_bmp
+
+        return encode_bmp(np.array(pixels, dtype="uint8"))
+
+    def test_roundtrip_parse_encode(self):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            encode_bmp,
+            parse_bmp_pixels,
+        )
+
+        px = np.arange(5 * 3 * 3, dtype="uint8").reshape(5, 3, 3)
+        got = parse_bmp_pixels(encode_bmp(px))
+        assert got is not None
+        w, h, back = got
+        assert (w, h) == (3, 5)
+        assert (back == px).all()
+
+    def test_nearest_neighbor_downsample_picks_centers(self):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import resize_nearest
+
+        # 4x4 quadrant image -> 2x2 must pick one pixel per quadrant
+        px = np.zeros((4, 4, 3), dtype="uint8")
+        px[:2, 2:] = 10
+        px[2:, :2] = 20
+        px[2:, 2:] = 30
+        small = resize_nearest(px, 2, 2)
+        assert small[0, 0].tolist() == [0, 0, 0]
+        assert small[0, 1].tolist() == [10, 10, 10]
+        assert small[1, 0].tolist() == [20, 20, 20]
+        assert small[1, 1].tolist() == [30, 30, 30]
+
+    def test_distributed_real_resize(self, spark):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            parse_bmp_pixels,
+            resize_images,
+        )
+
+        px = np.zeros((4, 4, 3), dtype="uint8")
+        px[2:, 2:] = 99
+        df = spark.createDataFrame(
+            [(1, bytearray(self._bmp(px)))], "doc_id long, payload binary"
+        )
+        out = resize_images(df, width=2, height=2).collect()[0]
+        w, h, back = parse_bmp_pixels(bytes(out["resized"]))
+        assert (w, h) == (2, 2)
+        assert back[1, 1].tolist() == [99, 99, 99]
+        assert back[0, 0].tolist() == [0, 0, 0]
+
+    def test_non_bmp_without_fake_raises(self, spark):
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import resize_images
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG\r\n\x1a\nrest"))], "doc_id long, payload binary"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="NotImplementedError|not 24-bit"):
+            resize_images(df, width=2, height=2).collect()
