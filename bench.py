@@ -52,6 +52,14 @@ HEADLINE = [
     "llm_simhash_dedup_assign",
     "llm_dedup_clusters",
     "llm_tfidf_top_terms",
+    "llm_neardup_minhash_lsh_capped",
+    "llm_dedup_incremental",
+    "llm_pii_redact",
+    "llm_ngram_counts",
+    "llm_multimodal_decode",
+    "llm_audio_features",
+    "llm_image_resize",
+    "llm_semantic_dedup_assign",
 ]
 
 
@@ -68,6 +76,9 @@ BUILD_SPLIT = {
     "llm_neardup_simhash",
     "llm_simhash_dedup_assign",
     "llm_dedup_clusters",
+    "llm_semantic_dedup_assign",
+    "llm_neardup_minhash_lsh_capped",
+    "llm_dedup_incremental",
 }
 
 N_RUNS = 3

@@ -1400,3 +1400,64 @@ def llm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.hex("resized").alias("resized_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup ASSIGNMENT: star-per-LSH-bucket, linear output
+# ---------------------------------------------------------------------------
+def _semantic_assign_oracle() -> str:
+    bit_exprs = ",\n  ".join(
+        f"CASE WHEN list_sum(list_transform(range(1, {SIM.DIM} + 1), "
+        f"i -> v[i] * ({SIM.sql_hyperplane_literal(k)})[i])) > 0 "
+        f"THEN '1' ELSE '0' END AS b{k}"
+        for k in range(SIM.N_PLANES)
+    )
+    k0 = " || ".join(["'0'"] + [f"b{k}" for k in range(0, SIM.BITS_PER_BAND)])
+    k1 = " || ".join(["'1'"] + [f"b{k}" for k in range(SIM.BITS_PER_BAND, SIM.N_PLANES)])
+    dot = (
+        f"list_sum(list_transform(range(1, {SIM.DIM} + 1), x -> qv[x] * av[x]))"
+    )
+    nrm = "sqrt(list_sum(list_transform(range(1, {d} + 1), x -> {v}[x] * {v}[x])))"
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), bits AS (
+  SELECT vec_id, v,
+  {bit_exprs}
+  FROM e
+), keyed AS (
+  SELECT vec_id, v, unnest([{k0}, {k1}]) AS bkey FROM bits
+), anchors AS (
+  SELECT bkey, min(vec_id) AS anchor FROM keyed GROUP BY bkey
+), cand AS (
+  SELECT DISTINCT k.vec_id, a.anchor
+  FROM keyed k JOIN anchors a ON k.bkey = a.bkey AND k.vec_id > a.anchor
+), scored AS (
+  SELECT c.vec_id, c.anchor,
+         round({dot}
+           / ({nrm.format(d=SIM.DIM, v='qv')} * {nrm.format(d=SIM.DIM, v='av')}), 6)
+           AS cosine
+  FROM (SELECT c0.vec_id, c0.anchor, q.v AS qv, a.v AS av
+        FROM cand c0 JOIN e q ON q.vec_id = c0.vec_id
+                     JOIN e a ON a.vec_id = c0.anchor) c
+)
+SELECT vec_id, min(anchor) AS rep_id, arg_min(cosine, anchor) AS cosine
+FROM scored WHERE cosine >= 0.35 GROUP BY vec_id
+"""
+
+
+@register(
+    "llm_semantic_dedup_assign",
+    oracle=_semantic_assign_oracle(),
+    doc=(
+        "Semantic (embedding-space) dedup ASSIGNMENT: each vector verifies"
+        " against one anchor per LSH band bucket (bucket min vec_id) and"
+        " assigns to its smallest verified anchor -- the linear-output twin"
+        " of llm_simhash_dedup_assign for the embedding modality"
+        " (operators/similarity.semantic_dedup_assign). Candidates are"
+        " O(N x bands), output <= N rows however clustered the corpus is."
+    ),
+)
+def llm_semantic_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return SIM.semantic_dedup_assign(t.embeddings, threshold=0.35)

@@ -1271,3 +1271,250 @@ def a04_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q12 shipping modes vs priority (TPC-H Q12 shape, shipmode synthesized)
+# ---------------------------------------------------------------------------
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey,
+         ['MAIL', 'SHIP', 'TRUCK'][CAST(l_suppkey % 3 AS INTEGER) + 1] AS shipmode,
+         l_shipdate
+  FROM lineitem
+)
+SELECT shipmode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM l JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY shipmode
+""",
+    doc=(
+        "TPC-H Q12 shape: late-shipment counts by ship mode split into"
+        " high/low priority (conditional aggregation after a fact-fact"
+        " join). The testdata carries no shipmode column, so it is"
+        " synthesized deterministically from l_suppkey on both engines."
+        " Scale: the orders join is key-partitioned; the CASE aggregation"
+        " is map-side partial."
+    ),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    modes = F.array(F.lit("MAIL"), F.lit("SHIP"), F.lit("TRUCK"))
+    l = t.lineitem.select(
+        "l_orderkey",
+        F.element_at(modes, (F.col("l_suppkey") % 3).cast("int") + 1).alias("shipmode"),
+        "l_shipdate",
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+    doc=(
+        "TPC-H Q13 shape: order-count-per-customer histogram via LEFT"
+        " OUTER join with an ON-clause filter (customers with zero"
+        " qualifying orders land in bucket 0 -- the outer join semantics"
+        " the inner-join formulation silently loses). Two aggregations,"
+        " both map-side partial; the second input is one row per customer."
+    ),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    c_orders = (
+        t.customer.join(
+            t.orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q15 top supplier by quarterly revenue (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    doc=(
+        "TPC-H Q15 shape: revenue view over a date window, then the"
+        " supplier(s) hitting the global max (scalar subquery against the"
+        " same aggregate -- Catalyst reuses the exchange rather than"
+        " recomputing the view). Rounding before the max comparison keeps"
+        " the float tie exact across engines."
+    ),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    revenue = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        t.supplier.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 small-quantity-order revenue (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_partkey, 0.2 * avg(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avg_qty ON ap_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND l_quantity < threshold
+""",
+    doc=(
+        "TPC-H Q17 shape: per-part average-quantity threshold (correlated"
+        " subquery rewritten as an aggregate join -- the form Catalyst"
+        " plans as one shuffle on l_partkey reused by both sides), then"
+        " revenue of below-threshold lines for one brand. The brand filter"
+        " pushes to the part scan and broadcasts."
+    ),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    avg_qty = t.lineitem.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    )
+    brand = t.part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        t.lineitem.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ap_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 suppliers who kept orders waiting (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 75 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+""",
+    doc=(
+        "TPC-H Q21 shape: the sole late supplier on multi-supplier"
+        " finished orders -- one semi join (another supplier exists) plus"
+        " one anti join (no OTHER late supplier), the classic"
+        " EXISTS/NOT-EXISTS pair. Lateness is derived from"
+        " l_shipdate - o_orderdate (the testdata has no commit/receipt"
+        " dates). Both correlated subqueries plan as joins on l_orderkey,"
+        " co-partitioned with the probe."
+    ),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
+    l = (
+        t.lineitem.join(
+            t.orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 75)).alias("late"),
+        )
+    )
+    l1 = l.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    other = l.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = l.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "anti",
+        )
+    )
+    return (
+        waiting.join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -282,6 +282,40 @@ def lsh_neardup_pairs(
     )
 
 
+def semantic_dedup_assign(
+    embeddings: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """-> (vec_id, rep_id, cosine): star-shaped SEMANTIC dedup assignment
+    -- each vector is tested against one anchor per LSH band bucket (the
+    bucket's minimum vec_id) and assigned to its smallest verified
+    anchor.
+
+    The embedding twin of dedup.simhash_dedup_assign, and the scale path
+    next to lsh_neardup_pairs: pair enumeration on a clustered corpus is
+    quadratic in cluster size, while the dedup DECISION needs one link
+    per duplicate. Candidates are O(N x N_BANDS) and output <= N rows no
+    matter how clustered the corpus is; shuffles carry (bucket, id) and
+    (id, id) pairs only, vectors re-join for candidates alone."""
+    emb = prepared(embeddings)
+    ex = emb.select("vec_id", _plane_dots_batch("v").alias("ds")).select(
+        "vec_id", F.explode(_band_keys_from_dots(F.col("ds"))).alias("bkey")
+    )
+    anchors = ex.groupBy("bkey").agg(F.min("vec_id").alias("anchor"))
+    cand = (
+        ex.join(anchors, ["bkey"])
+        .filter(F.col("vec_id") > F.col("anchor"))
+        .select("vec_id", "anchor")
+        .distinct()
+    )
+    scored = _rejoin_cosine(cand, emb, "vec_id", "anchor", "qv", "av").filter(
+        F.col("cosine") >= threshold
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min("anchor").alias("rep_id"),
+        F.min_by("cosine", "anchor").alias("cosine"),
+    )
+
+
 def sql_hyperplane_literal(k: int) -> str:
     """DuckDB DOUBLE[] literal for hyperplane k (oracle mirror)."""
     return "[" + ", ".join(f"{float(s):.1f}" for s in HYPERPLANES[k]) + "]"
