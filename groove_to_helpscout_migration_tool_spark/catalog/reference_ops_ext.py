@@ -456,17 +456,20 @@ WITH msgs AS (
   FROM events
 )
 SELECT event_id,
-       CASE WHEN recipient_href IS NOT NULL
-            THEN [regexp_extract(recipient_href,
-                  '^https?://api\\.groovehq\\.com/v1/customers/(.*)$', 1)]
-            ELSE []::VARCHAR[] END AS to_list,
+       coalesce(array_to_string(
+         CASE WHEN recipient_href IS NOT NULL
+              THEN [regexp_extract(recipient_href,
+                    '^https?://api\\.groovehq\\.com/v1/customers/(.*)$', 1)]
+              ELSE []::VARCHAR[] END, ';'), '') AS to_list_str,
        CASE WHEN recipient_href IS NOT NULL THEN 1 ELSE 0 END AS n_recipients
 FROM msgs
 """,
     doc=(
         "P17 recipient -> toList (TicketProcessor.php:179-184): href regex"
         " extract wrapped in a one-element array; absent recipient -> empty"
-        " list, not NULL."
+        " list, not NULL. The list is projected through array_join into a"
+        " ';'-delimited scalar because the external checker's pandas"
+        " canonicalizer cannot hash array<string> columns (round-2 crash)."
     ),
 )
 def ref_p17_recipient_tolist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,11 +488,12 @@ def ref_p17_recipient_tolist(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = F.regexp_extract(
         F.col("recipient_href"), r"^https?://api\.groovehq\.com/v1/customers/(.*)$", 1
     )
+    to_list = F.when(
+        F.col("recipient_href").isNotNull(), F.array(extracted)
+    ).otherwise(F.array().cast("array<string>"))
     return msgs.select(
         "event_id",
-        F.when(F.col("recipient_href").isNotNull(), F.array(extracted))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("to_list"),
+        F.array_join(to_list, ";").alias("to_list_str"),
         F.when(F.col("recipient_href").isNotNull(), 1).otherwise(0).alias("n_recipients"),
     )
 
@@ -551,35 +555,66 @@ def ref_j2_mailbox_by_email(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ref_s6_two_level_fanout",
     oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_att,
+         CAST(sum(CAST(l_quantity * 1000 AS BIGINT)) AS BIGINT) AS order_bytes
+  FROM lineitem GROUP BY l_orderkey
+), per_cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_tickets,
+         CAST(sum(coalesce(p.n_att, 0)) AS BIGINT) AS n_attachments,
+         CAST(sum(coalesce(p.order_bytes, 0)) AS BIGINT) AS total_bytes
+  FROM orders o LEFT JOIN per_order p ON p.l_orderkey = o.o_orderkey
+  GROUP BY o_custkey
+)
 SELECT c.c_custkey AS custkey,
-       count(DISTINCT o.o_orderkey) AS n_tickets,
-       count(l.l_linenumber) AS n_attachments,
-       coalesce(sum(CAST(l.l_quantity * 1000 AS BIGINT)), 0) AS total_bytes
-FROM customer c
-LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-GROUP BY c.c_custkey
+       coalesce(pc.n_tickets, 0) AS n_tickets,
+       coalesce(pc.n_attachments, 0) AS n_attachments,
+       coalesce(pc.total_bytes, 0) AS total_bytes
+FROM customer c LEFT JOIN per_cust pc ON pc.o_custkey = c.c_custkey
 """,
     doc=(
         "S6 two-level nested scan (messages.attachments inside the message"
         " loop inside the ticket loop, TicketProcessor.php:56-66,279-282):"
-        " loops become two joins; the group-back aggregates both levels in one"
-        " shuffle. AQE handles the skewed fan-out keys at scale."
+        " loops become two joins. Round 3: restructured as per-order partial"
+        " aggregation before the customer rollup -- no count(DISTINCT) over"
+        " the joined fan-out, every aggregate CAST to BIGINT (DuckDB"
+        " sum(BIGINT) yields HUGEINT, which pandas canonicalizes"
+        " non-portably -- the round-2 driver hash divergence). At 100 TB the"
+        " partial agg also shrinks the lineitem side before the shuffle join."
     ),
 )
 def ref_s6_two_level_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
-    return (
-        t.customer.join(t.orders, F.col("o_custkey") == F.col("c_custkey"), "left")
-        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"), "left")
-        .groupBy(F.col("c_custkey").alias("custkey"))
+    per_order = t.lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_att"),
+        F.sum((F.col("l_quantity") * 1000).cast("bigint")).cast("bigint").alias(
+            "order_bytes"
+        ),
+    )
+    per_cust = (
+        t.orders.join(per_order, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .groupBy("o_custkey")
         .agg(
-            F.countDistinct("o_orderkey").alias("n_tickets"),
-            F.count("l_linenumber").alias("n_attachments"),
-            F.coalesce(
-                F.sum((F.col("l_quantity") * 1000).cast("bigint")), F.lit(0)
-            ).alias("total_bytes"),
+            F.count(F.lit(1)).alias("n_tickets"),
+            F.sum(F.coalesce(F.col("n_att"), F.lit(0))).cast("bigint").alias(
+                "n_attachments"
+            ),
+            F.sum(F.coalesce(F.col("order_bytes"), F.lit(0))).cast("bigint").alias(
+                "total_bytes"
+            ),
         )
+    )
+    return t.customer.join(
+        per_cust, F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.coalesce(F.col("n_tickets"), F.lit(0).cast("bigint")).alias("n_tickets"),
+        F.coalesce(F.col("n_attachments"), F.lit(0).cast("bigint")).alias(
+            "n_attachments"
+        ),
+        F.coalesce(F.col("total_bytes"), F.lit(0).cast("bigint")).alias("total_bytes"),
     )
 
 
@@ -696,14 +731,20 @@ WITH pages AS (
   SELECT CAST(floor(c_custkey / 50) AS BIGINT) AS page, count(*) AS n_records
   FROM customer GROUP BY 1
 )
-SELECT page, n_records,
-       sum(n_records) OVER (ORDER BY page
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+SELECT page,
+       CAST(n_records AS BIGINT) AS n_records,
+       CAST(sum(n_records) OVER (ORDER BY page
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_total
 FROM pages
 """,
     doc=(
         "A1 running migrated-count (numberCustomers += count per page,"
-        " SyncCustomers.php:69-85): cumulative window sum over the page axis."
+        " SyncCustomers.php:69-85): cumulative window sum over"
+        " the pre-aggregated page axis (unique ORDER BY key -> deterministic"
+        " frame). Every aggregate CAST to BIGINT: DuckDB's sum(BIGINT) returns"
+        " HUGEINT, which pandas canonicalizes non-portably across versions --"
+        " the round-2 driver hash divergence."
     ),
 )
 def ref_a1_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
