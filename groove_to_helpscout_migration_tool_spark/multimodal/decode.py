@@ -83,11 +83,13 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
             int.from_bytes(b[20:24], "big"),
         )
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
-        return (
-            "image/gif",
-            int.from_bytes(b[6:8], "little"),
-            int.from_bytes(b[8:10], "little"),
-        )
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        # require plausible dims: ASCII text starting with "GIF87a" would
+        # otherwise be misclassified with garbage width/height
+        if w == 0 or h == 0:
+            return None
+        return ("image/gif", w, h)
     if b[:2] == b"\xff\xd8":
         # walk JPEG segments to the first frame header (SOF0..SOF15,
         # excluding DHT/JPG/DAC which reuse the 0xC_ range)
@@ -107,12 +109,25 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
                 return None
             i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
         return None
-    if b[:2] == b"BM" and len(b) >= 26:
-        return (
-            "image/bmp",
-            int.from_bytes(b[18:22], "little", signed=True),
-            abs(int.from_bytes(b[22:26], "little", signed=True)),
-        )
+    if b[:2] == b"BM" and len(b) >= 34:
+        # validate the BITMAPINFOHEADER fields the way parse_bmp_pixels
+        # does, so arbitrary text starting with ASCII "BM" falls through
+        # to the octet-stream path instead of yielding garbage dims
+        hdr_size = int.from_bytes(b[14:18], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        planes = int.from_bytes(b[26:28], "little")
+        bpp = int.from_bytes(b[28:30], "little")
+        compression = int.from_bytes(b[30:34], "little")
+        if (
+            hdr_size >= 40
+            and planes == 1
+            and bpp in (1, 4, 8, 16, 24, 32)
+            and compression <= 6
+            and w > 0
+            and h != 0
+        ):
+            return ("image/bmp", w, abs(h))
     return None
 
 

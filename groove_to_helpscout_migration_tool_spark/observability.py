@@ -56,24 +56,64 @@ class PipelineMetrics:
         self._observations.append((step, obs))
         return df.observe(obs, *cols)
 
+    @staticmethod
+    def _metrics_or_none(obs: Observation) -> dict[str, Any] | None:
+        """Timed read of an Observation's metrics.
+
+        ``Observation.get`` blocks FOREVER until the observed frame's
+        first action completes, so a snapshot taken before (or without)
+        the action would hang the driver. The JVM Observation exposes
+        ``getRowOrEmpty`` -- a bounded ~100ms wait returning
+        Option[Row] -- which we decode the same way pyspark's ``get``
+        does. Returns None when metrics aren't available yet (or the
+        pyspark internals moved and the non-blocking path is gone).
+        """
+        try:
+            jo = obs._jo
+            if jo is None:
+                return None  # never attached via observe()
+            opt = jo.getRowOrEmpty()
+            if not opt.isDefined():
+                return None  # action has not run yet
+            from pyspark.serializers import CPickleSerializer
+
+            utils = getattr(
+                obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+            )
+            row = CPickleSerializer().loads(utils.toPyRow(opt.get()))
+            return row.asDict(recursive=False)
+        except Exception:
+            return None
+
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """-> (step, metric, value, observed_at_sec) for every tracked
         stage whose action has run. Long-format so heterogeneous metrics
-        across steps share one schema (the K5 metrics-table shape)."""
+        across steps share one schema (the K5 metrics-table shape).
+        Stages whose action has not completed are omitted (bounded wait,
+        never an indefinite block), so the table is empty/partial rather
+        than a hang when called early."""
         elapsed = time.monotonic() - self._t0
         rows: list[tuple[str, str, float, float]] = []
         for step, obs in self._observations:
-            for metric, value in obs.get.items():
+            metrics = self._metrics_or_none(obs)
+            if metrics is None:
+                continue
+            for metric, value in metrics.items():
                 rows.append(
                     (step, metric, float(value if value is not None else 0), elapsed)
                 )
         return spark.createDataFrame(rows, METRICS_SCHEMA)
 
     def log(self, printer: Any = print) -> None:
-        """K5 console sink: render SyncCommandBase-style progress lines."""
+        """K5 console sink: render SyncCommandBase-style progress lines.
+        Pending stages print as such instead of blocking the driver."""
         elapsed = max(time.monotonic() - self._t0, 1e-9)
         for step, obs in self._observations:
-            for metric, value in obs.get.items():
+            metrics = self._metrics_or_none(obs)
+            if metrics is None:
+                printer(f"[{step}] <pending: action has not completed>")
+                continue
+            for metric, value in metrics.items():
                 rate = (value or 0) / elapsed
                 printer(
                     f"[{step}] {metric}={value} ({rate:.1f}/sec over {elapsed:.1f}s)"

@@ -273,3 +273,23 @@ class TestPipelineMetrics:
         assert any("[stage_a] n_rows=10" in ln for ln in lines)
         assert eta_hms(50, 100, 100.0) == "00:01:40"
         assert eta_hms(0, 100, 5.0) == "--:--:--"
+
+    def test_snapshot_before_action_does_not_block(self, spark):
+        """Observation.get blocks forever until the observed frame's
+        action runs; snapshot/log must instead return partial metrics
+        for the stages that HAVE run (ADVICE r2)."""
+        from groove_to_helpscout_migration_tool_spark.observability import PipelineMetrics
+
+        pm = PipelineMetrics()
+        ran = pm.track(spark.range(5).toDF("n"), "ran_stage")
+        pm.track(spark.range(7).toDF("n"), "pending_stage")  # no action
+        ran.count()
+
+        rows = pm.snapshot(spark).collect()
+        steps = {r["step"] for r in rows}
+        assert steps == {"ran_stage"}
+
+        lines = []
+        pm.log(printer=lines.append)
+        assert any("[ran_stage] n_rows=5" in ln for ln in lines)
+        assert any("pending_stage" in ln and "pending" in ln for ln in lines)

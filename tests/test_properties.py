@@ -206,3 +206,25 @@ class TestByteParserRoundtrips:
             return
         assert parse_image_header(junk) is None
         assert parse_wav_pcm16(junk) is None
+
+    def test_ascii_text_with_magic_prefix_rejected(self):
+        """A text document starting with ASCII 'BM' or 'GIF87a' must NOT
+        be misclassified as an image with garbage dimensions: the BMP
+        branch validates BITMAPINFOHEADER fields, the GIF branch requires
+        nonzero dims (ADVICE r2)."""
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            parse_image_header,
+        )
+
+        assert parse_image_header(b"BMW sales figures for Q3 grew by 12%....") is None
+        assert parse_image_header(b"GIF87a\x00\x00\x00\x00 is an ancient format") is None
+        # and a well-formed minimal BMP still parses
+        hdr = (
+            b"BM" + (70).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + (2).to_bytes(4, "little", signed=True)
+            + (2).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+        )
+        assert parse_image_header(hdr) == ("image/bmp", 2, 2)
