@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -49,6 +50,7 @@ HEADLINE = [
     "llm_neardup_minhash_lsh",
     "llm_neardup_ngram_jaccard",
     "llm_neardup_simhash",
+    "llm_neardup_simhash_capped",
     "llm_simhash_dedup_assign",
     "llm_dedup_clusters",
     "llm_tfidf_top_terms",
@@ -74,6 +76,7 @@ BUILD_SPLIT = {
     "llm_neardup_minhash_lsh",
     "llm_neardup_ngram_jaccard",
     "llm_neardup_simhash",
+    "llm_neardup_simhash_capped",
     "llm_simhash_dedup_assign",
     "llm_dedup_clusters",
     "llm_semantic_dedup_assign",
@@ -82,6 +85,24 @@ BUILD_SPLIT = {
 }
 
 N_RUNS = 3
+
+
+def _git_sha() -> str:
+    """HEAD sha (+ '-dirty' if the tree differs): stamped into the bench
+    JSON so a bench record taken at a stale commit is detectable."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=here, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            cwd=here, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return f"{sha}-dirty" if sha and dirty else (sha or "unknown")
+    except Exception:
+        return "unknown"
 
 
 def main() -> None:
@@ -125,6 +146,7 @@ def main() -> None:
                 "queries": timings,
                 "build": build,
                 "spread_pct": spreads,
+                "sha": _git_sha(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -494,6 +494,40 @@ def llm_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_neardup_simhash_capped",
+    oracle=f"""
+WITH {_SIMHASH_CTES}, chunks_all AS (
+  SELECT doc_id, simhash,
+         c.c::VARCHAR || ':' || ((simhash >> (c.c * 15)) % 32768)::VARCHAR AS chunk
+  FROM simsig, (SELECT unnest(range(4)) AS c) c
+), chunks AS (
+  SELECT doc_id, simhash, chunk FROM chunks_all
+  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id) <= {_LSH_CAP}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j,
+                  l.simhash AS sh_i, r.simhash AS sh_j
+  FROM chunks l JOIN chunks r ON l.chunk = r.chunk AND l.doc_id < r.doc_id
+)
+SELECT i AS doc_i, j AS doc_j,
+       CAST(bit_count(xor(sh_i, sh_j)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_i, sh_j)) <= 8
+""",
+    doc=(
+        "SimHash near-dup pairs with HOT-BUCKET CAPPING: each 15-bit "
+        f"chunk bucket keeps only its {_LSH_CAP} lowest doc_ids before "
+        "the self-join (operators/dedup.cap_bucket), the same guard "
+        "minhash_lsh_capped uses -- bounds every bucket at cap*(cap-1)/2 "
+        "candidate pairs, closing the round-2 quadratic-bucket scale "
+        "hole on boilerplate-heavy corpora. Oracle mirrors the cap with "
+        "a row_number() QUALIFY."
+    ),
+)
+def llm_neardup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return DD.simhash_neardup_pairs(t.documents, max_hamming=8, bucket_cap=_LSH_CAP)
+
+
+@register(
     "llm_simhash_dedup_assign",
     oracle=f"""
 WITH {_SIMHASH_CTES}, chunks AS (

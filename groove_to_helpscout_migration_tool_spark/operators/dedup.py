@@ -406,12 +406,25 @@ def _chunk_keys() -> "F.Column":
     )
 
 
-def simhash_neardup_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_neardup_pairs(
+    documents: DataFrame, max_hamming: int = 8, bucket_cap: int | None = None
+) -> DataFrame:
     """-> (doc_i, doc_j, hamming): pairs blocked on any equal 15-bit
-    signature chunk, verified by Hamming distance <= max_hamming."""
+    signature chunk, verified by Hamming distance <= max_hamming.
+
+    ``bucket_cap`` bounds each chunk bucket to its cap lowest doc_ids
+    before the self-join (cap_bucket), exactly as minhash_lsh_pairs
+    does -- the production guard for boilerplate-heavy corpora where
+    one shared chunk value makes the self-join quadratic in that
+    bucket's width (the round-2 scale hole: 1.6M pairs at sf0.1).
+    Uncapped remains the oracle-exact form."""
     # persisted: the candidate join references the signatures twice
     sig = simhash_signature(documents).persist()
     ex = sig.select("doc_id", "simhash", F.explode(_chunk_keys()).alias("chunk"))
+    if bucket_cap is not None:
+        # persist the capped explode: the row_number shuffle would
+        # otherwise run once per side of the self-join
+        ex = cap_bucket(ex, "chunk", "doc_id", bucket_cap).persist()
     left = ex.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sh_i"), "chunk")
     right = ex.select(F.col("doc_id").alias("j"), F.col("simhash").alias("sh_j"), "chunk")
     cand = (
