@@ -36,6 +36,8 @@ from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 _CHANGED_THIS_ROUND = {
     "ref_p17_recipient_tolist", "ref_a1_running_count",
     "ref_s6_two_level_fanout",
+    # round 3: gained real oracles (were rows-only no_oracle before)
+    "ref_pipeline_sync_customers", "ref_pipeline_sync_tickets",
 }
 
 _HEAVY = {

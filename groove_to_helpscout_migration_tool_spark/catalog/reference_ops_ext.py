@@ -1172,12 +1172,48 @@ def ref_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "ref_pipeline_sync_customers",
-    oracle=None,
+    oracle="""
+WITH raw(email, name, title, company_name) AS (
+  VALUES
+    ('jane@ex.com', 'Jane Q Doe', 'CTO', 'Acme'),
+    ('bob@ex.com;bob2@ex.org', 'Bob', NULL, NULL),
+    ('carol@ex.com invalid-email', 'Carol von Trapp',
+     'Chief ' || repeat('X', 60), 'Org' || repeat('Y', 60)),
+    ('dave@ex.com', 'Dave ' || repeat('Z', 45), NULL, NULL),
+    ('+15550102@sms.ex', '+1 555 0102', NULL, NULL)
+), named AS (
+  SELECT *,
+    CASE WHEN instr(name, ' ') > 0
+         THEN substr(name, 1, instr(name, ' ') - 1) ELSE name END AS fn_raw,
+    CASE WHEN instr(name, ' ') > 0
+         THEN trim(substr(name, instr(name, ' ') + 1)) END AS ln_raw,
+    list_filter(str_split_regex(email, '[ ;,]'), x -> x <> '') AS frags
+  FROM raw
+), validated AS (
+  SELECT *,
+    len(list_filter(frags, x -> NOT regexp_matches(x,
+      '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$'))) = 0 AS all_valid
+  FROM named
+)
+SELECT email AS source_email,
+       CASE WHEN length(fn_raw) > 40 THEN substr(fn_raw, 1, 40)
+            ELSE fn_raw END AS first_name,
+       CASE WHEN length(ln_raw) > 40 THEN substr(ln_raw, 1, 40)
+            ELSE ln_raw END AS last_name,
+       CASE WHEN length(company_name) > 60 THEN substr(company_name, 1, 60)
+            ELSE company_name END AS organization,
+       CAST(CASE WHEN all_valid THEN len(frags) ELSE 1 END AS INTEGER)
+         AS n_emails
+FROM validated
+""",
     doc=(
         "sync-customers end-to-end (SURVEY section 3.1): Groove fixture ->"
         " P1-P5 transforms -> HelpScout customer rows. Map-only, zero"
         " shuffles, fully codegen'd; warnings ride the side-channel. Flattened"
-        " here to scalar lineage columns for the driver's schema check."
+        " here to scalar lineage columns for the driver's schema check. The"
+        " oracle INDEPENDENTLY recomputes the P2/P3/P4 transforms in DuckDB"
+        " SQL over the same raw fixture literals (sources/fixtures.py)"
+        " embedded as a VALUES CTE -- no filesystem dependency."
     ),
 )
 def ref_pipeline_sync_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,13 +1232,25 @@ def ref_pipeline_sync_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ref_pipeline_sync_tickets",
-    oracle=None,
+    oracle="""
+SELECT * FROM (VALUES
+  (1, 'Login broken', 'active', 3, 1),
+  (4, 'Spam offer', 'spam', 1, CAST(NULL AS INTEGER))
+) AS t(ticket_number, subject, status, n_threads, n_tags)
+""",
     doc=(
         "sync-tickets end-to-end (SURVEY section 3.2): validation anti-joins,"
         " dedup semi-join, message fan-out, thread classification/person"
         " resolution, attachment handling with failure-note recovery, ordered"
         " group-back -- conversations + error side-channel, summarized to"
-        " scalar columns for the driver's stable-schema check."
+        " scalar columns for the driver's stable-schema check. The pipeline"
+        " is not SQL-expressible end-to-end, so the oracle is GOLDEN-PINNED:"
+        " the expected rows are the same goldens tests/test_pipelines.py"
+        " asserts field-by-field (ticket 1 happy path with 3 threads; ticket"
+        " 4 spam with the attachment-failure note thread; tickets 2/5/6"
+        " dropped by validation, ticket 3 deduped against the existing HS"
+        " conversation). The driver check is thereby a golden regression"
+        " gate rather than an independent recompute."
     ),
 )
 def ref_pipeline_sync_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
