@@ -1007,7 +1007,7 @@ FROM reach GROUP BY node
     doc=(
         "Near-dup CLUSTERING: connected components over the MinHash-LSH "
         "pair graph via iterative min-label propagation (driver loop, "
-        "localCheckpoint per round -- operators/dedup.neardup_clusters). "
+        "storage-backed checkpoint per round -- dedup.neardup_clusters). "
         "Turns pairs into the dedup decision: keep min doc_id per cluster. "
         "The oracle computes the same components with a recursive CTE."
     ),

@@ -221,6 +221,27 @@ def minhash_lsh_pairs(
     )
 
 
+def _ensure_checkpoint_dir(spark) -> None:
+    """Point the SparkContext at a STORAGE-backed checkpoint dir (once).
+
+    localCheckpoint keeps blocks in executor memory/disk -- executor
+    loss mid-iteration kills the job at cluster scale. checkpoint()
+    writes to this directory instead (HDFS/S3 on a real cluster via
+    $SPARK_GRAFT_CHECKPOINT_DIR; a local tmpdir here), so recomputation
+    after executor death replays from durable storage."""
+    import os
+    import tempfile
+
+    jsc = spark.sparkContext
+    if jsc._jsc.sc().getCheckpointDir().isEmpty():
+        jsc.setCheckpointDir(
+            os.environ.get(
+                "SPARK_GRAFT_CHECKPOINT_DIR",
+                os.path.join(tempfile.gettempdir(), "spark_graft_checkpoints"),
+            )
+        )
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """-> (node, label): connected components of an undirected graph given
     as a DIRECTED edge DataFrame (src, dst) containing both orientations
@@ -234,18 +255,20 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     length every round, so convergence is O(log diameter): max_iter=20
     covers diameters past 10^5 (same effect as the large-star/small-star
     scheme of Kiveris et al., in one joined step). Lineage is truncated
-    per round with localCheckpoint (an iterative algorithm on Spark is a
-    driver loop over checkpointed DataFrames -- without truncation the
-    plan doubles each round; at 100 TB, checkpoint to storage instead).
-    Raises if the budget is exhausted rather than silently returning
-    partial labels."""
+    per round with STORAGE-BACKED checkpoint() (an iterative algorithm
+    on Spark is a driver loop over checkpointed DataFrames -- without
+    truncation the plan doubles each round; localCheckpoint would lose
+    blocks on executor death, see _ensure_checkpoint_dir). Raises if
+    the budget is exhausted rather than silently returning partial
+    labels."""
+    _ensure_checkpoint_dir(edges.sparkSession)
     # initialize at min(node, neighbors) -- the first propagation round
     # folded into one aggregation, saving an iteration on most graphs
     labels = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("nbr_min"))
         .select("node", F.least("node", "nbr_min").alias("label"))
-        .localCheckpoint()
+        .checkpoint()
     )
     for it in range(max_iter):
         prop = (
@@ -274,7 +297,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # "changed == 0 over the latest round" is exactly the fixed
         # point, whichever round it is observed on.
         if it % 2 == 1 or it == max_iter - 1:
-            new_labels = new_labels.localCheckpoint()
+            new_labels = new_labels.checkpoint()
             changed = new_labels.filter(
                 F.col("new_label") != F.col("label")
             ).count()

@@ -65,6 +65,24 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(_edges_df(spark, pairs), max_iter=1)
 
+    def test_storage_backed_checkpoint_and_stable_recompute(self, spark):
+        """Lineage must be cut to DURABLE storage (checkpoint(), not
+        localCheckpoint: executor death would lose in-memory blocks at
+        cluster scale), and re-evaluating the returned frame -- Spark's
+        recompute path -- must reproduce identical labels."""
+        import os
+
+        pairs = [(i, i + 1) for i in range(49)] + [(100 + i, 100 + i + 1) for i in range(9)]
+        labels = connected_components(_edges_df(spark, pairs), max_iter=10)
+        first = {r["node"]: r["label"] for r in labels.collect()}
+        ckpt_dir_opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        assert not ckpt_dir_opt.isEmpty()
+        ckpt_dir = ckpt_dir_opt.get().replace("file:", "")
+        assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+        # second evaluation replays from the durable checkpoint
+        second = {r["node"]: r["label"] for r in labels.collect()}
+        assert first == second == _union_find(pairs)
+
 
 class TestBucketCap:
     def test_pathological_bucket_bounded(self, spark):
