@@ -61,6 +61,7 @@ HEADLINE = [
     "llm_multimodal_decode",
     "llm_audio_features",
     "llm_image_resize",
+    "llm_video_frames",
     "llm_semantic_dedup_assign",
 ]
 

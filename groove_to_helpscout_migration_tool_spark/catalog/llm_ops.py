@@ -1459,6 +1459,80 @@ def llm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Video frame sampling: REAL animated-GIF block walk
+# ---------------------------------------------------------------------------
+@register(
+    "llm_video_frames",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 4 + 2 AS n_frames,
+         CAST(doc_id % 7 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 5 + 2 AS INTEGER) AS height
+  FROM documents
+), f AS (
+  SELECT doc_id, unnest(range(0, n_frames, 2)) AS k, width, height FROM p
+)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST(21 + 22 * k AS INTEGER) AS frame_offset,
+       width, height,
+       CAST(k + 1 AS INTEGER) AS delay_cs,
+       CAST(14 AS INTEGER) AS frame_bytes
+FROM f
+""",
+    doc=(
+        "Video frame sampling with a REAL animated-GIF block walk"
+        " (multimodal/decode.parse_gif_frames): graphic-control-extension"
+        " delays, image-descriptor offsets/dims, LZW sub-block chains --"
+        " pure byte parsing, no codec lib; every 2nd frame sampled via"
+        " the 1:N mapInPandas fan-out. The fixture frames valid GIF89a"
+        " animations JVM-side (doc_id%4+2 frames of doc_id%7+2 x"
+        " doc_id%5+2, frame k delayed k+1 cs), so every parsed offset/"
+        "dim/delay has the closed form the oracle checks: frame k's"
+        " descriptor starts at 13 + 22k + 8 and spans 14 bytes."
+    ),
+)
+def llm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.decode import sample_video_frames
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    n_frames = (F.col("doc_id") % 4 + 2).cast("int")
+    w = (F.col("doc_id") % 7 + 2).cast("int")
+    h = (F.col("doc_id") % 5 + 2).cast("int")
+    le2 = lambda c: F.concat(  # noqa: E731
+        F.substring(F.lpad(F.hex(c), 4, "0"), 3, 2),
+        F.substring(F.lpad(F.hex(c), 4, "0"), 1, 2),
+    )
+    # frame k: 8-byte GCE (delay k+1 cs) + 10-byte descriptor (full
+    # logical screen) + LZW min code size + one data sub-block + term
+    frame_hex = lambda k: F.concat(  # noqa: E731
+        F.lit("21F90400"), le2(k + 1), F.lit("0000"),
+        F.lit("2C00000000"), le2(w), le2(h), F.lit("00"),
+        F.lit("02018000"),
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit("474946383961"), le2(w), le2(h), F.lit("000000"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), n_frames - 1), frame_hex), ""
+            ),
+            F.lit("3B"),
+        )
+    )
+    payloads = t.documents.select("doc_id", payload.alias("payload"))
+    return sample_video_frames(payloads, every_n=2).select(
+        "doc_id",
+        "frame_idx",
+        F.col("offset").alias("frame_offset"),
+        "width",
+        "height",
+        "delay_cs",
+        F.col("n_bytes").alias("frame_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup ASSIGNMENT: star-per-LSH-bucket, linear output
 # ---------------------------------------------------------------------------
 def _semantic_assign_oracle() -> str:

@@ -44,6 +44,11 @@ AUDIO_FEAT_SCHEMA = T.StructType([
 FRAME_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("offset", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("delay_cs", T.IntegerType()),
+    T.StructField("n_bytes", T.IntegerType()),
     T.StructField("frame", T.BinaryType()),
 ])
 
@@ -254,6 +259,81 @@ def extract_audio_features(
     return df.select(id_col, data_col).mapInPandas(run, schema=AUDIO_FEAT_SCHEMA)
 
 
+def parse_gif_frames(b: bytes) -> list[dict] | None:
+    """REAL animated-GIF frame walk -- pure byte parsing, no codec lib.
+
+    Walks the GIF87a/89a block structure: logical screen descriptor
+    (+ global color table), extension blocks (reading the delay out of
+    each graphic control extension's data sub-block), image descriptors
+    (+ local color tables) and their LZW data sub-block chains. Returns
+    one dict per frame: frame_idx, offset (of the 0x2C image
+    descriptor), n_bytes (descriptor through block terminator), left,
+    top, width, height, delay_cs (preceding GCE delay, centiseconds).
+    None when the bytes are not a structurally-complete GIF.
+    """
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 14:
+        return None
+    i = 13
+    if b[10] & 0x80:  # global color table
+        i += 3 * (2 << (b[10] & 0x07))
+    frames: list[dict] = []
+    delay_cs = 0
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x3B:  # trailer
+            return frames
+        if blk == 0x21:  # extension: label + data sub-blocks
+            if i + 2 >= len(b):
+                return None
+            label = b[i + 1]
+            j = i + 2
+            first = True
+            while j < len(b) and b[j] != 0:
+                sz = b[j]
+                if label == 0xF9 and first and sz >= 4 and j + 4 < len(b):
+                    delay_cs = int.from_bytes(b[j + 2 : j + 4], "little")
+                first = False
+                j += 1 + sz
+            if j >= len(b):
+                return None
+            i = j + 1
+        elif blk == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                return None
+            start = i
+            left = int.from_bytes(b[i + 1 : i + 3], "little")
+            top = int.from_bytes(b[i + 3 : i + 5], "little")
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            ipacked = b[i + 9]
+            j = i + 10
+            if ipacked & 0x80:  # local color table
+                j += 3 * (2 << (ipacked & 0x07))
+            j += 1  # LZW minimum code size byte
+            while j < len(b) and b[j] != 0:
+                j += 1 + b[j]
+            if j >= len(b):
+                return None
+            j += 1  # block terminator
+            frames.append(
+                {
+                    "frame_idx": len(frames),
+                    "offset": start,
+                    "n_bytes": j - start,
+                    "left": left,
+                    "top": top,
+                    "width": w,
+                    "height": h,
+                    "delay_cs": delay_cs,
+                }
+            )
+            delay_cs = 0
+            i = j
+        else:
+            return None  # corrupt / unknown block
+    return None  # ran off the end without a trailer
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -262,23 +342,54 @@ def sample_video_frames(
     fake: bool = False,
 ) -> DataFrame:
     """Video binary -> one row per sampled frame (1:N mapInPandas fan-out,
-    the multimodal analog of the S5 message explosion)."""
+    the multimodal analog of the S5 message explosion).
+
+    Animated GIFs take the REAL path: parse_gif_frames walks the block
+    structure and every ``every_n``-th frame is emitted with its true
+    byte offset, dimensions, inter-frame delay, and raw (still
+    LZW-compressed) frame bytes. Other containers would need a codec
+    lib (absent here): ``fake=True`` substitutes the deterministic
+    32-byte-chunk fake so tests exercise the distributed path;
+    ``fake=False`` raises for them.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video codecs unavailable; pass fake=True for the test path"
-                )
             rows = []
             for doc_id, data in zip(pdf[id_col], pdf[data_col]):
                 b = bytes(data) if data is not None else b""
+                frames = parse_gif_frames(b)
+                if frames is not None:
+                    for fr in frames[::every_n]:
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "frame_idx": fr["frame_idx"],
+                                "offset": fr["offset"],
+                                "width": fr["width"],
+                                "height": fr["height"],
+                                "delay_cs": fr["delay_cs"],
+                                "n_bytes": fr["n_bytes"],
+                                "frame": b[fr["offset"] : fr["offset"] + fr["n_bytes"]],
+                            }
+                        )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "video codecs unavailable and payload is not an"
+                        " animated GIF; pass fake=True for the test path"
+                    )
                 n_frames = max(1, len(b) // 32)
                 for idx in range(0, n_frames, every_n):
                     rows.append(
                         {
                             "doc_id": int(doc_id),
                             "frame_idx": idx,
+                            "offset": idx * 32,
+                            "width": None,
+                            "height": None,
+                            "delay_cs": None,
+                            "n_bytes": len(b[idx * 32 : (idx + 1) * 32]),
                             "frame": b[idx * 32 : (idx + 1) * 32],
                         }
                     )

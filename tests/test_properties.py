@@ -207,6 +207,37 @@ class TestByteParserRoundtrips:
         assert parse_image_header(junk) is None
         assert parse_wav_pcm16(junk) is None
 
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=65535),
+        h=st.integers(min_value=1, max_value=65535),
+        delays=st.lists(
+            st.integers(min_value=0, max_value=65535), min_size=1, max_size=8
+        ),
+    )
+    def test_gif_frame_walk_roundtrip(self, w, h, delays):
+        """Frame an animated GIF -> parse_gif_frames must recover every
+        frame's offset, dims and GCE delay exactly."""
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_gif_frames
+
+        le2 = lambda v: v.to_bytes(2, "little")  # noqa: E731
+        b = b"GIF89a" + le2(w) + le2(h) + b"\x00\x00\x00"
+        offsets = []
+        for d in delays:
+            b += b"\x21\xf9\x04\x00" + le2(d) + b"\x00\x00"
+            offsets.append(len(b))
+            b += b"\x2c\x00\x00\x00\x00" + le2(w) + le2(h) + b"\x00"
+            b += b"\x02\x01\x80\x00"
+        b += b"\x3b"
+        frames = parse_gif_frames(b)
+        assert frames is not None and len(frames) == len(delays)
+        for k, fr in enumerate(frames):
+            assert (fr["offset"], fr["width"], fr["height"], fr["delay_cs"]) == (
+                offsets[k], w, h, delays[k],
+            )
+        # truncating the trailer must fail structurally, not mis-parse
+        assert parse_gif_frames(b[:-1]) is None
+
     def test_ascii_text_with_magic_prefix_rejected(self):
         """A text document starting with ASCII 'BM' or 'GIF87a' must NOT
         be misclassified as an image with garbage dimensions: the BMP

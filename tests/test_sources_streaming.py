@@ -334,21 +334,29 @@ class TestParseImageHeader:
         )
         assert parse_image_header(b"\xff\xd8" + dht + sof0) == ("image/jpeg", 9, 7)
 
+    @staticmethod
+    def _bmp_hdr(h: int) -> bytes:
+        # well-formed BITMAPINFOHEADER prefix: the validation added in
+        # round 3 (ADVICE r2) rejects zero header-size/planes/bpp
+        return (
+            b"BM" + b"\x00" * 12
+            + (40).to_bytes(4, "little")
+            + (800).to_bytes(4, "little")
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+        )
+
     def test_bmp(self):
         from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
 
-        hdr = b"BM" + b"\x00" * 16 + (800).to_bytes(4, "little") + (600).to_bytes(4, "little")
-        assert parse_image_header(hdr) == ("image/bmp", 800, 600)
+        assert parse_image_header(self._bmp_hdr(600)) == ("image/bmp", 800, 600)
 
     def test_bmp_topdown_negative_height(self):
         from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
 
-        hdr = (
-            b"BM" + b"\x00" * 16
-            + (800).to_bytes(4, "little")
-            + (-600).to_bytes(4, "little", signed=True)
-        )
-        assert parse_image_header(hdr) == ("image/bmp", 800, 600)
+        assert parse_image_header(self._bmp_hdr(-600)) == ("image/bmp", 800, 600)
 
     def test_unparseable_returns_none(self):
         from groove_to_helpscout_migration_tool_spark.multimodal.decode import parse_image_header
