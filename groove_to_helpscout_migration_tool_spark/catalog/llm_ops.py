@@ -1458,6 +1458,89 @@ def llm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_image_resize_multiformat",
+    oracle=f"""
+WITH spec AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END
+           AS container,
+         printf('%02X%02X%02X', doc_id % 256, (doc_id * 7) % 256,
+                (doc_id * 13) % 256) AS bgr
+  FROM documents
+)
+SELECT doc_id, container,
+       {_RESIZE_W} AS width, {_RESIZE_H} AS height,
+       '{_OUT_HDR}' || repeat(repeat(bgr, {_RESIZE_W}) || '{_OUT_PAD}', {_RESIZE_H})
+         AS resized_hex
+FROM spec
+""",
+    doc=(
+        "Image resize across THREE real codec paths with no codec library"
+        " (multimodal/decode): 24-bit BMP (parse_bmp_pixels), 8-bit RGB PNG"
+        " (parse_png_pixels -- stdlib zlib inflate + scanline unfilter), and"
+        " GIF (parse_gif_pixels -- real LZW decompression against the color"
+        " table). The fixture round-robins solid-color payloads through the"
+        " three encoders per doc_id%3; since resampling a solid image is the"
+        " same solid at the target dims and every real path re-encodes to"
+        " deterministic BMP, all three containers converge to one closed-form"
+        " output the oracle constructs in SQL -- a cross-codec consistency"
+        " check, not just a per-format one."
+    ),
+)
+def llm_image_resize_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..multimodal.decode import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        resize_images,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+
+    def build(batches):
+        encoders = [encode_bmp, encode_png, encode_gif]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w_in, h_in = d % 8 + 1, d % 6 + 1
+                bgr = np.zeros((h_in, w_in, 3), dtype=np.uint8)
+                bgr[:, :] = [d % 256, d * 7 % 256, d * 13 % 256]
+                out.append({"doc_id": d, "payload": encoders[d % 3](bgr)})
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = (
+        t.documents.select("doc_id")
+        .mapInPandas(
+            build,
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("payload", T.BinaryType()),
+                ]
+            ),
+        )
+    )
+    resized = resize_images(payloads, width=_RESIZE_W, height=_RESIZE_H)
+    container = (
+        F.when(F.col("doc_id") % 3 == 0, "bmp")
+        .when(F.col("doc_id") % 3 == 1, "png")
+        .otherwise("gif")
+    )
+    return resized.select(
+        "doc_id",
+        container.alias("container"),
+        "width",
+        "height",
+        F.hex("resized").alias("resized_hex"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Video frame sampling: REAL animated-GIF block walk
 # ---------------------------------------------------------------------------

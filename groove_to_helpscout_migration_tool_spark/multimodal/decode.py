@@ -456,6 +456,296 @@ def encode_bmp(pixels) -> bytes:
     return header + padded[::-1].tobytes()  # bottom-up rows
 
 
+def parse_png_pixels(b: bytes):
+    """-> (width, height, pixels) for a non-interlaced 8-bit-depth PNG
+    (grayscale / RGB / RGBA), where ``pixels`` is a top-down (H, W, 3)
+    uint8 array in BGR byte order to match ``parse_bmp_pixels``.
+
+    REAL decode with no codec library: chunk walk -> IHDR + IDAT
+    concat, stdlib ``zlib`` inflate, then per-row reversal of the five
+    PNG scanline filters (None/Sub/Up/Average/Paeth). Filters 0/2 are
+    fully vectorized; 1/3/4 fall back to a per-byte loop because each
+    byte depends on the just-reconstructed left neighbor. Alpha is
+    dropped; gray replicates to 3 channels. None for anything else
+    (16-bit, palette, interlaced)."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    ihdr = None
+    idat: list[bytes] = []
+    i = 8
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + payload + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace != 0 or w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, scan = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, row = int(filters[y]), scan[y]
+        if f == 0:
+            cur = row.copy()
+        elif f == 2:  # Up
+            cur = row + prev  # uint8 wraps mod 256, which is the spec
+        elif f == 1:  # Sub
+            cur = row.copy()
+            for x in range(channels, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - channels])) & 0xFF
+        elif f == 3:  # Average
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - channels]) if x >= channels else 0
+                cur[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                up = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif channels == 4:
+        rgb = px[:, :, :3]
+    else:
+        rgb = px
+    return w, h, np.ascontiguousarray(rgb[:, :, ::-1])  # RGB -> BGR
+
+
+def encode_png(pixels) -> bytes:
+    """Top-down (H, W, 3) BGR uint8 array -> 8-bit RGB PNG bytes
+    (filter 0 on every scanline, one zlib-deflated IDAT). Buildable
+    with stdlib ``zlib`` alone; deterministic for a fixed zlib
+    version+level, so round-trip tests use it while pipeline outputs
+    stay in the version-independent BMP container."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    height, width = pixels.shape[0], pixels.shape[1]
+    rgb = np.ascontiguousarray(pixels[:, :, ::-1])  # BGR -> RGB
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(height))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int):
+    """GIF-variant LZW decompress -> list of color-table indices
+    (pure Python, no codec lib). Stops after ``n_pixels`` indices or
+    the end-of-information code. None on a corrupt stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = dict(base)
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out if len(out) >= n_pixels else None
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + (prev[0],)
+            else:
+                return None
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out if len(out) >= n_pixels else None
+
+
+def parse_gif_pixels(b: bytes):
+    """-> (width, height, pixels) for the FIRST frame of a GIF, where
+    ``pixels`` is a top-down (H, W, 3) uint8 BGR array -- REAL LZW
+    decompression of the frame's data sub-block chain against its
+    (local, else global) color table, pure Python + numpy. Handles the
+    interlaced row order. None unless the bytes are a complete GIF
+    whose first frame decodes cleanly."""
+    import numpy as np
+
+    frames = parse_gif_frames(b)
+    if not frames:
+        return None
+    fr = frames[0]
+    w, h = fr["width"], fr["height"]
+    if w <= 0 or h <= 0:
+        return None
+    # global color table sits right after the 13-byte header
+    gct = None
+    if b[10] & 0x80:
+        n = 2 << (b[10] & 0x07)
+        gct = b[13 : 13 + 3 * n]
+    i = fr["offset"]
+    ipacked = b[i + 9]
+    j = i + 10
+    table = gct
+    if ipacked & 0x80:  # local color table wins
+        n = 2 << (ipacked & 0x07)
+        table = b[j : j + 3 * n]
+        j += 3 * n
+    if table is None:
+        return None
+    min_code_size = b[j]
+    j += 1
+    sub: list[bytes] = []
+    while j < len(b) and b[j] != 0:
+        sub.append(b[j + 1 : j + 1 + b[j]])
+        j += 1 + b[j]
+    indices = _gif_lzw_decode(min_code_size, b"".join(sub), w * h)
+    if indices is None or not (2 <= min_code_size <= 8):
+        return None
+    palette = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)  # RGB rows
+    idx = np.asarray(indices, dtype=np.int64)
+    if idx.max() >= palette.shape[0]:
+        return None
+    rgb = palette[idx].reshape(h, w, 3)
+    if ipacked & 0x40:  # interlaced: rows stored in 8/8/4/2 passes
+        order = np.concatenate(
+            [
+                np.arange(0, h, 8),
+                np.arange(4, h, 8),
+                np.arange(2, h, 4),
+                np.arange(1, h, 2),
+            ]
+        )
+        deinterlaced = np.zeros_like(rgb)
+        deinterlaced[order] = rgb
+        rgb = deinterlaced
+    return w, h, np.ascontiguousarray(rgb[:, :, ::-1])  # RGB -> BGR
+
+
+def encode_gif(pixels) -> bytes:
+    """Top-down (H, W, 3) BGR uint8 array -> single-frame GIF89a bytes.
+
+    Real, spec-valid output with no codec library: palette = the image's
+    unique colors (<= 256), pixel data emitted as literal LZW codes with
+    a clear code between every pair so the code width stays fixed at
+    min_code_size + 1 -- larger than a compressing encoder's output but
+    decodable by any conformant reader (and by ``parse_gif_pixels``)."""
+    import numpy as np
+
+    height, width = pixels.shape[0], pixels.shape[1]
+    rgb = pixels[:, :, ::-1].reshape(-1, 3)
+    palette, indices = np.unique(rgb, axis=0, return_inverse=True)
+    n_colors = palette.shape[0]
+    if n_colors > 256:
+        raise ValueError("encode_gif palette limited to 256 unique colors")
+    size_bits = max(1, (max(2, n_colors) - 1).bit_length())
+    table_n = 1 << size_bits
+    mcs = max(2, size_bits)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    codes: list[int] = [clear]
+    for k, idx in enumerate(indices):
+        if k:
+            codes.append(clear)
+        codes.append(int(idx))
+    codes.append(eoi)
+    acc = nbits = 0
+    packed = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    table = palette.tobytes() + b"\x00" * (3 * table_n - 3 * n_colors)
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | (size_bits - 1), 0, 0]) + table
+    out += (
+        b"\x2c\x00\x00\x00\x00"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([mcs])
+    )
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def resize_nearest(pixels, width: int, height: int):
     """Deterministic nearest-neighbor resample of a (H, W, 3) array:
     source index = floor((i + 0.5) * src / dst), the standard pixel-
@@ -486,12 +776,16 @@ def resize_images(
 ) -> DataFrame:
     """Image binary -> resized binary at (width, height).
 
-    REAL for 24-bit uncompressed BMP: parse_bmp_pixels -> deterministic
-    nearest-neighbor resample -> encode_bmp, the full decode/transform/
-    re-encode loop with no codec library. Compressed formats (PNG/JPEG
-    pixels) would need a real decoder: ``fake=True`` emits a
-    deterministic byte-slice stand-in sized width*height/64 so output
-    volume scales with the target dims; ``fake=False`` raises."""
+    REAL decode/transform/re-encode loop with no codec library for
+    three containers: 24-bit uncompressed BMP (parse_bmp_pixels),
+    8-bit gray/RGB/RGBA PNG (parse_png_pixels, stdlib zlib inflate +
+    scanline unfilter), and GIF first frames (parse_gif_pixels, real
+    LZW decompression against the color table). All real paths emit
+    deterministic nearest-neighbor-resampled 24-bit BMP bytes --
+    version-independent, unlike re-deflated PNG output. JPEG pixels
+    would need a DCT decoder: ``fake=True`` emits a deterministic
+    byte-slice stand-in sized width*height/64 so output volume scales
+    with the target dims; ``fake=False`` raises."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = max(1, width * height // 64)
@@ -499,7 +793,11 @@ def resize_images(
             rows = []
             for doc_id, data in zip(pdf[id_col], pdf[data_col]):
                 b = bytes(data) if data is not None else b""
-                parsed = parse_bmp_pixels(b)
+                parsed = (
+                    parse_bmp_pixels(b)
+                    or parse_png_pixels(b)
+                    or parse_gif_pixels(b)
+                )
                 if parsed is not None:
                     out = encode_bmp(resize_nearest(parsed[2], width, height))
                 elif fake:
@@ -510,9 +808,9 @@ def resize_images(
                     )
                 else:
                     raise NotImplementedError(
-                        "image codecs unavailable; payload is not 24-bit"
-                        " uncompressed BMP -- pass fake=True for the"
-                        " deterministic test path"
+                        "image codecs unavailable; payload is not a"
+                        " decodable BMP/PNG/GIF -- pass fake=True for"
+                        " the deterministic test path"
                     )
                 rows.append(
                     {

@@ -238,6 +238,141 @@ class TestByteParserRoundtrips:
         # truncating the trailer must fail structurally, not mis-parse
         assert parse_gif_frames(b[:-1]) is None
 
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_png_pixel_roundtrip(self, w, h, seed):
+        """encode_png -> parse_png_pixels is the identity on arbitrary
+        (H, W, 3) images -- the zlib inflate + unfilter path is exact."""
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            encode_png,
+            parse_png_pixels,
+        )
+
+        px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = parse_png_pixels(encode_png(px))
+        assert got is not None
+        assert (got[0], got[1]) == (w, h)
+        assert np.array_equal(got[2], px)
+        # structural truncation must fail cleanly, never mis-decode
+        assert parse_png_pixels(encode_png(px)[:20]) is None
+
+    def test_png_all_five_scanline_filters_decode(self):
+        """Hand-filter the same image with each PNG filter type (None/
+        Sub/Up/Average/Paeth); parse_png_pixels must invert every one."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            parse_png_pixels,
+        )
+
+        px = np.random.default_rng(3).integers(0, 256, (9, 7, 3), dtype=np.uint8)
+        rgb = px[:, :, ::-1]
+
+        def chunk(t, d):
+            return (
+                len(d).to_bytes(4, "big") + t + d
+                + zlib.crc32(t + d).to_bytes(4, "big")
+            )
+
+        for ftype in range(5):
+            rows, prev = [], np.zeros(7 * 3, dtype=np.int16)
+            for y in range(9):
+                cur = rgb[y].reshape(-1).astype(np.int16)
+                left = np.zeros(7 * 3, dtype=np.int16)
+                left[3:] = cur[:-3]
+                if ftype == 0:
+                    filt = cur
+                elif ftype == 1:
+                    filt = (cur - left) % 256
+                elif ftype == 2:
+                    filt = (cur - prev) % 256
+                elif ftype == 3:
+                    filt = (cur - (left + prev) // 2) % 256
+                else:  # Paeth
+                    filt = np.zeros(7 * 3, dtype=np.int16)
+                    for x in range(7 * 3):
+                        a = int(cur[x - 3]) if x >= 3 else 0
+                        b_ = int(prev[x])
+                        c = int(prev[x - 3]) if x >= 3 else 0
+                        p = a + b_ - c
+                        pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                        filt[x] = (int(cur[x]) - pred) % 256
+                rows.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+                prev = cur
+            b = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 9, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b"")
+            )
+            got = parse_png_pixels(b)
+            assert got is not None and np.array_equal(got[2], px), f"filter {ftype}"
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=16),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_gif_pixel_roundtrip(self, w, h, seed):
+        """encode_gif -> parse_gif_pixels is the identity: the literal-
+        code LZW stream decompresses back to the exact palette indices."""
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            encode_gif,
+            parse_gif_pixels,
+        )
+
+        # values quantized to 4 levels keep the palette well under 256
+        px = (
+            np.random.default_rng(seed).integers(0, 4, (h, w, 3), dtype=np.uint8) * 85
+        )
+        got = parse_gif_pixels(encode_gif(px))
+        assert got is not None
+        assert (got[0], got[1]) == (w, h)
+        assert np.array_equal(got[2], px)
+
+    def test_gif_interlaced_rows_reordered(self):
+        """An interlaced GIF stores rows in 8/8/4/2 passes; the decoder
+        must put them back in display order."""
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            encode_gif,
+            parse_gif_pixels,
+        )
+
+        h, w = 10, 3
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            px[y] = y * 20  # one distinct solid color per row
+        plain = bytearray(encode_gif(px))
+        # rewrite the stream with the interlace bit set and rows permuted
+        # into pass order; the decoder must invert the permutation
+        order = [y for y in range(0, h, 8)] + [y for y in range(4, h, 8)] \
+            + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)]
+        permuted = px[order]
+        b = bytearray(encode_gif(permuted))
+        # image descriptor: find 0x2C after the 13-byte header + GCT
+        gct_n = 2 << (b[10] & 0x07)
+        desc = 13 + 3 * gct_n
+        assert b[desc] == 0x2C
+        b[desc + 9] |= 0x40  # set interlace flag
+        got = parse_gif_pixels(bytes(b))
+        assert got is not None
+        assert np.array_equal(got[2], px)
+
     def test_ascii_text_with_magic_prefix_rejected(self):
         """A text document starting with ASCII 'BM' or 'GIF87a' must NOT
         be misclassified as an image with garbage dimensions: the BMP

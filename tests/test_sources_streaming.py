@@ -485,6 +485,32 @@ class TestBmpResize:
         assert back[1, 1].tolist() == [99, 99, 99]
         assert back[0, 0].tolist() == [0, 0, 0]
 
+    def test_distributed_mixed_container_resize(self, spark):
+        """One resize_images call over BMP + PNG + GIF payloads of the
+        same solid color must produce byte-identical BMP outputs -- the
+        cross-codec consistency the llm_image_resize_multiformat catalog
+        entry checks at scale."""
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            encode_bmp,
+            encode_gif,
+            encode_png,
+            resize_images,
+        )
+
+        px = np.full((5, 7, 3), [40, 80, 120], dtype=np.uint8)
+        rows = [
+            (1, bytearray(encode_bmp(px))),
+            (2, bytearray(encode_png(px))),
+            (3, bytearray(encode_gif(px))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: bytes(r["resized"]) for r in
+               resize_images(df, width=3, height=2).collect()}
+        assert out[1] == out[2] == out[3]
+        assert out[1][:2] == b"BM"
+
     def test_non_bmp_without_fake_raises(self, spark):
         from groove_to_helpscout_migration_tool_spark.multimodal.decode import resize_images
 
