@@ -40,6 +40,13 @@ _CHANGED_THIS_ROUND = {
     "ref_pipeline_sync_customers", "ref_pipeline_sync_tickets",
     # round 3: approx queries now emit an in-plan epsilon boolean
     "p02_percentiles_approx", "q_distinct_users_approx",
+    # round 3: observability.py snapshot made non-blocking
+    "ref_k5_observed_metrics", "ref_a4_throughput_eta",
+    # round 3: dedup.py gained simhash capping + storage checkpointing
+    "llm_minhash_signature", "llm_neardup_minhash_lsh",
+    "llm_neardup_minhash_lsh_capped",
+    # round 3: decode.py header validation + PNG/GIF pixel codecs
+    "llm_multimodal_meta", "ref_p13_mime_sniff",
 }
 
 _HEAVY = {
