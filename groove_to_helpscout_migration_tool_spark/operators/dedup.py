@@ -59,6 +59,23 @@ SIMHASH_BITS = 60
 GRAM_A, GRAM_B = 1_000_003, 4093
 
 
+def spread_off_file_layout(df: DataFrame, key: str) -> DataFrame:
+    """Repartition ``df`` on ``key`` ONLY when the scan can't already
+    feed every core.
+
+    A small parquet arrives as one input split, so hash-heavy compute
+    placed after it runs on a single core unless shuffled off the file
+    layout. A 100-TB scan is the opposite case: thousands of splits and
+    a repartition here would be a full shuffle of the raw corpus for
+    nothing. Gate on scan parallelism vs the cluster's default so the
+    local fixture pays the (tiny) shuffle and the at-scale plan skips
+    it. getNumPartitions inspects the physical scan without running a
+    job."""
+    if df.rdd.getNumPartitions() >= df.sparkSession.sparkContext.defaultParallelism:
+        return df
+    return df.repartition(F.col(key))
+
+
 def token_hashes(text_col) -> "F.Column":
     """Per-token folded hashes (one md5 per token)."""
     return F.transform(TX.tokens(text_col), lambda w: TX.word_hash(w) % XFOLD)
@@ -105,8 +122,9 @@ def shingled_docs(documents: DataFrame) -> DataFrame:
         # the hash expressions so the md5-heavy compute runs after the
         # shuffle, spread across all cores; the token-hash array is
         # materialized in its own projection (see gram_hashes on why).
-        documents.filter(F.size(TX.tokens(F.col("text"))) >= 3)
-        .repartition(F.col("doc_id"))
+        spread_off_file_layout(
+            documents.filter(F.size(TX.tokens(F.col("text"))) >= 3), "doc_id"
+        )
         .select("doc_id", token_hashes(F.col("text")).alias("hs"))
         .select("doc_id", gram_hashes(F.col("hs")).alias("xs"))
     )
@@ -391,8 +409,9 @@ def simhash_signature(documents: DataFrame) -> DataFrame:
     whole-stage codegen."""
     words = (
         # spread the tokenize/hash stage off the raw file layout (a small
-        # parquet is one input split = one core otherwise)
-        documents.repartition(F.col("doc_id"))
+        # parquet is one input split = one core otherwise; skipped when
+        # the scan already has cluster-wide parallelism)
+        spread_off_file_layout(documents, "doc_id")
         .select(
             "doc_id",
             F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("w"),
@@ -450,17 +469,20 @@ def simhash_neardup_pairs(
         ex = cap_bucket(ex, "chunk", "doc_id", bucket_cap).persist()
     left = ex.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sh_i"), "chunk")
     right = ex.select(F.col("doc_id").alias("j"), F.col("simhash").alias("sh_j"), "chunk")
-    cand = (
+    hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
+    # Hamming-verify BEFORE the dedup shuffle: distance is a pure
+    # function of the pair, so filtering first is semantically identical
+    # but the distinct() then shuffles only the surviving pairs (~1% of
+    # candidates) instead of the full quadratic bucket-join output --
+    # at 100 TB the candidate stream is the operator's dominant volume
+    # and it now dies map-side inside codegen.
+    return (
         left.join(right, ["chunk"])
         .filter(F.col("i") < F.col("j"))
-        .select("i", "j", "sh_i", "sh_j")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("i").alias("doc_i"), F.col("j").alias("doc_j"), "hamming")
+        .distinct()
     )
 
 
