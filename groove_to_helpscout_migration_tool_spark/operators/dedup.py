@@ -396,42 +396,61 @@ def ngram_jaccard_pairs(
     )
 
 
+@pandas_udf(T.LongType())
+def _simhash_sig_batch(hs: pd.Series) -> pd.Series:
+    """60-bit SimHash from a per-doc distinct-word-hash array,
+    Arrow-batched: bit j is set iff 2 * count(hashes with bit j set)
+    exceeds the hash count. One concatenate + 60 strided reduceat
+    passes per batch -- no per-row Python."""
+    n = len(hs)
+    sigs = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter((len(a) for a in hs), dtype=np.int64, count=n)
+    mask = lens > 0
+    if not mask.any():
+        return pd.Series(sigs)
+    flat = np.concatenate(
+        [np.asarray(a, dtype=np.uint64) for a in hs if len(a)]
+    )
+    l2 = lens[mask]
+    offs = np.zeros(l2.size, dtype=np.int64)
+    np.cumsum(l2[:-1], out=offs[1:])
+    sig_nz = np.zeros(l2.size, dtype=np.int64)
+    for j in range(SIMHASH_BITS):
+        cnt = np.add.reduceat(
+            ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64), offs
+        )
+        sig_nz |= (2 * cnt > l2).astype(np.int64) << j
+    sigs[mask] = sig_nz
+    return pd.Series(sigs)
+
+
 def simhash_signature(documents: DataFrame) -> DataFrame:
     """-> (doc_id, simhash): 60-bit SimHash over distinct word hashes.
 
     Bit j of the signature is the sign of sum over words of
     (bit j of word-hash ? +1 : -1) -- equivalently, bit j is set iff
-    2 * count(words with bit j set) > count(words). Implemented as 60
-    bit-count SUM columns in ONE partial aggregate: the naive
-    posexplode-per-bit formulation shuffles 60 rows per WORD (~60M rows
-    at sf0.1, the near-dup family's dominant cost); this shuffles 61
-    longs per DOC, with the bit extraction running map-side inside
-    whole-stage codegen."""
-    words = (
+    2 * count(words with bit j set) > count(words). The md5 word hashes
+    stay JVM-side (transform over the distinct-token array, codegen'd);
+    the 60-bit vote runs in ONE Arrow-batched numpy pass over the hash
+    array. ZERO shuffle: the round-2 form aggregated 61 SUM columns over
+    an exploded word row per token (~1M rows at sf0.1); this never
+    leaves the doc row. Docs with no tokens emit no signature row,
+    matching the explode semantics it replaces."""
+    docs = (
         # spread the tokenize/hash stage off the raw file layout (a small
         # parquet is one input split = one core otherwise; skipped when
         # the scan already has cluster-wide parallelism)
         spread_off_file_layout(documents, "doc_id")
         .select(
             "doc_id",
-            F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("w"),
+            F.transform(
+                F.array_distinct(TX.tokens(F.col("text"))),
+                lambda w: TX.word_hash(w),
+            ).alias("hs"),
         )
-        .withColumn("h", TX.word_hash(F.col("w")))
+        .filter(F.size("hs") > 0)
     )
-    cnts = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        *[
-            F.sum((F.shiftright(F.col("h"), j) % 2).cast("bigint")).alias(f"c{j}")
-            for j in range(SIMHASH_BITS)
-        ],
-    )
-    # literal power per bit keeps everything in int64 (no double pow)
-    total = F.lit(0).cast("bigint")
-    for j in range(SIMHASH_BITS):
-        total = total + F.when(
-            F.col(f"c{j}") * 2 > F.col("n_words"), F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return cnts.select("doc_id", total.alias("simhash"))
+    return docs.select("doc_id", _simhash_sig_batch(F.col("hs")).alias("simhash"))
 
 
 def _chunk_keys() -> "F.Column":
