@@ -54,6 +54,7 @@ _HEAVY = {
     "llm_simhash_signature", "llm_neardup_simhash", "llm_simhash_dedup_assign",
     "llm_neardup_embedding_lsh", "llm_ann_lsh_topk", "llm_ann_ivf_topk",
     "llm_ann_ivf_kmeans_topk", "llm_dedup_clusters",
+    "llm_image_resize_multiformat",  # 6.6s at sf0.01: python image encode fixture
 }
 
 
