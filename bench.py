@@ -143,8 +143,15 @@ def main() -> None:
         # accumulate in the one JVM and the resulting memory pressure /
         # GC inflates later queries severalfold vs an isolated run --
         # the r2 bench-vs-reality gap. Each query's build cost stays
-        # honest: nothing leaks in from earlier entries.
+        # honest: nothing leaks in from earlier entries. The explicit
+        # System.gc() drains the freed blocks NOW, between measurements,
+        # instead of letting a full collection land inside whichever
+        # query the JVM picks later (the per-run wandering outliers).
         spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
