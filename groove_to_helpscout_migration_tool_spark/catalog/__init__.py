@@ -34,19 +34,24 @@ from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 # Keeping them ahead of the untouched-green block guarantees the sweep
 # re-verifies everything this round's diff could have regressed.
 _CHANGED_THIS_ROUND = {
-    "ref_p17_recipient_tolist", "ref_a1_running_count",
-    "ref_s6_two_level_fanout",
-    # round 3: gained real oracles (were rows-only no_oracle before)
-    "ref_pipeline_sync_customers", "ref_pipeline_sync_tickets",
-    # round 3: approx queries now emit an in-plan epsilon boolean
+    # round 4: approx queries emit a rounded rel-err column; HLL bound
+    # widened to 4x rsd (ADVICE r3)
     "p02_percentiles_approx", "q_distinct_users_approx",
-    # round 3: observability.py snapshot made non-blocking
+    # round 4: streaming reader adapts to the regenerated testdata's
+    # TIMESTAMP(MICROS) events.ts (was nanos-as-long); windows cast NTZ
+    "ref_t1_streaming_quota",
+    # round 4: observability metrics-unavailable sentinel
     "ref_k5_observed_metrics", "ref_a4_throughput_eta",
-    # round 3: dedup.py gained simhash capping + storage checkpointing
+    # round 4: persists routed through the artifact-cache registry
+    # (plan-identical, re-verify anyway) + checkpoint cleanup
     "llm_minhash_signature", "llm_neardup_minhash_lsh",
-    "llm_neardup_minhash_lsh_capped",
-    # round 3: decode.py header validation + PNG/GIF pixel codecs
-    "llm_multimodal_meta", "ref_p13_mime_sniff",
+    "llm_neardup_minhash_lsh_capped", "llm_neardup_ngram_jaccard",
+    "llm_neardup_simhash", "llm_neardup_simhash_capped",
+    "llm_simhash_signature", "llm_simhash_dedup_assign",
+    "llm_dedup_clusters", "llm_dedup_incremental",
+    "llm_ann_topk_cosine", "llm_ann_lsh_topk", "llm_ann_ivf_topk",
+    "llm_ann_ivf_kmeans_topk", "llm_neardup_embedding_lsh",
+    "llm_semantic_dedup_assign",
 }
 
 _HEAVY = {

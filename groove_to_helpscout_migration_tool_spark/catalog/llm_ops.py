@@ -744,16 +744,22 @@ def q_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       CAST(0.0 AS DOUBLE) AS rel_err_decile,
        TRUE AS within_bounds
 FROM events GROUP BY event_type
 """,
     doc=(
         "approx_count_distinct (HyperLogLog++). HLL sketches differ across"
         " engines, so the approx value itself cannot be hash-compared; the"
-        " epsilon check runs IN the query (sketch and exact in one agg) and"
-        " is emitted as a deterministic boolean: within_bounds = relative"
-        " error <= 5% (rsd=0.02). The oracle recomputes the exact distinct"
-        " count and asserts TRUE."
+        " epsilon check runs IN the query (sketch and exact in one agg)."
+        " within_bounds = relative error <= 8% (4x rsd=0.02, ~4 sigma -- a"
+        " tolerance a data-distribution or Spark HLL++ implementation shift"
+        " cannot plausibly breach), and rel_err_decile is the error rounded"
+        " to the nearest 10% so a breach shows its MAGNITUDE in the diff"
+        " (0.1, 0.2, ...) instead of a bare boolean flip. The exact twin in"
+        " the same agg exists for the check only; a production pipeline"
+        " would drop it and keep just the sketch (this entry is NOT benched"
+        " -- it would time exact+approx together)."
     ),
 )
 def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,14 +768,14 @@ def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_n_ap"),
     )
+    rel_err = F.abs(F.col("_n_ap") - F.col("n_users_exact")) / F.col(
+        "n_users_exact"
+    )
     return agg.select(
         "event_type",
         "n_users_exact",
-        (
-            F.abs(F.col("_n_ap") - F.col("n_users_exact"))
-            / F.col("n_users_exact")
-            <= 0.05
-        ).alias("within_bounds"),
+        F.round(rel_err, 1).alias("rel_err_decile"),
+        (rel_err <= 0.08).alias("within_bounds"),
     )
 
 

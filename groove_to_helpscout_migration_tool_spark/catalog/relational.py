@@ -1176,6 +1176,7 @@ def p01_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority AS priority,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
        round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+       CAST(0.0 AS DOUBLE) AS max_rel_err_decile,
        TRUE AS within_bounds
 FROM orders GROUP BY o_orderpriority
 """,
@@ -1184,9 +1185,12 @@ FROM orders GROUP BY o_orderpriority
         " the percentile that scales. Sketches differ per engine, so the"
         " approx values themselves cannot be hash-compared; instead the"
         " epsilon check is computed IN the query (one agg produces sketch"
-        " and exact side by side) and emitted as a deterministic boolean:"
-        " within_bounds = both percentile errors <= 5% relative. The oracle"
-        " recomputes the exact percentiles and asserts TRUE."
+        " and exact side by side). within_bounds = both percentile errors"
+        " <= 5% relative (accuracy=10000 keeps true error far below that),"
+        " and max_rel_err_decile rounds the larger error to the nearest 10%"
+        " so a tolerance breach shows its magnitude in the diff rather than"
+        " a bare boolean flip. The exact twin exists for the check only;"
+        " this entry is NOT benched (it would time exact+approx together)."
     ),
 )
 def p02_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1198,10 +1202,14 @@ def p02_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("_p95_ap"),
     )
     rel_err = lambda ap, ex: F.abs(F.col(ap) - F.col(ex)) / F.abs(F.col(ex))
+    max_err = F.greatest(
+        rel_err("_p50_ap", "_p50_ex"), rel_err("_p95_ap", "_p95_ex")
+    )
     return agg.select(
         "priority",
         F.round(F.col("_p50_ex"), 4).alias("p50_exact"),
         F.round(F.col("_p95_ex"), 4).alias("p95_exact"),
+        F.round(max_err, 1).alias("max_rel_err_decile"),
         (
             (rel_err("_p50_ap", "_p50_ex") <= 0.05)
             & (rel_err("_p95_ap", "_p95_ex") <= 0.05)

@@ -28,6 +28,11 @@ METRICS_SCHEMA = (
     "step string, metric string, value double, observed_at_sec double"
 )
 
+# Sentinel: the observed action COMPLETED but the metrics row could not be
+# decoded (reflection/serialization drift). Distinct from None (= action
+# genuinely pending) so callers can render the difference.
+METRICS_UNAVAILABLE: dict[str, Any] = {}
+
 
 class PipelineMetrics:
     """Collects per-stage observations for one pipeline run.
@@ -65,8 +70,11 @@ class PipelineMetrics:
         the action would hang the driver. The JVM Observation exposes
         ``getRowOrEmpty`` -- a bounded ~100ms wait returning
         Option[Row] -- which we decode the same way pyspark's ``get``
-        does. Returns None when metrics aren't available yet (or the
-        pyspark internals moved and the non-blocking path is gone).
+        does. Returns None when metrics aren't available yet, and the
+        distinct METRICS_UNAVAILABLE sentinel when the stage HAS a row
+        but the reflection/deserialization path failed (pyspark
+        internals moved) -- so a genuinely pending stage and a broken
+        metrics read render differently instead of both looking pending.
         """
         try:
             jo = obs._jo
@@ -75,6 +83,9 @@ class PipelineMetrics:
             opt = jo.getRowOrEmpty()
             if not opt.isDefined():
                 return None  # action has not run yet
+        except Exception:
+            return METRICS_UNAVAILABLE  # non-blocking probe itself is gone
+        try:
             from pyspark.serializers import CPickleSerializer
 
             utils = getattr(
@@ -83,7 +94,7 @@ class PipelineMetrics:
             row = CPickleSerializer().loads(utils.toPyRow(opt.get()))
             return row.asDict(recursive=False)
         except Exception:
-            return None
+            return METRICS_UNAVAILABLE  # row exists; decode path failed
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """-> (step, metric, value, observed_at_sec) for every tracked
@@ -96,7 +107,7 @@ class PipelineMetrics:
         rows: list[tuple[str, str, float, float]] = []
         for step, obs in self._observations:
             metrics = self._metrics_or_none(obs)
-            if metrics is None:
+            if metrics is None or metrics is METRICS_UNAVAILABLE:
                 continue
             for metric, value in metrics.items():
                 rows.append(
@@ -112,6 +123,9 @@ class PipelineMetrics:
             metrics = self._metrics_or_none(obs)
             if metrics is None:
                 printer(f"[{step}] <pending: action has not completed>")
+                continue
+            if metrics is METRICS_UNAVAILABLE:
+                printer(f"[{step}] <metrics unavailable: decode failed>")
                 continue
             for metric, value in metrics.items():
                 rate = (value or 0) / elapsed

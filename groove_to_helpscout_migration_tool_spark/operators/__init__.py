@@ -2,6 +2,7 @@
 similarity. These are the composable building blocks the pipelines in
 plans/ assemble."""
 
+from .cache import persist_artifact, unpersist_artifacts
 from .errors import (
     ERROR_SCHEMA,
     with_error,
@@ -19,6 +20,8 @@ from .joins import (
 )
 
 __all__ = [
+    "persist_artifact",
+    "unpersist_artifacts",
     "ERROR_SCHEMA",
     "with_error",
     "split_errors",

@@ -31,6 +31,7 @@ from pyspark.sql import Window as W
 from pyspark.sql.functions import pandas_udf
 
 from ..functions import text as TX
+from .cache import persist_artifact
 
 # MinHash: h_k(x) = (a_k * (x mod XFOLD) + b_k) mod MINHASH_P.
 # XFOLD keeps a_k * x inside int64 (a < 2^31, x' < 2^30 -> product < 2^61).
@@ -128,7 +129,7 @@ def shingled_docs(documents: DataFrame) -> DataFrame:
         .select("doc_id", token_hashes(F.col("text")).alias("hs"))
         .select("doc_id", gram_hashes(F.col("hs")).alias("xs"))
     )
-    return docs.persist()
+    return persist_artifact(docs)
 
 
 @pandas_udf(T.ArrayType(T.LongType()))
@@ -211,7 +212,7 @@ def minhash_lsh_pairs(
     )
     if bucket_cap is not None:
         exploded = cap_bucket(exploded, "band_key", "doc_id", bucket_cap)
-    exploded = exploded.persist()
+    exploded = persist_artifact(exploded)
     left = exploded.select(F.col("doc_id").alias("i"), "band_key")
     right = exploded.select(F.col("doc_id").alias("j"), "band_key")
     cand = (
@@ -246,7 +247,14 @@ def _ensure_checkpoint_dir(spark) -> None:
     loss mid-iteration kills the job at cluster scale. checkpoint()
     writes to this directory instead (HDFS/S3 on a real cluster via
     $SPARK_GRAFT_CHECKPOINT_DIR; a local tmpdir here), so recomputation
-    after executor death replays from durable storage."""
+    after executor death replays from durable storage.
+
+    Cleanup is two-layered: the session factory enables
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` so checkpoint
+    files are deleted when their RDD is GC'd within an application, and
+    for local filesystem dirs an atexit hook removes this application's
+    UUID subdirectory (setCheckpointDir appends one per app) so repeated
+    application runs do not accumulate dead checkpoint trees."""
     import os
     import tempfile
 
@@ -258,6 +266,14 @@ def _ensure_checkpoint_dir(spark) -> None:
                 os.path.join(tempfile.gettempdir(), "spark_graft_checkpoints"),
             )
         )
+        resolved = jsc._jsc.sc().getCheckpointDir().get()
+        if resolved.startswith("file:") or resolved.startswith("/"):
+            import atexit
+            import shutil
+            from urllib.parse import urlparse
+
+            local = urlparse(resolved).path if ":" in resolved else resolved
+            atexit.register(shutil.rmtree, local, ignore_errors=True)
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -336,12 +352,10 @@ def neardup_clusters(
     MinHash-LSH near-dup pair graph -- the step that turns PAIRS into a
     dedup DECISION (keep cluster min, drop the rest)."""
     pairs = minhash_lsh_pairs(documents, jaccard_threshold).select("doc_i", "doc_j")
-    edges = (
+    edges = persist_artifact(
         pairs.unionByName(
             pairs.select(F.col("doc_j").alias("doc_i"), F.col("doc_i").alias("doc_j"))
-        )
-        .toDF("src", "dst")
-        .persist()
+        ).toDF("src", "dst")
     )
     labels = connected_components(edges, max_iter=max_iter)
     return labels.select(
@@ -480,12 +494,12 @@ def simhash_neardup_pairs(
     bucket's width (the round-2 scale hole: 1.6M pairs at sf0.1).
     Uncapped remains the oracle-exact form."""
     # persisted: the candidate join references the signatures twice
-    sig = simhash_signature(documents).persist()
+    sig = persist_artifact(simhash_signature(documents))
     ex = sig.select("doc_id", "simhash", F.explode(_chunk_keys()).alias("chunk"))
     if bucket_cap is not None:
         # persist the capped explode: the row_number shuffle would
         # otherwise run once per side of the self-join
-        ex = cap_bucket(ex, "chunk", "doc_id", bucket_cap).persist()
+        ex = persist_artifact(cap_bucket(ex, "chunk", "doc_id", bucket_cap))
     left = ex.select(F.col("doc_id").alias("i"), F.col("simhash").alias("sh_i"), "chunk")
     right = ex.select(F.col("doc_id").alias("j"), F.col("simhash").alias("sh_j"), "chunk")
     hamming = F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j")))
@@ -518,7 +532,7 @@ def simhash_dedup_assign(documents: DataFrame, max_hamming: int = 8) -> DataFram
     that anchor their own buckets (or verify against no anchor) emit
     nothing; feeding (rep_id, doc_id) links into connected_components
     recovers full clusters when chain-transitivity matters."""
-    sig = simhash_signature(documents).persist()
+    sig = persist_artifact(simhash_signature(documents))
     ex = sig.select("doc_id", "simhash", F.explode(_chunk_keys()).alias("chunk"))
     anchors = ex.groupBy("chunk").agg(F.min("doc_id").alias("anchor"))
     cand = (

@@ -38,6 +38,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from .cache import persist_artifact
+
 DIM = 64
 N_PLANES = 12          # 2 bands x 6 hyperplanes
 N_BANDS, BITS_PER_BAND = 2, 6
@@ -227,11 +229,10 @@ def prepared(embeddings: DataFrame) -> DataFrame:
     dot/(nrm_a*nrm_b) is bit-identical to cosine(a, b) and to the DuckDB
     oracle's per-pair formula. At 100 TB this persist is the prepared
     embeddings table, written once per corpus snapshot."""
-    return (
+    return persist_artifact(
         embeddings.repartition(F.col("vec_id"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("nrm", norm(F.col("v")))
-        .persist()
     )
 
 
@@ -342,10 +343,9 @@ def lsh_index(emb: DataFrame) -> DataFrame:
     query batch, so its cost amortizes to ~zero per query. Locally the
     persist makes the steady state measurable (the CacheManager matches
     the canonicalized plan across calls in one session)."""
-    return (
+    return persist_artifact(
         emb.select("vec_id", _plane_dots_batch("v").alias("ds"))
         .select("vec_id", F.explode(_band_keys_from_dots(F.col("ds"))).alias("bkey"))
-        .persist()
     )
 
 
@@ -454,7 +454,7 @@ def ivf_topk(
             F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
         )
     if kmeans_iters > 0:
-        cents = refined_centroids(emb, cents, kmeans_iters).persist()
+        cents = persist_artifact(refined_centroids(emb, cents, kmeans_iters))
     # assignment: broadcast the (tiny) centroid set, argmax cosine;
     # carried through as ids only -- vectors re-joined at scoring time.
     # The corpus-side N x C rank runs ONCE and is persisted (it is the
@@ -471,11 +471,10 @@ def ivf_topk(
             .withColumn("crank", F.row_number().over(w_assign))
         )
 
-    assigned = (
+    assigned = persist_artifact(
         _rank(emb)
         .filter(F.col("crank") == 1)
         .select("vec_id", F.col("cid").alias("cell"))
-        .persist()
     )
     probes = (
         _rank(emb.filter(F.col("vec_id") < query_max_id))

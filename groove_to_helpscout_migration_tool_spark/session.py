@@ -66,6 +66,11 @@ def get_session(
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # Python Data Source pushdown (sources/pyds.py page pruning)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # ContextCleaner deletes checkpoint files when their RDD is GC'd
+        # (read once at context startup -- must be set here, not later).
+        # Long-lived drivers calling connected_components repeatedly would
+        # otherwise accumulate checkpoint dirs unboundedly.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

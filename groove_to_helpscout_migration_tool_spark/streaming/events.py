@@ -18,30 +18,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos-as-long (session.py note)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def _read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The physical ts type depends on which test-data generation wrote
+    # the table (TIMESTAMP(NANOS) in early rounds, TIMESTAMP(MICROS)
+    # now). A streaming source needs its schema declared up front, so
+    # probe it batch-side (one footer read, no job) the same way
+    # session.load_table adapts, and convert nanos -> micros only when
+    # the file really is nanos-as-long.
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_is_long = dict(probe.dtypes).get("ts") == "bigint"
+    ts_type = T.LongType() if ts_is_long else probe.schema["ts"].dataType
     # the file streaming source monitors a DIRECTORY; the test tables are
     # single files per table, so stream the dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts",
-        F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")),
-    )
+    if ts_is_long:
+        raw = raw.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")),
+        )
+    # Watermarks demand TIMESTAMP (not NTZ). Session tz is pinned UTC,
+    # so NTZ wall time -> TIMESTAMP -> (output side) back to NTZ is a
+    # lossless round-trip independent of the host zone.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,7 +69,12 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )
 
 
@@ -69,7 +89,12 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("session_value"),
         )
-        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "session_value")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
     )
 
 

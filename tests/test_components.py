@@ -140,3 +140,23 @@ class TestBucketCap:
         assert len(hot_capped) == 28
         # cold pair survives the cap
         assert (100, 101) in capped
+
+    def test_unpersist_artifacts_releases_cached_blocks(self, spark):
+        from groove_to_helpscout_migration_tool_spark.operators import cache
+        from groove_to_helpscout_migration_tool_spark.operators.dedup import (
+            simhash_neardup_pairs,
+        )
+
+        cache.unpersist_artifacts()  # drain leftovers from earlier tests
+        rows = [(i, f"doc number {i} with some shared words here") for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        simhash_neardup_pairs(docs, bucket_cap=8).count()
+        # the signature + capped-chunk persists are registered and live
+        assert len(cache._ARTIFACTS) >= 2
+        released = cache.unpersist_artifacts(blocking=True)
+        assert released >= 2
+        assert cache._ARTIFACTS == []
+        # nothing left in the block manager
+        assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+        # idempotent
+        assert cache.unpersist_artifacts() == 0
