@@ -63,6 +63,9 @@ HEADLINE = [
     "llm_image_resize",
     "llm_video_frames",
     "llm_semantic_dedup_assign",
+    "llm_train_shuffle",
+    "llm_sample_stratified",
+    "llm_pack_sequences",
 ]
 
 

@@ -1680,3 +1680,155 @@ FROM scored WHERE cosine >= 0.35 GROUP BY vec_id
 def llm_semantic_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return SIM.semantic_dedup_assign(t.embeddings, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Training-data assembly: shuffle -> stratified sampling -> sequence packing
+# ---------------------------------------------------------------------------
+# The three steps every pre-training data pipeline runs AFTER curation and
+# dedup: (1) a deterministic global shuffle that breaks source/crawl order,
+# (2) mixture reweighting by downsampling dominant strata, (3) packing
+# documents into fixed token-budget training sequences. All three are
+# expressed so the "random" choices are pure md5 functions of doc_id --
+# reproducible across engines (DuckDB oracle) AND across cluster sizes
+# (no rand(), no partition-dependent state).
+
+_DOC_KEY_SQL = "(('0x' || substr(md5(doc_id::VARCHAR || ':{salt}'), 1, 15))::BIGINT)"
+N_SHARDS = 64
+PACK_BUDGET = 512
+SAMPLE_RATES = {"en": 300, "zh": 800}  # per-mille keep rates; others 1000
+
+
+def _doc_key(salt: str) -> F.Column:
+    """60-bit md5 key of doc_id under a salt -- the reproducible stand-in
+    for rand() in shuffle/sample decisions (word_hash scheme, oracle-
+    identical)."""
+    return TX.word_hash(F.concat(F.col("doc_id").cast("string"), F.lit(f":{salt}")))
+
+
+@register(
+    "llm_train_shuffle",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, {_DOC_KEY_SQL.format(salt='shuf:ep1')} AS skey
+  FROM documents
+)
+SELECT doc_id,
+       CAST(skey % {N_SHARDS} AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY skey % {N_SHARDS}
+                               ORDER BY skey, doc_id) AS BIGINT) AS shard_pos
+FROM keyed
+""",
+    doc=(
+        "Deterministic global training shuffle (epoch-salted): every doc"
+        " gets a 60-bit md5 key; shard_id = key mod N_SHARDS spreads docs"
+        " uniformly over shards and shard_pos orders within the shard."
+        " This is the cluster-scale form of 'shuffle the corpus each"
+        " epoch': one hash-partition shuffle by shard plus a per-shard"
+        " sort -- never a global ORDER BY (whose single range-partition"
+        " pass is the thing that does not scale), never rand() (which is"
+        " partition-order dependent and unreproducible on retry). A new"
+        " epoch changes only the salt."
+    ),
+)
+def llm_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    keyed = t.documents.select(
+        "doc_id", _doc_key("shuf:ep1").alias("skey")
+    ).withColumn("shard_id", (F.col("skey") % N_SHARDS).cast("bigint"))
+    w = W.partitionBy("shard_id").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+    )
+
+
+@register(
+    "llm_sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST({_DOC_KEY_SQL.format(salt='strat')} % 1000 AS BIGINT) AS keep_bucket
+FROM documents
+WHERE {_DOC_KEY_SQL.format(salt='strat')} % 1000 <
+      CASE lang WHEN 'en' THEN {SAMPLE_RATES['en']}
+                WHEN 'zh' THEN {SAMPLE_RATES['zh']}
+                ELSE 1000 END
+""",
+    doc=(
+        "Stratified mixture sampling: per-language keep rates (en 30%,"
+        " zh 80%, rest 100%) applied via a deterministic md5 bucket of"
+        " doc_id -- the downsample-the-dominant-stratum step of corpus"
+        " mixing. Pure per-row filter: no shuffle, no rand(), identical"
+        " keep decisions at any scale/partitioning/retry, and the scan"
+        " prunes to (doc_id, lang) only."
+    ),
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    bucket = _doc_key("strat") % 1000
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(SAMPLE_RATES["en"]))
+        .when(F.col("lang") == "zh", F.lit(SAMPLE_RATES["zh"]))
+        .otherwise(F.lit(1000))
+    )
+    return t.documents.filter(bucket < rate).select(
+        "doc_id", "lang", bucket.cast("bigint").alias("keep_bucket")
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(len(list_filter(str_split_regex(text, '\\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         {_DOC_KEY_SQL.format(salt='shuf:ep1')} AS skey
+  FROM documents
+), sharded AS (
+  SELECT doc_id, n_tokens, skey, skey % {N_SHARDS} AS shard_id FROM keyed
+), packed AS (
+  SELECT doc_id, shard_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY skey, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM sharded
+)
+SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id, n_tokens,
+       CAST(start_off // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(start_off % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM packed
+""",
+    doc=(
+        "Sequence packing (concat-and-chunk): documents stream in shuffle"
+        " order within each shard; a running token offset assigns each doc"
+        " the training sequence (seq_id = start_offset div budget) and"
+        " position where it begins. The GPT-style pack-then-split layout,"
+        " computed as ONE per-shard cumulative-sum window -- packing is"
+        " embarrassingly parallel across shards, so no global state and"
+        " no driver loop; at 100 TB each shard packs independently"
+        " exactly as the shuffle laid it out."
+    ),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    keyed = t.documents.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_tokens"),
+        _doc_key("shuf:ep1").alias("skey"),
+    ).withColumn("shard_id", (F.col("skey") % N_SHARDS).cast("bigint"))
+    w = (
+        W.partitionBy("shard_id")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = keyed.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        (F.col("start_off") / PACK_BUDGET).cast("bigint").alias("seq_id"),
+        (F.col("start_off") % PACK_BUDGET).cast("bigint").alias("seq_offset"),
+    )

@@ -262,9 +262,9 @@ def lsh_neardup_pairs(
     vec_ids per bucket before the self-join (hot-bucket guard: a dense
     embedding region otherwise makes one bucket quadratic)."""
     emb = prepared(embeddings)
-    ex = emb.select("vec_id", _plane_dots_batch("v").alias("ds")).select(
-        "vec_id", F.explode(_band_keys_from_dots(F.col("ds"))).alias("bkey")
-    )
+    # the persisted inverted-list index: without it the hyperplane-dot
+    # UDF would run once per side of the self-join below
+    ex = lsh_index(emb)
     if bucket_cap is not None:
         from .dedup import cap_bucket
 
@@ -298,9 +298,9 @@ def semantic_dedup_assign(
     matter how clustered the corpus is; shuffles carry (bucket, id) and
     (id, id) pairs only, vectors re-join for candidates alone."""
     emb = prepared(embeddings)
-    ex = emb.select("vec_id", _plane_dots_batch("v").alias("ds")).select(
-        "vec_id", F.explode(_band_keys_from_dots(F.col("ds"))).alias("bkey")
-    )
+    # the persisted inverted-list index: referenced twice (anchor agg +
+    # candidate join) -- without it the hyperplane-dot UDF runs twice
+    ex = lsh_index(emb)
     anchors = ex.groupBy("bkey").agg(F.min("vec_id").alias("anchor"))
     cand = (
         ex.join(anchors, ["bkey"])

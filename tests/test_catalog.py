@@ -130,3 +130,59 @@ class TestApproxBounds:
             row = approx[et]
             assert row["n_users_exact"] == n, (et, n, row)
             assert row["within_bounds"] is True, (et, row)
+
+
+class TestTrainingAssembly:
+    """Invariants of the shuffle/sample/pack training-assembly operators
+    that the value-hash oracle can't express: partition independence,
+    coverage, and budget bounds."""
+
+    def test_shuffle_is_partition_invariant_permutation(self, spark, sf_dir):
+        out = catalog.QUERIES["llm_train_shuffle"].fn(spark, sf_dir)
+        rows = out.collect()
+        n_docs = (
+            catalog.QUERIES["llm_text_stats"].fn(spark, sf_dir).count()
+        )
+        assert len(rows) == n_docs  # a permutation: every doc placed once
+        assert len({r["doc_id"] for r in rows}) == n_docs
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            assert 0 <= r["shard_id"] < 64
+            by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    def test_stratified_sample_is_deterministic_and_downsamples(self, spark, sf_dir):
+        from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+        out = catalog.QUERIES["llm_sample_stratified"].fn(spark, sf_dir)
+        kept1 = {r["doc_id"] for r in out.collect()}
+        kept2 = {r["doc_id"] for r in out.collect()}  # re-run: identical
+        assert kept1 == kept2
+        t = load_tables(spark, sf_dir, ["documents"])
+        langs = {r["doc_id"]: r["lang"] for r in t.documents.select("doc_id", "lang").collect()}
+        n_en_all = sum(1 for l in langs.values() if l == "en")
+        n_en_kept = sum(1 for d in kept1 if langs[d] == "en")
+        # en keep rate 30%: binomial bounds, wide enough for sf0.001
+        assert n_en_kept < n_en_all
+        # non-downsampled strata survive whole
+        for d, l in langs.items():
+            if l not in ("en", "zh"):
+                assert d in kept1
+
+    def test_pack_sequences_respects_budget_layout(self, spark, sf_dir):
+        rows = catalog.QUERIES["llm_pack_sequences"].fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["seq_offset"] < 512
+        # within a shard the stream is gapless: offsets reconstruct the
+        # running token total exactly
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard_id"], []).append(r)
+        for shard, rs in by_shard.items():
+            rs = sorted(rs, key=lambda r: r["seq_id"] * 512 + r["seq_offset"])
+            total = 0
+            for r in rs:
+                assert r["seq_id"] * 512 + r["seq_offset"] == total
+                total += r["n_tokens"]
