@@ -42,6 +42,9 @@ _CHANGED_THIS_ROUND = {
     "ref_t1_streaming_quota",
     # round 4: observability metrics-unavailable sentinel
     "ref_k5_observed_metrics", "ref_a4_throughput_eta",
+    # round 4: real baseline JPEG codec joined the resize chain; the
+    # multiformat query round-robins 4 containers now
+    "llm_image_resize", "llm_image_resize_multiformat",
     # round 4: persists routed through the artifact-cache registry
     # (plan-identical, re-verify anyway) + checkpoint cleanup
     "llm_minhash_signature", "llm_neardup_minhash_lsh",
@@ -60,6 +63,7 @@ _HEAVY = {
     "llm_neardup_embedding_lsh", "llm_ann_lsh_topk", "llm_ann_ivf_topk",
     "llm_ann_ivf_kmeans_topk", "llm_dedup_clusters",
     "llm_image_resize_multiformat",  # 6.6s at sf0.01: python image encode fixture
+    "llm_video_frames_mjpeg",  # ~10s at sf0.01: pure-python Huffman decode per frame
 }
 
 

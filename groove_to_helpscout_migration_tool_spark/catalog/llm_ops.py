@@ -1469,8 +1469,8 @@ def llm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH spec AS (
   SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END
-           AS container,
+         CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                         WHEN 2 THEN 'gif' ELSE 'jpeg' END AS container,
          printf('%02X%02X%02X', doc_id % 256, (doc_id * 7) % 256,
                 (doc_id * 13) % 256) AS bgr
   FROM documents
@@ -1482,16 +1482,19 @@ SELECT doc_id, container,
 FROM spec
 """,
     doc=(
-        "Image resize across THREE real codec paths with no codec library"
+        "Image resize across FOUR real codec paths with no codec library"
         " (multimodal/decode): 24-bit BMP (parse_bmp_pixels), 8-bit RGB PNG"
-        " (parse_png_pixels -- stdlib zlib inflate + scanline unfilter), and"
-        " GIF (parse_gif_pixels -- real LZW decompression against the color"
-        " table). The fixture round-robins solid-color payloads through the"
-        " three encoders per doc_id%3; since resampling a solid image is the"
-        " same solid at the target dims and every real path re-encodes to"
-        " deterministic BMP, all three containers converge to one closed-form"
-        " output the oracle constructs in SQL -- a cross-codec consistency"
-        " check, not just a per-format one."
+        " (parse_png_pixels -- stdlib zlib inflate + scanline unfilter), GIF"
+        " (parse_gif_pixels -- real LZW decompression against the color"
+        " table), and baseline JPEG (jpeg.parse_jpeg_pixels -- canonical"
+        " Huffman decode + dequant + float IDCT; encode side emits 4:4:4"
+        " RGB-component-id streams with all-ones quant tables, which is"
+        " EXACTLY lossless on solid blocks). The fixture round-robins"
+        " solid-color payloads through the four encoders per doc_id%4;"
+        " resampling a solid image is the same solid at the target dims and"
+        " every real path re-encodes to deterministic BMP, so all four"
+        " containers converge to one closed-form output the oracle"
+        " constructs in SQL -- a cross-codec consistency check."
     ),
 )
 def llm_image_resize_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1509,7 +1512,9 @@ def llm_image_resize_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
 
     def build(batches):
-        encoders = [encode_bmp, encode_png, encode_gif]
+        from ..multimodal.jpeg import encode_jpeg
+
+        encoders = [encode_bmp, encode_png, encode_gif, encode_jpeg]
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
@@ -1517,7 +1522,7 @@ def llm_image_resize_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w_in, h_in = d % 8 + 1, d % 6 + 1
                 bgr = np.zeros((h_in, w_in, 3), dtype=np.uint8)
                 bgr[:, :] = [d % 256, d * 7 % 256, d * 13 % 256]
-                out.append({"doc_id": d, "payload": encoders[d % 3](bgr)})
+                out.append({"doc_id": d, "payload": encoders[d % 4](bgr)})
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     payloads = (
@@ -1534,9 +1539,10 @@ def llm_image_resize_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = resize_images(payloads, width=_RESIZE_W, height=_RESIZE_H)
     container = (
-        F.when(F.col("doc_id") % 3 == 0, "bmp")
-        .when(F.col("doc_id") % 3 == 1, "png")
-        .otherwise("gif")
+        F.when(F.col("doc_id") % 4 == 0, "bmp")
+        .when(F.col("doc_id") % 4 == 1, "png")
+        .when(F.col("doc_id") % 4 == 2, "gif")
+        .otherwise("jpeg")
     )
     return resized.select(
         "doc_id",
@@ -1832,3 +1838,79 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start_off") / PACK_BUDGET).cast("bigint").alias("seq_id"),
         (F.col("start_off") % PACK_BUDGET).cast("bigint").alias("seq_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling, container #2: REAL MJPEG-in-AVI walk + pixel decode
+# ---------------------------------------------------------------------------
+@register(
+    "llm_video_frames_mjpeg",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 4 + 2 AS n_frames,
+         CAST(doc_id % 7 + 2 AS INTEGER) AS width,
+         CAST(doc_id % 5 + 2 AS INTEGER) AS height
+  FROM documents
+), f AS (
+  SELECT doc_id, unnest(range(0, n_frames, 2)) AS k, width, height FROM p
+)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       width, height,
+       CAST(100000 AS INTEGER) AS us_per_frame,
+       printf('%02X%02X%02X',
+              (doc_id + 11 * k) % 256,
+              (doc_id * 7 + 5 * k) % 256,
+              (doc_id * 13 + 3 * k) % 256) AS pixel_hex
+FROM f
+""",
+    doc=(
+        "Video frame sampling over a SECOND real container: MJPEG-in-AVI"
+        " (multimodal/avi.py walks the RIFF chunk tree; multimodal/jpeg.py"
+        " decodes each sampled frame's pixels -- no codec library). The"
+        " fixture encodes per-doc solid-color JPEG frames into minimal AVI"
+        " files; the query samples every 2nd frame and emits the DECODED"
+        " top-left pixel as hex, which the oracle reconstructs closed-form"
+        " -- pixel-level proof the Huffman+IDCT decode ran, not just a"
+        " container walk. Complements llm_video_frames (animated GIF)."
+    ),
+)
+def llm_video_frames_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..multimodal.avi import encode_avi_mjpeg
+    from ..multimodal.decode import sample_mjpeg_frames
+
+    t = load_tables(spark, sf_dir, ["documents"])
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n, w_in, h_in = d % 4 + 2, d % 7 + 2, d % 5 + 2
+                frames = []
+                for k in range(n):
+                    fr = np.zeros((h_in, w_in, 3), dtype=np.uint8)
+                    fr[:, :] = (
+                        (d + 11 * k) % 256,
+                        (d * 7 + 5 * k) % 256,
+                        (d * 13 + 3 * k) % 256,
+                    )
+                    frames.append(fr)
+                out.append({"doc_id": d, "payload": encode_avi_mjpeg(frames)})
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    payloads = t.documents.select("doc_id").mapInPandas(
+        build,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return sample_mjpeg_frames(payloads, every_n=2)

@@ -398,6 +398,69 @@ def sample_video_frames(
     return df.select(id_col, data_col).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+MJPEG_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("us_per_frame", T.IntegerType()),
+        T.StructField("pixel_hex", T.StringType()),
+    ]
+)
+
+
+def sample_mjpeg_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    data_col: str = "payload",
+    every_n: int = 2,
+) -> DataFrame:
+    """MJPEG-in-AVI binary -> one row per sampled DECODED frame.
+
+    Fully real for the second video container (multimodal/avi.py walks
+    the RIFF chunk tree; multimodal/jpeg.py decodes the frame pixels):
+    every ``every_n``-th video frame is emitted with the stream dims,
+    frame timing, and the decoded top-left pixel as BGR hex -- a
+    pixel-level probe the oracle can predict for solid-color frames,
+    proving the decode really ran. Non-AVI payloads raise (the GIF
+    container has its own real walker in sample_video_frames)."""
+    from .avi import parse_avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[data_col]):
+                b = bytes(data) if data is not None else b""
+                meta = parse_avi_frames(b, decode=True)
+                if meta is None:
+                    raise NotImplementedError(
+                        "payload is not an MJPEG AVI; use"
+                        " sample_video_frames for animated GIFs"
+                    )
+                for idx in range(0, meta["n_frames"], every_n):
+                    px = meta["frames"][idx]["pixels"]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "us_per_frame": meta["us_per_frame"],
+                            "pixel_hex": (
+                                None
+                                if px is None
+                                else "%02X%02X%02X" % tuple(px[0, 0])
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MJPEG_FRAME_SCHEMA.fields]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(run, schema=MJPEG_FRAME_SCHEMA)
+
+
 def parse_bmp_pixels(b: bytes):
     """-> (width, height, pixels) for a 24-bit uncompressed BMP, where
     ``pixels`` is a top-down (H, W, 3) uint8 array in BGR byte order --
@@ -777,15 +840,18 @@ def resize_images(
     """Image binary -> resized binary at (width, height).
 
     REAL decode/transform/re-encode loop with no codec library for
-    three containers: 24-bit uncompressed BMP (parse_bmp_pixels),
+    FOUR containers: 24-bit uncompressed BMP (parse_bmp_pixels),
     8-bit gray/RGB/RGBA PNG (parse_png_pixels, stdlib zlib inflate +
-    scanline unfilter), and GIF first frames (parse_gif_pixels, real
-    LZW decompression against the color table). All real paths emit
-    deterministic nearest-neighbor-resampled 24-bit BMP bytes --
-    version-independent, unlike re-deflated PNG output. JPEG pixels
-    would need a DCT decoder: ``fake=True`` emits a deterministic
-    byte-slice stand-in sized width*height/64 so output volume scales
-    with the target dims; ``fake=False`` raises."""
+    scanline unfilter), GIF first frames (parse_gif_pixels, real LZW
+    decompression against the color table), and baseline JPEG
+    (jpeg.parse_jpeg_pixels: canonical Huffman decode, dequant, float
+    IDCT -- progressive/subsampled streams fall through). All real
+    paths emit deterministic nearest-neighbor-resampled 24-bit BMP
+    bytes -- version-independent, unlike re-deflated PNG output.
+    ``fake=True`` emits a deterministic byte-slice stand-in sized
+    width*height/64 for payloads no real parser accepts;
+    ``fake=False`` raises on them."""
+    from .jpeg import parse_jpeg_pixels
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = max(1, width * height // 64)
@@ -797,6 +863,7 @@ def resize_images(
                     parse_bmp_pixels(b)
                     or parse_png_pixels(b)
                     or parse_gif_pixels(b)
+                    or parse_jpeg_pixels(b)
                 )
                 if parsed is not None:
                     out = encode_bmp(resize_nearest(parsed[2], width, height))
@@ -808,9 +875,9 @@ def resize_images(
                     )
                 else:
                     raise NotImplementedError(
-                        "image codecs unavailable; payload is not a"
-                        " decodable BMP/PNG/GIF -- pass fake=True for"
-                        " the deterministic test path"
+                        "payload is not a decodable BMP/PNG/GIF/baseline-"
+                        "JPEG -- pass fake=True for the deterministic"
+                        " stand-in path"
                     )
                 rows.append(
                     {

@@ -521,3 +521,101 @@ class TestBmpResize:
 
         with _pytest.raises(Exception, match="NotImplementedError|not 24-bit"):
             resize_images(df, width=2, height=2).collect()
+
+
+class TestJpegCodec:
+    """Baseline JPEG codec (multimodal/jpeg.py): pure numpy/stdlib,
+    internally consistent encode->decode with Annex K tables."""
+
+    def test_solid_color_roundtrip_exact(self):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.jpeg import (
+            encode_jpeg,
+            parse_jpeg_pixels,
+        )
+
+        for color in [(13, 91, 169), (0, 0, 0), (255, 255, 255), (7, 255, 128)]:
+            px = np.zeros((5, 3, 3), dtype=np.uint8)
+            px[:, :] = color
+            w, h, dec = parse_jpeg_pixels(encode_jpeg(px))
+            assert (w, h) == (3, 5)
+            # all-ones quant + RGB component ids: solid blocks survive
+            # the DCT round-trip bit-exactly
+            assert np.array_equal(dec, px)
+
+    def test_arbitrary_image_near_lossless(self):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.jpeg import (
+            encode_jpeg,
+            parse_jpeg_pixels,
+        )
+
+        rng = np.random.default_rng(42)
+        px = rng.integers(0, 256, size=(21, 13, 3), dtype=np.uint8)
+        w, h, dec = parse_jpeg_pixels(encode_jpeg(px))
+        assert (w, h) == (13, 21)
+        # quant step 1: the only loss is DCT coefficient rounding
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+    def test_rejects_non_baseline_and_garbage(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.jpeg import (
+            parse_jpeg_pixels,
+        )
+
+        assert parse_jpeg_pixels(b"\xff\xd8\xff\xc2\x00\x05aaa") is None  # SOF2
+        assert parse_jpeg_pixels(b"notjpeg") is None
+        assert parse_jpeg_pixels(b"") is None
+
+    def test_header_parse_agrees_with_pixel_decoder(self):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            parse_image_header,
+        )
+        from groove_to_helpscout_migration_tool_spark.multimodal.jpeg import (
+            encode_jpeg,
+        )
+
+        px = np.zeros((7, 4, 3), dtype=np.uint8)
+        b = encode_jpeg(px)
+        assert parse_image_header(b) == ("image/jpeg", 4, 7)
+
+
+class TestAviMjpeg:
+    def test_roundtrip_and_sampling(self, spark):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.avi import (
+            encode_avi_mjpeg,
+            parse_avi_frames,
+        )
+        from groove_to_helpscout_migration_tool_spark.multimodal.decode import (
+            sample_mjpeg_frames,
+        )
+
+        frames = []
+        for k in range(5):
+            f = np.zeros((4, 6, 3), dtype=np.uint8)
+            f[:, :] = (20 + k, 50 + 2 * k, 200 - 3 * k)
+            frames.append(f)
+        payload = encode_avi_mjpeg(frames, fps=25)
+        meta = parse_avi_frames(payload, decode=True)
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (6, 4, 5)
+        assert meta["us_per_frame"] == 1_000_000 // 25
+        for k, fr in enumerate(meta["frames"]):
+            assert np.array_equal(fr["pixels"], frames[k])
+
+        df = spark.createDataFrame([(9, payload)], "doc_id long, payload binary")
+        rows = sample_mjpeg_frames(df, every_n=2).collect()
+        assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+        assert rows[1]["pixel_hex"] == "%02X%02X%02X" % (22, 54, 194)
+
+    def test_non_avi_rejected(self):
+        from groove_to_helpscout_migration_tool_spark.multimodal.avi import (
+            parse_avi_frames,
+        )
+
+        assert parse_avi_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+        assert parse_avi_frames(b"\x89PNG") is None
