@@ -66,6 +66,7 @@ HEADLINE = [
     "llm_train_shuffle",
     "llm_sample_stratified",
     "llm_pack_sequences",
+    "llm_decontaminate",
 ]
 
 
@@ -86,6 +87,7 @@ BUILD_SPLIT = {
     "llm_semantic_dedup_assign",
     "llm_neardup_minhash_lsh_capped",
     "llm_dedup_incremental",
+    "llm_decontaminate",
 }
 
 N_RUNS = 3

@@ -64,6 +64,7 @@ _HEAVY = {
     "llm_ann_ivf_kmeans_topk", "llm_dedup_clusters",
     "llm_image_resize_multiformat",  # 6.6s at sf0.01: python image encode fixture
     "llm_video_frames_mjpeg",  # ~10s at sf0.01: pure-python Huffman decode per frame
+    "llm_decontaminate",  # ~6s at sf0.01: cold shingle build
 }
 
 

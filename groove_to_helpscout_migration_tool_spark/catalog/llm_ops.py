@@ -1914,3 +1914,68 @@ def llm_video_frames_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return sample_mjpeg_frames(payloads, every_n=2)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs overlapping an eval set
+# ---------------------------------------------------------------------------
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+eval_grams AS (
+  SELECT DISTINCT unnest(xs) AS g FROM docs WHERE doc_id < 50
+), train_hits AS (
+  -- xs is list_distinct per doc and eval_grams is DISTINCT, so the
+  -- join emits unique (doc_id, g): plain count == count(DISTINCT)
+  -- without the expensive distinct-agg path
+  SELECT d.doc_id,
+         count(g) AS n_shared_grams,
+         len(d.xs) AS n_grams
+  FROM docs d, unnest(d.xs) AS u(g)
+  WHERE d.doc_id >= 50 AND g IN (SELECT g FROM eval_grams)
+  GROUP BY d.doc_id, len(d.xs)
+)
+SELECT doc_id, CAST(n_shared_grams AS BIGINT) AS n_shared_grams,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       round(CAST(n_shared_grams AS DOUBLE) / n_grams, 6) AS overlap,
+       CAST(n_shared_grams AS DOUBLE) / n_grams >= 0.2 AS contaminated
+FROM train_hits
+""",
+    doc=(
+        "Benchmark DECONTAMINATION: flag training documents sharing word-"
+        "3-gram shingles with a held-out eval set (docs with id < 50 stand"
+        " in for the benchmark). The standard pre-training hygiene stage:"
+        " eval n-grams form a (small) set that is inner-joined against the"
+        " exploded training shingles -- shuffle carries (gram, doc_id)"
+        " longs only, and at 100 TB the eval-gram side is a broadcast"
+        " (benchmarks are tiny next to the corpus). Emits per-doc shared-"
+        "gram counts and an overlap ratio with a 20% contamination flag;"
+        " docs sharing nothing are clean and never leave the map side."
+    ),
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = DD.shingled_docs(t.documents)
+    eval_grams = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(F.explode("xs").alias("g"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") >= 50).select(
+        "doc_id", F.size("xs").alias("n_grams"), F.explode("xs").alias("g")
+    )
+    # xs is array_distinct per doc and eval_grams is distinct: the join
+    # emits unique (doc_id, g), so a plain count equals countDistinct
+    # without the expand-based distinct aggregation (the r1 TF-IDF trap)
+    hits = train.join(F.broadcast(eval_grams), ["g"]).groupBy(
+        "doc_id", "n_grams"
+    ).agg(F.count("g").alias("n_shared_grams"))
+    overlap = F.col("n_shared_grams").cast("double") / F.col("n_grams")
+    return hits.select(
+        "doc_id",
+        F.col("n_shared_grams").cast("bigint").alias("n_shared_grams"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.round(overlap, 6).alias("overlap"),
+        (overlap >= 0.2).alias("contaminated"),
+    )
