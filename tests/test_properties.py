@@ -501,3 +501,59 @@ class TestNearDupInvariants:
             for cid in {r["cluster_id"] for r in relabeled}
         }
         assert base == remapped
+
+
+class TestJpegCodecProperty:
+    """Pure-python property checks on the baseline JPEG codec -- no
+    Spark session, so hypothesis can afford real example counts."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=20),
+        h=st.integers(min_value=1, max_value=20),
+        b=st.integers(min_value=0, max_value=255),
+        g=st.integers(min_value=0, max_value=255),
+        r=st.integers(min_value=0, max_value=255),
+    )
+    def test_solid_roundtrip_exact_any_dims(self, w, h, b, g, r):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.jpeg import (
+            encode_jpeg,
+            parse_jpeg_pixels,
+        )
+
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[:, :] = (b, g, r)
+        got_w, got_h, dec = parse_jpeg_pixels(encode_jpeg(px))
+        assert (got_w, got_h) == (w, h)
+        assert np.array_equal(dec, px)
+
+    @settings(max_examples=10, deadline=None)
+    @given(seed=st.integers(min_value=0, max_value=2**32 - 1))
+    def test_random_image_error_bounded(self, seed):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.jpeg import (
+            encode_jpeg,
+            parse_jpeg_pixels,
+        )
+
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(1, 25)), int(rng.integers(1, 25))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        _, _, dec = parse_jpeg_pixels(encode_jpeg(px))
+        # all-ones quant: only DCT coefficient rounding can perturb
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+    @settings(max_examples=15, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=400))
+    def test_garbage_never_crashes(self, data):
+        from groove_to_helpscout_migration_tool_spark.multimodal.jpeg import (
+            parse_jpeg_pixels,
+        )
+
+        # arbitrary bytes (including ones that start like a JPEG) must
+        # return None or a valid tuple, never raise
+        out = parse_jpeg_pixels(b"\xff\xd8" + data)
+        assert out is None or len(out) == 3
