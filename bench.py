@@ -157,14 +157,36 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-    total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    sha = _git_sha()
-    # Full detail (build split, steady-state spreads) goes to a sidecar
-    # file + stderr; the FINAL stdout line is the compact contract JSON.
-    # The driver keeps only a ~2KB tail of stdout, so the last line must
-    # stay well under that: 2-decimal timings, compact separators, no
-    # auxiliary dicts (r2/r3 benches went unparsed when the line grew).
+    detail, line = build_output(timings, build, spreads, sf_val, _git_sha())
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        print(json.dumps(detail), file=sys.stderr)
+    except Exception:
+        pass
+    print(line)
+
+
+def build_output(
+    timings: dict[str, float],
+    build: dict[str, float],
+    spreads: dict[str, float],
+    sf_val,
+    sha: str,
+) -> tuple[dict, str]:
+    """(full detail dict, compact stdout contract line).
+
+    Full detail (build split, steady-state spreads) goes to a sidecar
+    file + stderr; the FINAL stdout line is the compact contract JSON.
+    The driver keeps only a ~2KB tail of stdout, so the last line must
+    stay well under that: 2-decimal timings, compact separators, no
+    auxiliary dicts (r2/r3 benches went unparsed when the line grew).
+    """
+    total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -175,15 +197,6 @@ def main() -> None:
         "sha": sha,
         "sf": sf_val,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1)
-        print(json.dumps(detail), file=sys.stderr)
-    except Exception:
-        pass
     compact = {
         "metric": "headline_queries_total",
         "value": total,
@@ -196,7 +209,7 @@ def main() -> None:
     if len(line) > 1900:  # hard guard: never exceed the driver's tail buffer
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    return detail, line
 
 
 if __name__ == "__main__":

@@ -347,10 +347,11 @@ def sample_video_frames(
     Animated GIFs take the REAL path: parse_gif_frames walks the block
     structure and every ``every_n``-th frame is emitted with its true
     byte offset, dimensions, inter-frame delay, and raw (still
-    LZW-compressed) frame bytes. Other containers would need a codec
-    lib (absent here): ``fake=True`` substitutes the deterministic
-    32-byte-chunk fake so tests exercise the distributed path;
-    ``fake=False`` raises for them.
+    LZW-compressed) frame bytes. MJPEG-in-AVI has its own fully real
+    sampler (sample_mjpeg_frames: RIFF walk + per-frame JPEG pixel
+    decode). For any other container ``fake=True`` substitutes the
+    deterministic 32-byte-chunk stand-in so tests exercise the
+    distributed path; ``fake=False`` raises for them.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -376,8 +377,9 @@ def sample_video_frames(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "video codecs unavailable and payload is not an"
-                        " animated GIF; pass fake=True for the test path"
+                        "payload is not an animated GIF (use"
+                        " sample_mjpeg_frames for MJPEG AVIs); pass"
+                        " fake=True for the test path"
                     )
                 n_frames = max(1, len(b) // 32)
                 for idx in range(0, n_frames, every_n):

@@ -186,3 +186,32 @@ class TestTrainingAssembly:
             for r in rs:
                 assert r["seq_id"] * 512 + r["seq_offset"] == total
                 total += r["n_tokens"]
+
+
+class TestBenchContract:
+    """The external driver keeps only a ~2KB tail of bench stdout; the
+    final line must always parse from within it (r2/r3 benches went
+    unrecorded when the line outgrew the buffer)."""
+
+    def test_headline_names_exist_in_catalog(self):
+        import bench
+
+        missing = [n for n in bench.HEADLINE if n not in catalog.QUERIES]
+        assert missing == []
+        assert bench.BUILD_SPLIT <= set(bench.HEADLINE)
+
+    def test_compact_line_fits_tail_buffer(self):
+        import json
+
+        import bench
+
+        # worst case: every headline query at a 4-digit-seconds timing
+        timings = {n: 9999.99 for n in bench.HEADLINE}
+        detail, line = bench.build_output(
+            timings, dict(timings), dict(timings), 0.1, "0123abc-dirty"
+        )
+        assert len(line) < 1900
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_queries_total"
+        assert set(parsed["queries"]) == set(bench.HEADLINE)
+        assert json.loads(json.dumps(detail))["spread_pct"] == dict(timings)
