@@ -65,6 +65,7 @@ _HEAVY = {
     "llm_image_resize_multiformat",  # 6.6s at sf0.01: python image encode fixture
     "llm_video_frames_mjpeg",  # ~10s at sf0.01: pure-python Huffman decode per frame
     "llm_decontaminate",  # ~6s at sf0.01: cold shingle build
+    "ref_t3_streaming_state_dedup",  # ~7s: streaming query startup
 }
 
 

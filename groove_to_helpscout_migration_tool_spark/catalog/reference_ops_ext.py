@@ -1480,3 +1480,34 @@ def ref_k5_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pm.snapshot(spark).select(
         "step", "metric", F.col("value").cast("double").alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# T3 idempotency via the state store (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+@register(
+    "ref_t3_streaming_state_dedup",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+""",
+    doc=(
+        "T3 idempotent re-run as a STREAMING STATE-STORE operator: every"
+        " event is duplicated in-stream (the replayed-page scenario of"
+        " TicketProcessor.php:353-372) and dropDuplicatesWithinWatermark"
+        " on event_id drops the replay inside the state store, with state"
+        " expiring at the watermark instead of growing with the corpus."
+        " Per-type totals after dedup must equal the batch totals of the"
+        " ORIGINAL table -- the oracle is that batch twin. Complements"
+        " ref_t3_idempotent_rerun (batch anti-join) and the foreachBatch"
+        " merge sink (sink-side dedup)."
+    ),
+)
+def ref_t3_streaming_state_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_to_memory, streaming_dedup_counts
+
+    return run_to_memory(
+        streaming_dedup_counts(spark, sf_dir), "state_dedup", output_mode="complete"
+    )

@@ -219,3 +219,31 @@ def streaming_merge_to_parquet(
             "streaming merge did not finish within 120s; sink may be partial"
         )
     return written["n"]
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 idempotency as a STATE-STORE operator: duplicate every event
+    in-stream (explode over a 2-element array -- the replayed-page
+    scenario), then ``dropDuplicatesWithinWatermark`` on event_id keeps
+    the first arrival and drops replays, bounded by the event-time
+    watermark instead of unbounded key state. The per-type counts after
+    dedup must equal the batch counts of the ORIGINAL table -- proving
+    the replay died in the state store, not in a sink-side anti-join
+    (that variant is streaming_merge_to_parquet).
+
+    Scale: state is keyed by event_id and EXPIRES with the watermark --
+    at 100 TB the state store holds one key per event inside the
+    lateness window only, not the full corpus."""
+    raw = _read_stream(spark, sf_dir)
+    duplicated = raw.select(
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("_copy"), "*"
+    ).drop("_copy")
+    return (
+        duplicated.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -619,3 +619,28 @@ class TestAviMjpeg:
 
         assert parse_avi_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
         assert parse_avi_frames(b"\x89PNG") is None
+
+
+class TestStreamingStateDedup:
+    def test_duplicated_stream_dedups_to_batch_counts(self, spark, sf_dir):
+        from groove_to_helpscout_migration_tool_spark.session import load_tables
+        from groove_to_helpscout_migration_tool_spark.streaming.events import (
+            run_to_memory,
+            streaming_dedup_counts,
+        )
+
+        got = {
+            (r["event_type"], r["n_events"])
+            for r in run_to_memory(
+                streaming_dedup_counts(spark, sf_dir), "t3_state_dedup"
+            ).collect()
+        }
+        t = load_tables(spark, sf_dir, ["events"])
+        want = {
+            (r["event_type"], r["n"])
+            for r in t.events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # every replayed event died in the state store
+        assert got == want
