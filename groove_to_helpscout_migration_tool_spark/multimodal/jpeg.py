@@ -105,6 +105,30 @@ def _decode_table(bits: list[int], syms: list[int]) -> dict[tuple[int, int], int
     }
 
 
+_FAST_TABLES: dict[bytes, list[int]] = {}
+
+
+def _fast_table(bits: list[int], syms: list[int]) -> list[int]:
+    """65536-entry lookup: 16-bit window -> (symbol << 5) | code length.
+
+    One list index replaces up to 16 per-bit dict probes per symbol --
+    the classic table-driven Huffman decode. Entry 0 = invalid code.
+    Tables are cached by their DHT payload (the same Annex K tables
+    recur across every frame of a corpus)."""
+    key = bytes(bits) + bytes(syms)
+    cached = _FAST_TABLES.get(key)
+    if cached is not None:
+        return cached
+    table = [0] * 65536
+    for sym, (code, length) in _canonical_codes(bits, syms).items():
+        base = code << (16 - length)
+        entry = (sym << 5) | length
+        for suffix in range(1 << (16 - length)):
+            table[base + suffix] = entry
+    _FAST_TABLES[key] = table
+    return table
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -264,7 +288,31 @@ class _BitReader:
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (1-padded past stream end)."""
+        if self.nbits < 16:
+            self._fill()
+            if self.nbits < 16:
+                # pad with 1s (F.2.2.5) without consuming real data
+                pad = 16 - self.nbits
+                return ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if self.nbits < n:
+            self._fill()
+            if self.nbits < n:
+                raise ValueError("jpeg: out of entropy data")
+        self.nbits -= n
+
     def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        if self.nbits >= n:
+            self.nbits -= n
+            return (self.acc >> self.nbits) & ((1 << n) - 1)
         v = 0
         for _ in range(n):
             v = (v << 1) | self.bit()
@@ -281,14 +329,12 @@ class _BitReader:
             self.pos += 1
 
 
-def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("jpeg: invalid Huffman code")
+def _read_huff(br: _BitReader, table: list[int]) -> int:
+    entry = table[br.peek16()]
+    if entry == 0:
+        raise ValueError("jpeg: invalid Huffman code")
+    br.consume(entry & 31)
+    return entry >> 5
 
 
 def _extend(bits: int, size: int) -> int:
@@ -357,7 +403,7 @@ def _parse_jpeg(b: bytes):
                 bits = list(seg[i + 1 : i + 17])
                 nsym = sum(bits)
                 syms = list(seg[i + 17 : i + 17 + nsym])
-                huff[(klass, tid)] = _decode_table(bits, syms)
+                huff[(klass, tid)] = _fast_table(bits, syms)
                 i += 17 + nsym
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
