@@ -97,14 +97,6 @@ def _canonical_codes(bits: list[int], syms: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], syms: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, the decoder-side view."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _canonical_codes(bits, syms).items()
-    }
-
-
 _FAST_TABLES: dict[bytes, list[int]] = {}
 
 
