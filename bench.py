@@ -67,6 +67,7 @@ HEADLINE = [
     "llm_sample_stratified",
     "llm_pack_sequences",
     "llm_decontaminate",
+    "q_zorder_layout",
 ]
 
 

@@ -1979,3 +1979,70 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(overlap, 6).alias("overlap"),
         (overlap >= 0.2).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys: multi-dimensional data clustering
+# ---------------------------------------------------------------------------
+_MORTON_BITS = 16
+
+
+def _morton_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(_MORTON_BITS):
+        terms.append(f"(({a} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({b} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+WITH d AS (
+  SELECT event_id,
+         user_id % 65536 AS u16,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) % 65536 AS d16
+  FROM events
+)
+SELECT event_id,
+       CAST({_morton_sql('u16', 'd16')} AS BIGINT) AS zkey,
+       CAST({_morton_sql('u16', 'd16')} // 1048576 AS BIGINT) AS zbucket
+FROM d
+""",
+    doc=(
+        "Z-order (Morton) layout keys over (user_id, event day): bits of"
+        " the two dimensions interleaved into one sort key, computed as"
+        " pure integer arithmetic (32 shift-and-multiply terms, codegen'd"
+        " JVM-side -- engine-neutral, no bit-twiddling builtins). At 100 TB"
+        " this is the data-layout operator: write the fact table sorted by"
+        " zkey (or partitioned by zbucket = zkey div 2^20) and parquet"
+        " min/max row-group stats prune scans on EITHER dimension --"
+        " point lookups by user AND time-range scans by day both skip most"
+        " of the corpus, which one-dimensional sorting cannot give you."
+    ),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    d = t.events.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("u16"),
+        (
+            F.floor(
+                F.col("ts").cast("timestamp").cast("double") / F.lit(86400.0)
+            ).cast("bigint")
+            % 65536
+        ).alias("d16"),
+    )
+    zkey = None
+    for i in range(_MORTON_BITS):
+        ua = (F.shiftright(F.col("u16"), i).bitwiseAND(F.lit(1))) * F.lit(1 << (2 * i))
+        db = (F.shiftright(F.col("d16"), i).bitwiseAND(F.lit(1))) * F.lit(
+            1 << (2 * i + 1)
+        )
+        term = ua + db
+        zkey = term if zkey is None else zkey + term
+    return d.select(
+        "event_id",
+        zkey.cast("bigint").alias("zkey"),
+        F.floor(zkey / F.lit(1048576)).cast("bigint").alias("zbucket"),
+    )
