@@ -68,6 +68,7 @@ HEADLINE = [
     "llm_pack_sequences",
     "llm_decontaminate",
     "q_zorder_layout",
+    "llm_chunk_documents",
 ]
 
 

@@ -2046,3 +2046,67 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         zkey.cast("bigint").alias("zkey"),
         F.floor(zkey / F.lit(1048576)).cast("bigint").alias("zbucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking with overlap (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+CHUNK_LEN, CHUNK_STRIDE = 200, 150  # 50-char overlap
+
+
+@register(
+    "llm_chunk_documents",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, text, length(text) AS len,
+         CAST(ceil(greatest(length(text) - {CHUNK_LEN}, 0)
+              / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1 AS n_chunks
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS BIGINT)
+         AS chunk_len,
+       md5(substr(text, k * {CHUNK_STRIDE} + 1, {CHUNK_LEN})) AS chunk_md5
+FROM n, unnest(range(0, n_chunks)) AS u(k)
+""",
+    doc=(
+        "Document chunking with overlap (the RAG / context-window prep"
+        " step): 200-char windows at a 150-char stride; the chunk count"
+        " ceil((len-200)/150)+1 guarantees the final (possibly shorter)"
+        " window reaches the end of the document. One"
+        " posexplode(sequence) per doc -- embarrassingly parallel, no"
+        " shuffle, chunk text hashed (md5) so the fan-out rows stay"
+        " fixed-width; downstream embedding jobs join the hash back to"
+        " the source text only for the chunks they actually process."
+    ),
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t.documents.filter(F.length("text") > 0).select(
+        "doc_id",
+        "text",
+        (
+            F.ceil(
+                F.greatest(F.length("text") - CHUNK_LEN, F.lit(0))
+                / F.lit(float(CHUNK_STRIDE))
+            ).cast("bigint")
+            + 1
+        ).alias("n_chunks"),
+    )
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(1), F.col("n_chunks"))).alias("chunk_idx", "_one"),
+    ).drop("_one")
+    piece = F.substring(
+        F.col("text"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_LEN
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx") * CHUNK_STRIDE).cast("bigint").alias("chunk_start"),
+        F.length(piece).cast("bigint").alias("chunk_len"),
+        F.md5(piece).alias("chunk_md5"),
+    )
