@@ -215,3 +215,43 @@ class TestBenchContract:
         assert parsed["metric"] == "headline_queries_total"
         assert set(parsed["queries"]) == set(bench.HEADLINE)
         assert json.loads(json.dumps(detail))["spread_pct"] == dict(timings)
+
+
+class TestTrainingAssemblyPartitionInvariance:
+    """The core determinism claim of the training-assembly family: every
+    shuffle/sample/pack decision is a pure md5 function of doc_id, so
+    results are IDENTICAL under any input partitioning -- the property
+    rand()-based formulations lose on retry/re-partition."""
+
+    def _rows(self, df):
+        return {tuple(r) for r in df.collect()}
+
+    def test_same_results_under_repartitioning(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from groove_to_helpscout_migration_tool_spark.catalog import llm_ops
+        from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+        t = load_tables(spark, sf_dir, ["documents"])
+        variants = [
+            t.documents,
+            t.documents.repartition(7),
+            t.documents.repartition(3, F.col("lang")),
+        ]
+
+        def shuffle_of(docs):
+            keyed = docs.select(
+                "doc_id", llm_ops._doc_key("shuf:ep1").alias("skey")
+            ).withColumn(
+                "shard_id", (F.col("skey") % llm_ops.N_SHARDS).cast("bigint")
+            )
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("shard_id").orderBy("skey", "doc_id")
+            return keyed.select(
+                "doc_id", "shard_id", F.row_number().over(w).alias("pos")
+            )
+
+        base = self._rows(shuffle_of(variants[0]))
+        for v in variants[1:]:
+            assert self._rows(shuffle_of(v)) == base
