@@ -69,6 +69,10 @@ HEADLINE = [
     "llm_decontaminate",
     "q_zorder_layout",
     "llm_chunk_documents",
+    # sketch-only approx plans (r5: the exact twins moved to the NOT-benched
+    # *_check entries, so these now time the 100 TB-shaped plan alone)
+    "p02_percentiles_approx",
+    "q_distinct_users_approx",
 ]
 
 

@@ -34,27 +34,15 @@ from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 # Keeping them ahead of the untouched-green block guarantees the sweep
 # re-verifies everything this round's diff could have regressed.
 _CHANGED_THIS_ROUND = {
-    # round 4: approx queries emit a rounded rel-err column; HLL bound
-    # widened to 4x rsd (ADVICE r3)
+    # round 5: approx entries split into a benched sketch-only form and a
+    # NOT-benched *_check epsilon twin (VERDICT r4 task 1 + ADVICE bucket
+    # alignment); the _check names are brand-new (block 0 via never-checked)
     "p02_percentiles_approx", "q_distinct_users_approx",
-    # round 4: streaming reader adapts to the regenerated testdata's
-    # TIMESTAMP(MICROS) events.ts (was nanos-as-long); windows cast NTZ
-    "ref_t1_streaming_quota",
-    # round 4: observability metrics-unavailable sentinel
-    "ref_k5_observed_metrics", "ref_a4_throughput_eta",
-    # round 4: real baseline JPEG codec joined the resize chain; the
-    # multiformat query round-robins 4 containers now
-    "llm_image_resize", "llm_image_resize_multiformat",
-    # round 4: persists routed through the artifact-cache registry
-    # (plan-identical, re-verify anyway) + checkpoint cleanup
-    "llm_minhash_signature", "llm_neardup_minhash_lsh",
-    "llm_neardup_minhash_lsh_capped", "llm_neardup_ngram_jaccard",
-    "llm_neardup_simhash", "llm_neardup_simhash_capped",
-    "llm_simhash_signature", "llm_simhash_dedup_assign",
-    "llm_dedup_clusters", "llm_dedup_incremental",
-    "llm_ann_topk_cosine", "llm_ann_lsh_topk", "llm_ann_ivf_topk",
-    "llm_ann_ivf_kmeans_topk", "llm_neardup_embedding_lsh",
-    "llm_semantic_dedup_assign",
+    # round 5: seq_id integer division (ADVICE r4) -- plan-equivalent at
+    # test scales, re-verify anyway
+    "llm_pack_sequences",
+    # round 5: mjpeg sampling decodes only sampled frames (ADVICE r4)
+    "llm_video_frames_mjpeg",
 }
 
 _HEAVY = {

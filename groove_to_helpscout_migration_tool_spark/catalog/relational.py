@@ -1174,32 +1174,79 @@ def p01_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p02_percentiles_approx",
     oracle="""
 SELECT o_orderpriority AS priority,
-       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
-       round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
-       CAST(0.0 AS DOUBLE) AS max_rel_err_decile,
-       TRUE AS within_bounds
+       count(*) AS n_orders,
+       TRUE AS sketch_ok
 FROM orders GROUP BY o_orderpriority
 """,
     doc=(
         "approx_percentile (KLL-style sketch): mergeable, bounded-memory --"
-        " the percentile that scales. Sketches differ per engine, so the"
-        " approx values themselves cannot be hash-compared; instead the"
-        " epsilon check is computed IN the query (one agg produces sketch"
-        " and exact side by side). within_bounds = both percentile errors"
-        " <= 5% relative (accuracy=10000 keeps true error far below that),"
-        " and max_rel_err_decile rounds the larger error to the nearest 10%"
-        " so a tolerance breach shows its magnitude in the diff rather than"
-        " a bare boolean flip. The exact twin exists for the check only;"
-        " this entry is NOT benched (it would time exact+approx together)."
+        " the percentile that scales, and the plan that is BENCHED. The"
+        " sketch values differ per engine, so they cannot be hash-compared"
+        " directly; this entry checks the deterministic invariants instead"
+        " (approx_percentile returns a member of the group, so p50/p95 lie"
+        " in [min, max] and p50 <= p95 -- min/max are mergeable aggs, fine"
+        " at 100 TB) while the 5%-epsilon check against the exact"
+        " percentile lives in p02_percentiles_approx_check, which is NOT"
+        " benched (its exact percentile() needs the full group sort that"
+        " does not exist at the 100 TB design point). One array-percentile"
+        " call builds a single sketch for both quantiles."
     ),
 )
 def p02_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders"])
     agg = t.orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5D, 0.95D), 10000)"
+        ).alias("_ap"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("_lo"),
+        F.max("o_totalprice").alias("_hi"),
+    )
+    p50, p95 = F.col("_ap")[0], F.col("_ap")[1]
+    return agg.select(
+        "priority",
+        "n_orders",
+        (
+            (p50 >= F.col("_lo")) & (p95 <= F.col("_hi")) & (p50 <= p95)
+        ).alias("sketch_ok"),
+    )
+
+
+@register(
+    "p02_percentiles_approx_check",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+       CAST(0 AS BIGINT) AS err_over_bound,
+       TRUE AS within_bounds
+FROM orders GROUP BY o_orderpriority
+""",
+    doc=(
+        "Epsilon-check twin of p02_percentiles_approx: one agg produces"
+        " sketch and exact side by side and asserts both percentile errors"
+        " <= 5% relative (accuracy=10000 keeps true error far below that)."
+        " err_over_bound = floor(rel_err / 0.05): 0 everywhere within"
+        " bounds, and the multiple of the bound on a breach, so the diff"
+        " shows the magnitude -- the bucket edge coincides with the"
+        " within_bounds edge (ADVICE r4: a finer rounding would silently"
+        " re-tighten the tolerance). Exists for falsifiability only; NOT"
+        " benched -- the exact percentile() full-sort path is exactly what"
+        " the approx entry removes at 100 TB."
+    ),
+)
+def p02_percentiles_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    agg = t.orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("_p50_ex"),
         F.expr("percentile(o_totalprice, 0.95)").alias("_p95_ex"),
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("_p50_ap"),
-        F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("_p95_ap"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5D, 0.95D), 10000)"
+        ).alias("_ap"),
+    )
+    agg = agg.select(
+        "priority", "_p50_ex", "_p95_ex",
+        F.col("_ap")[0].alias("_p50_ap"), F.col("_ap")[1].alias("_p95_ap"),
     )
     rel_err = lambda ap, ex: F.abs(F.col(ap) - F.col(ex)) / F.abs(F.col(ex))
     max_err = F.greatest(
@@ -1209,7 +1256,7 @@ def p02_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.round(F.col("_p50_ex"), 4).alias("p50_exact"),
         F.round(F.col("_p95_ex"), 4).alias("p95_exact"),
-        F.round(max_err, 1).alias("max_rel_err_decile"),
+        F.floor(max_err / 0.05).cast("bigint").alias("err_over_bound"),
         (
             (rel_err("_p50_ap", "_p50_ex") <= 0.05)
             & (rel_err("_p95_ap", "_p95_ex") <= 0.05)

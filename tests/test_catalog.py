@@ -102,17 +102,25 @@ class TestApproxBounds:
             r["priority"]: (r["p50"], r["p95"])
             for r in catalog.QUERIES["p01_percentiles_exact"].fn(spark, self.SF).collect()
         }
-        approx = {
+        # the benched entry is sketch-only (r5): structural invariants only
+        sketch = {
             r["priority"]: r
             for r in catalog.QUERIES["p02_percentiles_approx"].fn(spark, self.SF).collect()
+        }
+        assert exact.keys() == sketch.keys()
+        assert all(r["sketch_ok"] is True for r in sketch.values()), sketch
+        # the epsilon check lives in the _check twin: in-plan exact twin
+        # must equal p01's exact values, and the <=5% relative bound holds
+        approx = {
+            r["priority"]: r
+            for r in catalog.QUERIES["p02_percentiles_approx_check"].fn(spark, self.SF).collect()
         }
         assert exact.keys() == approx.keys()
         for prio, (p50, p95) in exact.items():
             row = approx[prio]
-            # the in-plan exact twin must equal p01's exact values, and the
-            # in-plan epsilon check (<=5% relative) must hold
             assert row["p50_exact"] == p50 and row["p95_exact"] == p95, (prio, row)
             assert row["within_bounds"] is True, (prio, row)
+            assert row["err_over_bound"] == 0, (prio, row)
 
     def test_approx_count_distinct_within_rsd_of_exact(self, spark):
         from groove_to_helpscout_migration_tool_spark import catalog
@@ -121,15 +129,22 @@ class TestApproxBounds:
             r["event_type"]: r["n_users"]
             for r in catalog.QUERIES["q_distinct_users_exact"].fn(spark, self.SF).collect()
         }
-        approx = {
+        sketch = {
             r["event_type"]: r
             for r in catalog.QUERIES["q_distinct_users_approx"].fn(spark, self.SF).collect()
+        }
+        assert exact.keys() == sketch.keys()
+        assert all(r["sketch_ok"] is True for r in sketch.values()), sketch
+        approx = {
+            r["event_type"]: r
+            for r in catalog.QUERIES["q_distinct_users_approx_check"].fn(spark, self.SF).collect()
         }
         assert exact.keys() == approx.keys()
         for et, n in exact.items():
             row = approx[et]
             assert row["n_users_exact"] == n, (et, n, row)
             assert row["within_bounds"] is True, (et, row)
+            assert row["err_over_bound"] == 0, (et, row)
 
 
 class TestTrainingAssembly:
