@@ -1870,7 +1870,10 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shard_id",
         "n_tokens",
-        (F.col("start_off") / PACK_BUDGET).cast("bigint").alias("seq_id"),
+        # integer `div`, not double division + cast: the double path is
+        # exact only below 2^53 cumulative tokens and the oracle's `//` is
+        # exact everywhere (ADVICE r4)
+        F.expr(f"start_off div {PACK_BUDGET}").alias("seq_id"),
         (F.col("start_off") % PACK_BUDGET).cast("bigint").alias("seq_offset"),
     )
 

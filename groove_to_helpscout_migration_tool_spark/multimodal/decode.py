@@ -426,22 +426,31 @@ def sample_mjpeg_frames(
     frame timing, and the decoded top-left pixel as BGR hex -- a
     pixel-level probe the oracle can predict for solid-color frames,
     proving the decode really ran. Non-AVI payloads raise (the GIF
-    container has its own real walker in sample_video_frames)."""
+    container has its own real walker in sample_video_frames). The RIFF
+    walk runs with decode=False and only the SAMPLED frames go through
+    the Huffman+IDCT decode by (offset, size) -- decoding every frame
+    just to discard all but every every_n-th doubled the dominant cost
+    at the default stride (ADVICE r4)."""
     from .avi import parse_avi_frames
+    from .jpeg import parse_jpeg_pixels
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, data in zip(pdf[id_col], pdf[data_col]):
                 b = bytes(data) if data is not None else b""
-                meta = parse_avi_frames(b, decode=True)
+                meta = parse_avi_frames(b, decode=False)
                 if meta is None:
                     raise NotImplementedError(
                         "payload is not an MJPEG AVI; use"
                         " sample_video_frames for animated GIFs"
                     )
                 for idx in range(0, meta["n_frames"], every_n):
-                    px = meta["frames"][idx]["pixels"]
+                    fr = meta["frames"][idx]
+                    parsed = parse_jpeg_pixels(
+                        b[fr["offset"] : fr["offset"] + fr["size"]]
+                    )
+                    px = None if parsed is None else parsed[2]
                     rows.append(
                         {
                             "doc_id": int(doc_id),

@@ -253,6 +253,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # drop already-consumed high bits: without this mask acc grows into
+        # a bignum spanning the whole scan and every << 8 costs O(scan),
+        # turning decode quadratic on real-sized photos (ADVICE r4)
+        self.acc &= (1 << self.nbits) - 1
         while self.nbits <= 24:
             if self.pos >= len(self.data):
                 self.acc = (self.acc << 8) | 0xFF  # pad past end (F.2.2.5)
@@ -401,6 +405,12 @@ def _parse_jpeg(b: bytes):
             restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS: scan header then entropy data
             ns = seg[0]
+            if ns != len(comps):
+                # non-interleaved stream (one component per scan): decoding
+                # the first scan as if it were the full image would leave
+                # the other planes zero -- reject rather than mis-decode,
+                # matching the SOF2/subsampling guards (ADVICE r4)
+                return None
             scan_map = []  # (comp index, dc table, ac table)
             for c in range(ns):
                 cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -557,3 +557,49 @@ class TestJpegCodecProperty:
         # return None or a valid tuple, never raise
         out = parse_jpeg_pixels(b"\xff\xd8" + data)
         assert out is None or len(out) == 3
+
+    def test_non_interleaved_scan_rejected_not_misdecoded(self):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.jpeg import (
+            encode_jpeg,
+            parse_jpeg_pixels,
+        )
+
+        # splice the encoder's 3-component SOS into a 1-component scan
+        # header: a legal baseline NON-interleaved stream (one scan per
+        # component) that the decoder does not support -- it must return
+        # None like the SOF2/subsampled guards, not decode one plane and
+        # leave the rest zero (ADVICE r4)
+        px = np.full((8, 8, 3), 200, dtype=np.uint8)
+        b = encode_jpeg(px)
+        sos_at = b.find(b"\xff\xda")
+        assert sos_at > 0
+        old_seglen = int.from_bytes(b[sos_at + 2 : sos_at + 4], "big")
+        entropy = b[sos_at + 2 + old_seglen :]
+        one_comp_sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes(
+            [1, 0x52, 0x00, 0, 63, 0]
+        )
+        assert parse_jpeg_pixels(b[:sos_at] + one_comp_sos + entropy) is None
+
+    def test_bitreader_acc_stays_bounded(self):
+        import numpy as np
+
+        from groove_to_helpscout_migration_tool_spark.multimodal.jpeg import (
+            _BitReader,
+            encode_jpeg,
+        )
+
+        # the accumulator must be masked to the live bit window as the
+        # scan is consumed; an unmasked acc grows into a bignum spanning
+        # the whole scan and makes decode quadratic (ADVICE r4)
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        scan = encode_jpeg(px)
+        br = _BitReader(scan)
+        for _ in range(2000):
+            try:
+                br.bit()
+            except ValueError:
+                break
+            assert br.acc.bit_length() <= 40, br.acc.bit_length()
