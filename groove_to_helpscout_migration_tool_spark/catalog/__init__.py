@@ -43,6 +43,9 @@ _CHANGED_THIS_ROUND = {
     "llm_pack_sequences",
     # round 5: mjpeg sampling decodes only sampled frames (ADVICE r4)
     "llm_video_frames_mjpeg",
+    # round 5: S9 memo routes through the artifact registry (unpersist
+    # discipline)
+    "ref_s9_cached_dim_scan",
 }
 
 _HEAVY = {

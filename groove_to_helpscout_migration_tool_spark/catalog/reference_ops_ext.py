@@ -28,6 +28,7 @@ from ..functions import (
     truncate_with_flag,
 )
 from ..multimodal.decode import sniff_mime
+from ..operators.cache import persist_artifact
 from ..registry import register
 from ..session import load_tables
 
@@ -678,12 +679,15 @@ def ref_s9_cached_dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     paged = t.nation.withColumn(
         "page", F.floor(F.col("n_nationkey") / 10).cast("bigint")
     )
-    # pages arrive as separate fetches; union-all then memoize (S9 cache)
+    # pages arrive as separate fetches; union-all then memoize (S9 cache).
+    # The memo routes through the artifact registry so a library consumer
+    # can release it with unpersist_artifacts() like every other cached
+    # build artifact (r5 unpersist discipline).
     pages = [paged.filter(F.col("page") == p) for p in range(3)]
     dim = pages[0]
     for p in pages[1:]:
         dim = dim.unionByName(p)
-    dim = dim.cache()
+    dim = persist_artifact(dim)
     return dim.select(
         "page",
         F.col("n_nationkey").alias("mailbox_id"),

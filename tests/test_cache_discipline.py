@@ -1,0 +1,104 @@
+"""Unpersist discipline: a library consumer that runs a dedup/ANN
+operator, materializes the result, and calls unpersist_artifacts()
+must leave ZERO cached blocks behind (VERDICT r4 item 2).
+
+bench.py masks persist leaks with clearCache between queries; a real
+consumer looping corpora in one long-lived session does not. The
+contract under test: every designed intermediate the operators persist
+goes through operators.cache.persist_artifact, and one
+unpersist_artifacts() call releases all of them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _load_docs(spark):
+    from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+    return load_tables(spark, SF, ["documents"]).documents
+
+
+def _load_emb(spark):
+    from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+    return load_tables(spark, SF, ["embeddings"]).embeddings
+
+
+@pytest.fixture(autouse=True)
+def _clean_slate(spark):
+    # start and end every case empty so leaks cannot cross-contaminate
+    from groove_to_helpscout_migration_tool_spark.operators import cache
+
+    spark.catalog.clearCache()
+    cache.unpersist_artifacts()
+    yield
+    spark.catalog.clearCache()
+    cache.unpersist_artifacts()
+
+
+class TestUnpersistDiscipline:
+    def _assert_released(self, spark, df):
+        from groove_to_helpscout_migration_tool_spark.operators import cache
+
+        df.count()  # the consumer's action: artifacts are now materialized
+        assert _n_persistent(spark) > 0, (
+            "operator persisted nothing -- the discipline test is vacuous;"
+            " update it if the operator no longer caches intermediates"
+        )
+        cache.unpersist_artifacts(blocking=True)
+        assert _n_persistent(spark) == 0
+
+    def test_simhash_pairs_release(self, spark):
+        from groove_to_helpscout_migration_tool_spark.operators import dedup
+
+        self._assert_released(
+            spark, dedup.simhash_neardup_pairs(_load_docs(spark))
+        )
+
+    def test_minhash_lsh_pairs_release(self, spark):
+        from groove_to_helpscout_migration_tool_spark.operators import dedup
+
+        self._assert_released(
+            spark, dedup.minhash_lsh_pairs(_load_docs(spark))
+        )
+
+    def test_ngram_jaccard_release(self, spark):
+        from groove_to_helpscout_migration_tool_spark.operators import dedup
+
+        self._assert_released(
+            spark, dedup.ngram_jaccard_pairs(_load_docs(spark))
+        )
+
+    def test_lsh_topk_release(self, spark):
+        from groove_to_helpscout_migration_tool_spark.operators import similarity
+
+        self._assert_released(
+            spark, similarity.lsh_topk(_load_emb(spark), k=5, query_max_id=5)
+        )
+
+    def test_ivf_topk_release(self, spark):
+        from groove_to_helpscout_migration_tool_spark.operators import similarity
+
+        self._assert_released(
+            spark, similarity.ivf_topk(_load_emb(spark), k=5, query_max_id=5)
+        )
+
+    def test_clusters_release_including_checkpoints(self, spark):
+        from groove_to_helpscout_migration_tool_spark.operators import cache, dedup
+
+        pairs = dedup.simhash_neardup_pairs(_load_docs(spark))
+        edges = pairs.selectExpr("doc_i AS src", "doc_j AS dst")
+        comps = dedup.connected_components(edges)
+        comps.count()
+        cache.unpersist_artifacts(blocking=True)
+        # reliable checkpoints live in the checkpoint dir, not the block
+        # manager -- nothing may remain registered as persistent
+        assert _n_persistent(spark) == 0
