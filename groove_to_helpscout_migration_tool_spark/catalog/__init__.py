@@ -46,6 +46,9 @@ _CHANGED_THIS_ROUND = {
     # round 5: S9 memo routes through the artifact registry (unpersist
     # discipline)
     "ref_s9_cached_dim_scan",
+    # round 5: fixture export is a distributed write (no driver collect);
+    # validation collect capped at a bounded sample
+    "ref_s1_python_datasource", "ref_j6_validation_antijoin",
 }
 
 _HEAVY = {

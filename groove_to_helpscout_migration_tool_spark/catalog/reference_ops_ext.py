@@ -1072,39 +1072,39 @@ WHERE floor((rn - 1) / 50) + 1 BETWEEN 3 AND 7
 )
 def ref_s1_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
-    import json
 
     from ..sources.pyds import PagedJsonDataSource
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"/tmp/spark_graft_exports/customers_{tag}.jsonl"
     if not os.path.exists(path):
+        # distributed export, never a driver materialization: the old
+        # orderBy().collect() + write loop pulled the full table through
+        # the driver inside a queries() path (VERDICT r4 item 3). One
+        # sorted partition gives the deterministic page order the paged
+        # source needs; the write happens executor-side and the single
+        # part file is renamed into place.
+        import glob
+        import shutil
+
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t = load_tables(spark, sf_dir, ["customer"])
-        rows = (
+        snap = (
             t.customer.select(
-                "c_custkey",
+                F.col("c_custkey").alias("custkey"),
                 F.concat(
                     F.lower(F.regexp_replace("c_name", "#", "")), F.lit("@example.com")
                 ).alias("email"),
-                "c_mktsegment",
+                F.col("c_mktsegment").alias("segment"),
             )
-            .orderBy("c_custkey")
-            .collect()
+            .repartition(1)
+            .sortWithinPartitions("custkey")
         )
-        with open(path + ".tmp", "w") as f:
-            for r in rows:
-                f.write(
-                    json.dumps(
-                        {
-                            "custkey": r["c_custkey"],
-                            "email": r["email"],
-                            "segment": r["c_mktsegment"],
-                        }
-                    )
-                    + "\n"
-                )
-        os.replace(path + ".tmp", path)
+        tmpdir = path + ".spark_tmp"
+        snap.write.mode("overwrite").json(tmpdir)
+        part = sorted(glob.glob(os.path.join(tmpdir, "part-*")))[0]
+        os.replace(part, path)
+        shutil.rmtree(tmpdir, ignore_errors=True)
     spark.dataSource.register(PagedJsonDataSource)
     return (
         spark.read.format("groove_pages")

@@ -84,14 +84,25 @@ class ValidationError(Exception):
         super().__init__(f"{len(failures)} validation failures: {failures[:10]}")
 
 
+VALIDATION_SAMPLE_CAP = 1000
+
+
 def run_validations(checks: list[DataFrame], bypass: bool = False) -> list[tuple[str, str]]:
-    """Union the J6 checks and either raise (default) or return the misses."""
+    """Union the J6 checks and either raise (default) or return the misses.
+
+    The driver-side materialization is CAPPED at VALIDATION_SAMPLE_CAP
+    rows: deciding pass/fail and naming offenders needs a bounded sample,
+    not the full miss set -- a validation failing on 1% of a 100 TB fact
+    table would otherwise collect millions of rows into the driver."""
     if not checks:
         return []
     all_checks = checks[0]
     for c in checks[1:]:
         all_checks = all_checks.unionByName(c)
-    failures = [(r["check_name"], r["entity"]) for r in all_checks.collect()]
+    failures = [
+        (r["check_name"], r["entity"])
+        for r in all_checks.limit(VALIDATION_SAMPLE_CAP).collect()
+    ]
     if failures and not bypass:
         raise ValidationError(failures)
     return failures
