@@ -49,6 +49,9 @@ _CHANGED_THIS_ROUND = {
     # round 5: fixture export is a distributed write (no driver collect);
     # validation collect capped at a bounded sample
     "ref_s1_python_datasource", "ref_j6_validation_antijoin",
+    # round 5: widened MIME magic table (finfo parity direction) + richer
+    # P13 fixture round-robin
+    "ref_p13_mime_sniff",
 }
 
 _HEAVY = {

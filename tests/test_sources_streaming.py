@@ -140,6 +140,51 @@ class TestMultimodal:
             "doc_id", sniff_mime(F.col("payload")).alias("m")).collect()}
         assert got == {1: "image/png", 2: "image/jpeg", 3: None}
 
+    # real magic prefixes for every family the widened sniffer claims
+    # (finfo-parity direction, r5): prefix-table rows plus the container
+    # subtypes that need a deeper probe (RIFF form type, ftyp brand, zip
+    # first-entry name)
+    SNIFF_CASES = [
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "image/png"),
+        (b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg"),
+        (b"GIF89a\x0a\x00\x0a\x00", "image/gif"),
+        (b"%PDF-1.7\n", "application/pdf"),
+        (b"BM\x36\x00\x00\x00", "image/bmp"),
+        (b"II*\x00\x08\x00\x00\x00", "image/tiff"),
+        (b"MM\x00*\x00\x00\x00\x08", "image/tiff"),
+        (b"\x1f\x8b\x08\x00", "application/gzip"),
+        (b"ID3\x03\x00", "audio/mpeg"),
+        (b"OggS\x00\x02", "audio/ogg"),
+        (b"fLaC\x00\x00\x00\x22", "audio/flac"),
+        (b"\x1aE\xdf\xa3\x93B\x82\x88", "video/x-matroska"),
+        (b"Rar!\x1a\x07\x00", "application/x-rar"),
+        (b"7z\xbc\xaf\x27\x1c\x00\x04", "application/x-7z-compressed"),
+        (b"PK\x05\x06" + b"\x00" * 18, "application/zip"),
+        (b"RIFF\x24\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (b"RIFF\x24\x00\x00\x00AVI LIST", "video/x-msvideo"),
+        (b"RIFF\x24\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (b"RIFF\x24\x00\x00\x00JUNK", "application/octet-stream"),
+        (b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00", "video/mp4"),
+        (b"\x00\x00\x00\x20ftypmp42", "video/mp4"),
+        (b"\x00\x00\x00\x1cftypM4A \x00\x00\x00\x00", "audio/mp4"),
+        (b"PK\x03\x04" + b"\x00" * 26 + b"[Content_Types].xml",
+         "application/vnd.openxmlformats-officedocument"),
+        (b"PK\x03\x04" + b"\x00" * 26 + b"mimetypeapplication",
+         "application/zip"),
+        (b"Hello world, plain text", "application/octet-stream"),
+        (b"", "application/octet-stream"),
+    ]
+
+    def test_sniff_mime_widened_table(self, spark):
+        from groove_to_helpscout_migration_tool_spark.multimodal import sniff_mime
+
+        rows = [(i, payload) for i, (payload, _) in enumerate(self.SNIFF_CASES)]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r["m"] for r in df.select(
+            "doc_id", sniff_mime(F.col("payload")).alias("m")).collect()}
+        for i, (payload, want) in enumerate(self.SNIFF_CASES):
+            assert got[i] == want, (payload[:16], got[i], want)
+
     def test_decode_images_stub_raises_without_fake(self, payloads):
         from groove_to_helpscout_migration_tool_spark.multimodal import decode_images
 
