@@ -73,6 +73,9 @@ HEADLINE = [
     # *_check entries, so these now time the 100 TB-shaped plan alone)
     "p02_percentiles_approx",
     "q_distinct_users_approx",
+    # hot-keyed salted join (r5: straggler bounds measured separately by
+    # tools/skew_stress.py -> SKEW_r5.json; this times the salted plan)
+    "ref_skew_salted_join",
 ]
 
 

@@ -1,0 +1,253 @@
+"""Skew stress harness: measured straggler evidence for the salted join
+and the capped dedup candidate joins (VERDICT r4 item 6).
+
+The 100x-scale claim on the skew paths was prose; this turns it into a
+measurement. A fresh session runs each scenario over a DELIBERATELY
+hot-keyed frame with event logging on and broadcast joins disabled
+(emulating the at-scale shape where the dim side is NOT broadcastable
+-- with a broadcast join the hot key never shuffles and salting is
+moot). Per-task shuffle-read record counts come from the event log
+(the same task-level data the UI/REST status API serves; records, not
+wall time, because at test scale timing noise swamps ms-sized tasks
+while the record distribution is exactly what drives task time at
+100 TB).
+
+Scenarios (each in its own job group so stages attribute cleanly):
+  join_salted     ref_skew_salted_join's hot frame (1/3 of facts on one
+                  key) through salted_join -- max/median task records
+                  must stay under SALT_BOUND.
+  join_unsalted   the SAME frame through a plain shuffle join -- the
+                  negative control; its ratio must be >= CONTROL_MIN
+                  and worse than the salted ratio, proving the
+                  measurement detects the pathology salting removes.
+  minhash_capped  documents with 10% identical boilerplate text (one
+                  hot LSH band bucket) through the capped minhash
+                  pipeline -- ratio under CAP_BOUND.
+  simhash_capped  same hot corpus through the capped simhash pipeline.
+
+Exit 0 and one JSON line on success; exit 1 listing violated bounds.
+Usage: python tools/skew_stress.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SALT_BOUND = 3.0     # salted join: max/median shuffle-read records per task
+CAP_BOUND = 4.0      # capped dedup candidate joins
+CONTROL_MIN = 4.0    # unsalted control must be at least this skewed
+MIN_TASKS = 4        # ignore stages too small to have a distribution
+
+
+def _build_session(event_dir: str):
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("skew-stress")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        # at sf0.01 AQE coalesces every shuffle to ~1 task, which hides
+        # the per-task distribution this harness exists to measure; at
+        # scale partitions sit at the advisory size and never collapse
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # the at-scale emulation: dims too big to broadcast
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", event_dir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _hot_docs(spark, sf_dir: str):
+    """documents with doc_id % 10 == 0 rewritten to one boilerplate text:
+    ~10% of the corpus lands in a single near-dup bucket."""
+    from pyspark.sql import functions as F
+
+    from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"]).documents
+    boiler = (
+        "subscribe to our newsletter for updates terms of service apply "
+        "all rights reserved contact support for assistance thank you"
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(boiler)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+def _scenarios(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from groove_to_helpscout_migration_tool_spark.operators import dedup
+    from groove_to_helpscout_migration_tool_spark.operators.skew import salted_join
+    from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, ["lineitem", "nation"])
+    facts = t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 3 == 0, 0)
+        .otherwise((F.col("l_orderkey") % 50).cast("int"))
+        .cast("int")
+        .alias("mailbox_id"),
+    )
+    dim = t.nation.select(
+        (F.col("n_nationkey") * 2).cast("int").alias("mailbox_id"),
+        F.col("n_name").alias("mailbox_name"),
+    )
+    hot = _hot_docs(spark, sf_dir)
+    return {
+        "join_salted": lambda: salted_join(
+            facts, dim, "mailbox_id", salt_src=F.col("l_linenumber"), n_salts=8
+        ).count(),
+        "join_unsalted": lambda: facts.join(dim, "mailbox_id").count(),
+        "minhash_capped": lambda: dedup.minhash_lsh_pairs(
+            hot, jaccard_threshold=0.5, bucket_cap=20
+        ).count(),
+        "simhash_capped": lambda: dedup.simhash_neardup_pairs(
+            hot, max_hamming=8, bucket_cap=20
+        ).count(),
+    }
+
+
+def _parse_event_log(event_dir: str) -> dict[str, dict]:
+    """event log -> {job_group: {stage_id: [per-task records]}}."""
+    stage_group: dict[int, str] = {}
+    stage_tasks: dict[int, list[int]] = {}
+    # Spark 4 writes a rolling event-log DIRECTORY (eventlog_v2_<app>/
+    # events_*) rather than a single file; walk whatever shape appears
+    paths = []
+    for root, _dirs, files in os.walk(event_dir):
+        paths.extend(
+            os.path.join(root, f)
+            for f in files
+            if not f.startswith(".") and "appstatus" not in f
+        )
+    for path in paths:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id", ""
+                    )
+                    for si in ev.get("Stage Infos", []):
+                        stage_group[si["Stage ID"]] = group
+                elif kind == "SparkListenerTaskEnd":
+                    sid = ev.get("Stage ID")
+                    metrics = ev.get("Task Metrics") or {}
+                    srm = metrics.get("Shuffle Read Metrics") or {}
+                    records = srm.get("Total Records Read", 0)
+                    stage_tasks.setdefault(sid, []).append(int(records or 0))
+    out: dict[str, dict] = {}
+    for sid, recs in stage_tasks.items():
+        group = stage_group.get(sid, "?")
+        out.setdefault(group, {})[sid] = recs
+    return out
+
+
+def _worst_stage(stages: dict[int, list[int]]) -> dict | None:
+    """The scenario's dominant shuffle stage: most records read in total.
+    max/median over its per-task record counts is the straggler ratio."""
+    best = None
+    for sid, recs in stages.items():
+        live = [r for r in recs if r > 0]
+        if len(live) < MIN_TASKS:
+            continue
+        total = sum(live)
+        if best is None or total > best["records_total"]:
+            best = {
+                "stage_id": sid,
+                "n_tasks": len(live),
+                "records_total": total,
+                "records_max": max(live),
+                "records_median": statistics.median(live),
+            }
+    if best:
+        best["max_over_median"] = round(
+            best["records_max"] / max(best["records_median"], 1), 2
+        )
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    event_dir = tempfile.mkdtemp(prefix="skew_events_")
+    spark = _build_session(event_dir)
+    sc = spark.sparkContext
+    from groove_to_helpscout_migration_tool_spark.operators import cache
+
+    for name, run in _scenarios(spark, sf_dir).items():
+        sc.setJobGroup(name, name)
+        run()
+        cache.unpersist_artifacts()
+        sc.setJobGroup("idle", "idle")
+    spark.stop()  # flush + finalize the event log
+
+    groups = _parse_event_log(event_dir)
+    report: dict[str, dict] = {}
+    for name in ("join_salted", "join_unsalted", "minhash_capped", "simhash_capped"):
+        worst = _worst_stage(groups.get(name, {}))
+        report[name] = worst or {"error": "no shuffle stage recorded"}
+
+    violations = []
+    for name, bound in (
+        ("join_salted", SALT_BOUND),
+        ("minhash_capped", CAP_BOUND),
+        ("simhash_capped", CAP_BOUND),
+    ):
+        ratio = report[name].get("max_over_median")
+        if ratio is None:
+            violations.append(f"{name}: no measurable stage")
+        elif ratio > bound:
+            violations.append(f"{name}: max/median {ratio} > {bound}")
+    control = report["join_unsalted"].get("max_over_median")
+    salted = report["join_salted"].get("max_over_median")
+    if control is None:
+        violations.append("join_unsalted: no measurable stage")
+    else:
+        # the control must show the pathology, or the harness is blind
+        if control < CONTROL_MIN:
+            violations.append(
+                f"join_unsalted control not skewed enough ({control} < "
+                f"{CONTROL_MIN}) -- measurement would not detect a regression"
+            )
+        if salted is not None and control <= salted:
+            violations.append(
+                f"control ratio {control} <= salted ratio {salted}"
+            )
+
+    result = {"sf_dir": sf_dir, "scenarios": report, "violations": violations}
+    line = json.dumps(result, sort_keys=True)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    sys.exit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()
