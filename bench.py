@@ -99,7 +99,10 @@ BUILD_SPLIT = {
     "llm_decontaminate",
 }
 
-N_RUNS = 3
+# median of 5 (was 3): BENCH_r04 showed 5-29% run-to-run spread on a
+# handful of queries whose plans had not changed; two more samples per
+# query tighten the median enough to tell drift from regression
+N_RUNS = 5
 
 
 def _git_sha() -> str:
@@ -127,6 +130,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     build: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    cc_stats: dict = {}
     # warm the JVM + parquet footers once so timings measure the queries
     catalog.QUERIES["q06_forecast_revenue"].fn(spark, sf_dir).collect()
     for name in HEADLINE:
@@ -145,10 +149,17 @@ def main() -> None:
             runs.append(time.time() - t0)
         med = sorted(runs)[N_RUNS // 2]
         timings[name] = round(med, 3)
-        # steady-state repeatability: spread of the two fastest runs (the
-        # slowest run carries one-time build / GC / compilation noise)
-        warm = sorted(runs)[: N_RUNS - 1]
+        # steady-state repeatability: spread of the TWO fastest runs
+        # (same definition as r4 so rounds compare; the slower runs
+        # carry one-time build / GC / compilation noise)
+        warm = sorted(runs)[:2]
         spreads[name] = round((max(warm) - min(warm)) / max(med, 1e-9) * 100, 1)
+        if name == "llm_dedup_clusters":
+            # convergence telemetry: a rounds regression shows up here
+            # before it shows up as wall time
+            from groove_to_helpscout_migration_tool_spark.operators.dedup import CC_LAST
+
+            cc_stats = dict(CC_LAST)
         if name in BUILD_SPLIT:
             build[name] = round(max(runs[0] - med, 0.0), 3)
         # Release this query's persisted build artifacts before moving
@@ -168,6 +179,8 @@ def main() -> None:
             pass
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail, line = build_output(timings, build, spreads, sf_val, _git_sha())
+    if cc_stats:
+        detail["cc_convergence"] = cc_stats
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

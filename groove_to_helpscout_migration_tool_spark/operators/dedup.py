@@ -276,6 +276,11 @@ def _ensure_checkpoint_dir(spark) -> None:
             atexit.register(shutil.rmtree, local, ignore_errors=True)
 
 
+# Convergence telemetry of the most recent connected_components call
+# (driver-side: the loop IS a driver loop, so a plain dict suffices).
+CC_LAST: dict = {}
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """-> (node, label): connected components of an undirected graph given
     as a DIRECTED edge DataFrame (src, dst) containing both orientations
@@ -303,8 +308,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     two bigints, orders of magnitude smaller than the corpus that
     produced the edges -- so per-round checkpoint I/O stays negligible
     at 100 TB. Raises if the budget is exhausted rather than silently
-    returning partial labels."""
+    returning partial labels.
+
+    Telemetry: each call records {rounds, changed_per_round} into
+    ``CC_LAST`` (module-level, driver-side) so convergence regressions
+    -- a graph shape that suddenly needs more rounds, or a propagation
+    bug that stops making progress -- are visible in bench artifacts
+    (bench.py copies it into BENCH_DETAIL.json) instead of silently
+    inflating wall time."""
     _ensure_checkpoint_dir(edges.sparkSession)
+    CC_LAST.clear()
+    CC_LAST.update({"rounds": 0, "changed_per_round": []})
     # initialize at min(node, neighbors) -- the first propagation round
     # folded into one aggregation, saving an iteration on most graphs
     labels = (
@@ -337,6 +351,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         changed = new_labels.filter(
             F.col("new_label") != F.col("label")
         ).count()
+        CC_LAST["rounds"] = it + 1
+        CC_LAST["changed_per_round"].append(changed)
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             return labels

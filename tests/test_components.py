@@ -45,6 +45,13 @@ class TestConnectedComponents:
         labels = connected_components(_edges_df(spark, pairs), max_iter=10)
         got = {r["node"]: r["label"] for r in labels.collect()}
         assert got == {n: 0 for n in range(200)}
+        # convergence telemetry (r5): rounds + per-round changed counts
+        # recorded for bench artifacts, monotone-decreasing tail to zero
+        from groove_to_helpscout_migration_tool_spark.operators.dedup import CC_LAST
+
+        assert 1 <= CC_LAST["rounds"] <= 10
+        assert CC_LAST["changed_per_round"][-1] == 0
+        assert len(CC_LAST["changed_per_round"]) == CC_LAST["rounds"]
 
     def test_random_graph_matches_union_find(self, spark):
         # deterministic pseudo-random graph: multiplicative-hash edges
