@@ -66,21 +66,26 @@ _HEAVY = {
 }
 
 
-def _official_status() -> tuple[set[str], set[str]]:
+def _official_status() -> tuple[set[str], set[str], dict[str, int]]:
     """Scan CORRECTNESS_r*.json at the repo root.
 
-    Returns (checked, green): names with any official row, and names
-    whose LATEST official row passed (hash_match true, or a rows-only
-    row that produced rows without error).
+    Returns (checked, green, last_round): names with any official row,
+    names whose LATEST official row passed (hash_match true, or a
+    rows-only row that produced rows without error), and the newest
+    round number each name appeared in.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     checked: set[str] = set()
     latest: dict[str, dict] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -89,20 +94,23 @@ def _official_status() -> tuple[set[str], set[str]]:
         for name, row in rows.items():
             checked.add(name)
             latest[name] = row
+            last_round[name] = max(last_round.get(name, 0), rnd)
     green = set()
     for name, row in latest.items():
         if row.get("hash_match") is True:
             green.add(name)
         elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
             green.add(name)  # rows-only check: ran and produced rows
-    return checked, green
+    return checked, green, last_round
 
 
 def _apply_sweep_order() -> None:
     try:
-        checked, green = _official_status()
+        checked, green, last_round = _official_status()
     except Exception:
         return  # keep registration order if artifacts are unreadable
+    newest = max(last_round.values(), default=0)
+
     def block(name: str) -> int:
         if name not in checked:
             return 0
@@ -110,11 +118,23 @@ def _apply_sweep_order() -> None:
             return 1
         if name in _CHANGED_THIS_ROUND:
             return 2
-        return 3
+        if last_round.get(name, 0) < newest:
+            # STALE green: certified in an older round but skipped by the
+            # newest official sweep. Fronting these (oldest certification
+            # first) keeps the union of consecutive official artifacts
+            # covering the whole catalog at current HEAD, instead of the
+            # sweep re-spending its budget on last round's fresh greens.
+            return 3
+        return 4
+
     reordered = dict(
         sorted(
             QUERIES.items(),
-            key=lambda kv: (block(kv[0]), 1 if kv[0] in _HEAVY else 0),
+            key=lambda kv: (
+                block(kv[0]),
+                1 if kv[0] in _HEAVY else 0,
+                last_round.get(kv[0], 0),
+            ),
         )
     )
     QUERIES.clear()
