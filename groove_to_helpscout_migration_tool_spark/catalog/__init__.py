@@ -52,6 +52,9 @@ _CHANGED_THIS_ROUND = {
     # round 5: widened MIME magic table (finfo parity direction) + richer
     # P13 fixture round-robin
     "ref_p13_mime_sniff",
+    # round 5: IVF cell assignment via codebook closure + per-row rank
+    # (no N x C crossJoin/window)
+    "llm_ann_ivf_topk", "llm_ann_ivf_kmeans_topk",
 }
 
 _HEAVY = {

@@ -371,17 +371,71 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, query_max_id: int = 10) -> DataF
 QUANT_SCALE = 1_000_000.0  # fixed-point scale for deterministic centroid means
 
 
+def _codebook(cents: DataFrame) -> list[tuple[int, list[float], float]]:
+    """Collect the centroid set driver-side, sorted by cid -- the IVF
+    CODEBOOK. Bounded by construction: C = the number of cells (tens to
+    low thousands at any corpus size, a tuning constant independent of
+    row count), the same artifact FAISS-style IVF holds in RAM on every
+    search node. A codebook fetch, not a data collect."""
+    rows = cents.select("cid", "cv", "cnrm").collect()
+    return sorted(
+        (int(r["cid"]), [float(x) for x in r["cv"]], float(r["cnrm"]))
+        for r in rows
+    )
+
+
+def _centroid_dots_udf(cmat: np.ndarray):
+    """Arrow-batched dots of each row vector against every codebook
+    centroid. Same bit-exactness contract as _plane_dots_batch: the
+    accumulation loops the DIMENSION axis left-to-right, so each float
+    add matches the interpreted F.aggregate / DuckDB list_sum order."""
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def _dots(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(vs.tolist(), dtype=np.float64)
+        acc = np.zeros((m.shape[0], cmat.shape[0]))
+        for i in range(m.shape[1]):
+            acc += m[:, i, None] * cmat[None, :, i]
+        return pd.Series(list(acc))
+
+    return _dots
+
+
+def _with_cell_ranking(rows: DataFrame, book) -> DataFrame:
+    """rows + `_csims`: per-row array of (csim, -cid) structs sorted
+    best-first -- (desc cosine, asc cid), the same total order the old
+    N x C row_number window produced, WITHOUT the N x C exchange: the
+    dots arrive from one Arrow stage against the in-closure codebook
+    and the C-way rank is a per-row sort_array, all map-side. csim
+    keeps the exact expression shape of the oracle (round to 9 of
+    dot / (nrm * cnrm), dots accumulated dimension-first)."""
+    dots = _centroid_dots_udf(
+        np.array([cv for _, cv, _ in book], dtype=np.float64)
+    )
+    rows = rows.withColumn("_cd", dots(F.col("v")))
+    structs = [
+        F.struct(
+            F.round(
+                F.element_at(F.col("_cd"), j + 1) / (F.col("nrm") * F.lit(cnrm)), 9
+            ).alias("csim"),
+            F.lit(-cid).cast("long").alias("ncid"),
+        )
+        for j, (cid, _cv, cnrm) in enumerate(book)
+    ]
+    return rows.withColumn(
+        "_csims", F.sort_array(F.array(*structs), asc=False)
+    ).drop("_cd")
+
+
 def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cell): nearest-centroid assignment, argmax cosine with
     deterministic rounding + cid tie-break. cents: (cid, cv, cnrm)."""
-    sim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 9)
-    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", sim)
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
+    ranked = _with_cell_ranking(emb, _codebook(cents))
+    return ranked.select(
+        "vec_id",
+        (-F.element_at(F.col("_csims"), 1)["ncid"]).alias("cell"),
     )
 
 
@@ -455,31 +509,28 @@ def ivf_topk(
         )
     if kmeans_iters > 0:
         cents = persist_artifact(refined_centroids(emb, cents, kmeans_iters))
-    # assignment: broadcast the (tiny) centroid set, argmax cosine;
-    # carried through as ids only -- vectors re-joined at scoring time.
-    # The corpus-side N x C rank runs ONCE and is persisted (it is the
-    # build-once cell assignment -- at 100 TB, a bucketed-by-cell table
-    # written per corpus snapshot); the probe side re-ranks only the
-    # query rows, so it never touches the full corpus again.
-    sim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 9)
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-
-    def _rank(rows: DataFrame) -> DataFrame:
-        return (
-            rows.crossJoin(F.broadcast(cents))
-            .withColumn("csim", sim)
-            .withColumn("crank", F.row_number().over(w_assign))
-        )
-
+    # assignment: fetch the (tiny) codebook, argmax cosine per row --
+    # one Arrow dots stage + a per-row C-way sort, NO N x C crossJoin
+    # and NO per-vec_id window exchange (the old shape shuffled N x C
+    # rows to rank cells; the rank is now map-side). Carried through as
+    # ids only -- vectors re-joined at scoring time. The corpus-side
+    # assignment runs ONCE and is persisted (the build-once cell
+    # assignment -- at 100 TB, a bucketed-by-cell table written per
+    # corpus snapshot); the probe side ranks only the query rows.
+    book = _codebook(cents)
     assigned = persist_artifact(
-        _rank(emb)
-        .filter(F.col("crank") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
+        _with_cell_ranking(emb, book).select(
+            "vec_id",
+            (-F.element_at(F.col("_csims"), 1)["ncid"]).alias("cell"),
+        )
     )
     probes = (
-        _rank(emb.filter(F.col("vec_id") < query_max_id))
-        .filter(F.col("crank") <= nprobe)
-        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
+        _with_cell_ranking(emb.filter(F.col("vec_id") < query_max_id), book)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.slice(F.col("_csims"), 1, nprobe)).alias("_s"),
+        )
+        .select("qid", (-F.col("_s")["ncid"]).alias("cell"))
     )
     cand = (
         probes.join(assigned, ["cell"])
