@@ -65,6 +65,12 @@ AUDIT = {
     # mergeable and allowed.
     "p02_percentiles_approx": (["approx_percentile"], ["(?<!approx_)percentile\\(", "Exchange rangepartitioning", "Sort \\["]),
     "q_distinct_users_approx": (["approx_count_distinct"], ["Expand", "count\\(distinct"]),
+    # IVF (r5): cell assignment is codebook-closure + per-row rank; the
+    # old N x C crossJoin/BroadcastNestedLoop and the per-vec_id window
+    # exchange must never reappear
+    # (the surviving Window is the per-QUERY top-k; a window partitioned
+    # by vec_id would be the old N x C corpus-wide assignment rank)
+    "llm_ann_ivf_topk": (["ArrowEvalPython|EvalPython"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window \\[[^\\]]*vec_id"]),
 }
 
 
