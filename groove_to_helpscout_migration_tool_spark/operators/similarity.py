@@ -384,11 +384,25 @@ def _codebook(cents: DataFrame) -> list[tuple[int, list[float], float]]:
     )
 
 
+_DOTS_UDF_CACHE: dict = {}
+
+
 def _centroid_dots_udf(cmat: np.ndarray):
     """Arrow-batched dots of each row vector against every codebook
     centroid. Same bit-exactness contract as _plane_dots_batch: the
     accumulation loops the DIMENSION axis left-to-right, so each float
-    add matches the interpreted F.aggregate / DuckDB list_sum order."""
+    add matches the interpreted F.aggregate / DuckDB list_sum order.
+
+    MEMOIZED per codebook content: Catalyst compares PythonUDF plan
+    nodes by object identity of the serialized function, so a fresh UDF
+    per call would make every ivf_topk invocation plan-unequal and
+    defeat the CacheManager's reuse of the persisted cell assignment
+    (identical plans -> the second call reads the cached artifact
+    instead of recomputing the corpus scan)."""
+    key = (cmat.shape, cmat.tobytes())
+    cached = _DOTS_UDF_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def _dots(vs: pd.Series) -> pd.Series:
@@ -400,6 +414,7 @@ def _centroid_dots_udf(cmat: np.ndarray):
             acc += m[:, i, None] * cmat[None, :, i]
         return pd.Series(list(acc))
 
+    _DOTS_UDF_CACHE[key] = _dots
     return _dots
 
 
