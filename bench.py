@@ -137,7 +137,7 @@ def main() -> None:
         spec = catalog.QUERIES.get(name)
         if spec is None:
             continue
-        # median of 3: JVM/GC noise at this scale is +-30% single-run.
+        # median of N_RUNS: JVM/GC noise at this scale is +-30% single-run.
         # Results are never cached; operators that persist() a designed
         # intermediate reuse it after run 1 -- their intended steady
         # state -- so the median reads the warm runs and run1 - median

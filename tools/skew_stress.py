@@ -114,6 +114,15 @@ def _scenarios(spark, sf_dir: str):
         F.col("n_name").alias("mailbox_name"),
     )
     hot = _hot_docs(spark, sf_dir)
+    # NOTE: AQE skew-join splitting (mitigation #2 in operators/skew.py's
+    # preference order) was tried as a scenario here and does NOT trigger
+    # at local fixture scale: OptimizeSkewedJoin reports 0 skewed
+    # partitions even with skewedPartitionThresholdInBytes /
+    # advisoryPartitionSizeInBytes / minPartitionSize floored to 1KB and a
+    # 90%-hot key -- its byte-based detection is tuned for cluster-sized
+    # shuffles. Which is precisely why the deterministic salting below is
+    # the engine's primary skew mitigation: it works at ANY scale and its
+    # effect is measurable (and measured) here.
     return {
         "join_salted": lambda: salted_join(
             facts, dim, "mailbox_id", salt_src=F.col("l_linenumber"), n_salts=8
