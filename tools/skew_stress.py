@@ -138,9 +138,18 @@ def _scenarios(spark, sf_dir: str):
 
 
 def _parse_event_log(event_dir: str) -> dict[str, dict]:
-    """event log -> {job_group: {stage_id: [per-task records]}}."""
-    stage_group: dict[int, str] = {}
-    stage_tasks: dict[int, list[int]] = {}
+    """event log -> {job_group: {(stage_id, attempt): [per-task records]}}.
+
+    Attribution is per STAGE ATTEMPT via its own SparkListenerStageSubmitted
+    event (whose Properties carry the submitting job's group), not via the
+    first JobStart that happens to list the stage: a JobStart lists stages
+    it may later SKIP (their shuffle output already exists from an earlier
+    scenario), which would blend one scenario's task records into another's
+    ratio, and a retried stage would merge records across attempts. Skipped
+    stages never emit a StageSubmitted, so their (absent) tasks can't be
+    claimed; each retry attempt is its own key."""
+    stage_group: dict[tuple[int, int], str] = {}
+    stage_tasks: dict[tuple[int, int], list[int]] = {}
     # Spark 4 writes a rolling event-log DIRECTORY (eventlog_v2_<app>/
     # events_*) rather than a single file; walk whatever shape appears
     paths = []
@@ -158,30 +167,30 @@ def _parse_event_log(event_dir: str) -> dict[str, dict]:
                 except ValueError:
                     continue
                 kind = ev.get("Event")
-                if kind == "SparkListenerJobStart":
-                    group = (ev.get("Properties") or {}).get(
+                if kind == "SparkListenerStageSubmitted":
+                    si = ev.get("Stage Info") or {}
+                    key = (si.get("Stage ID"), si.get("Stage Attempt ID", 0))
+                    stage_group[key] = (ev.get("Properties") or {}).get(
                         "spark.jobGroup.id", ""
                     )
-                    for si in ev.get("Stage Infos", []):
-                        stage_group[si["Stage ID"]] = group
                 elif kind == "SparkListenerTaskEnd":
-                    sid = ev.get("Stage ID")
+                    key = (ev.get("Stage ID"), ev.get("Stage Attempt ID", 0))
                     metrics = ev.get("Task Metrics") or {}
                     srm = metrics.get("Shuffle Read Metrics") or {}
                     records = srm.get("Total Records Read", 0)
-                    stage_tasks.setdefault(sid, []).append(int(records or 0))
+                    stage_tasks.setdefault(key, []).append(int(records or 0))
     out: dict[str, dict] = {}
-    for sid, recs in stage_tasks.items():
-        group = stage_group.get(sid, "?")
-        out.setdefault(group, {})[sid] = recs
+    for key, recs in stage_tasks.items():
+        group = stage_group.get(key, "?")
+        out.setdefault(group, {})[key] = recs
     return out
 
 
-def _worst_stage(stages: dict[int, list[int]]) -> dict | None:
+def _worst_stage(stages: dict[tuple[int, int], list[int]]) -> dict | None:
     """The scenario's dominant shuffle stage: most records read in total.
     max/median over its per-task record counts is the straggler ratio."""
     best = None
-    for sid, recs in stages.items():
+    for (sid, _attempt), recs in stages.items():
         live = [r for r in recs if r > 0]
         if len(live) < MIN_TASKS:
             continue
