@@ -34,27 +34,15 @@ from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 # Keeping them ahead of the untouched-green block guarantees the sweep
 # re-verifies everything this round's diff could have regressed.
 _CHANGED_THIS_ROUND = {
-    # round 5: approx entries split into a benched sketch-only form and a
-    # NOT-benched *_check epsilon twin (VERDICT r4 task 1 + ADVICE bucket
-    # alignment); the _check names are brand-new (block 0 via never-checked)
-    "p02_percentiles_approx", "q_distinct_users_approx",
-    # round 5: seq_id integer division (ADVICE r4) -- plan-equivalent at
-    # test scales, re-verify anyway
-    "llm_pack_sequences",
-    # round 5: mjpeg sampling decodes only sampled frames (ADVICE r4)
-    "llm_video_frames_mjpeg",
-    # round 5: S9 memo routes through the artifact registry (unpersist
-    # discipline)
-    "ref_s9_cached_dim_scan",
-    # round 5: fixture export is a distributed write (no driver collect);
-    # validation collect capped at a bounded sample
-    "ref_s1_python_datasource", "ref_j6_validation_antijoin",
-    # round 5: widened MIME magic table (finfo parity direction) + richer
-    # P13 fixture round-robin
-    "ref_p13_mime_sniff",
-    # round 5: IVF cell assignment via codebook closure + per-row rank
-    # (no N x C crossJoin/window)
+    # round 6: err_over_bound now derives from the same <= comparison as
+    # within_bounds (ADVICE r5 boundary-exact split)
+    "p02_percentiles_approx_check", "q_distinct_users_approx_check",
+    # round 6: IVF cell ranking built by transform over literal codebook
+    # arrays (O(1)-in-C plan, ADVICE r5) + bounded dots-UDF memo
     "llm_ann_ivf_topk", "llm_ann_ivf_kmeans_topk",
+    # round 6: fixture export guards the empty-part case and cleans the
+    # tmpdir in a finally (ADVICE r5)
+    "ref_s1_python_datasource",
 }
 
 _HEAVY = {

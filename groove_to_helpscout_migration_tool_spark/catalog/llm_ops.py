@@ -790,10 +790,12 @@ FROM events GROUP BY event_type
         " countDistinct in one agg. within_bounds = relative error <= 8%"
         " (4x rsd=0.02, ~4 sigma -- a tolerance a data-distribution or"
         " Spark HLL++ implementation shift cannot plausibly breach)."
-        " err_over_bound = floor(rel_err / 0.08): 0 everywhere within"
-        " bounds and the multiple of the bound on a breach, so the bucket"
-        " edge coincides exactly with the within_bounds edge (ADVICE r4:"
-        " the old nearest-10% rounding silently re-tightened the effective"
+        " err_over_bound = 0 when rel_err <= 0.08 else floor(rel_err /"
+        " 0.08): 0 everywhere within bounds and the multiple of the bound"
+        " on a breach. Both columns derive from the SAME <= comparison, so"
+        " a boundary-exact error (rel_err == 0.08 gives floor = 1 but"
+        " within_bounds TRUE) cannot split them (ADVICE r5; r4: the old"
+        " nearest-10% rounding silently re-tightened the effective"
         " tolerance to 5%). Exists for falsifiability only; NOT benched."
     ),
 )
@@ -809,7 +811,14 @@ def q_distinct_users_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame
     return agg.select(
         "event_type",
         "n_users_exact",
-        F.floor(rel_err / 0.08).cast("bigint").alias("err_over_bound"),
+        # derived from the SAME comparison as within_bounds (<=), not a
+        # bare floor(err/bound): floor alone reads 1 at a boundary-exact
+        # rel_err == 0.08 while within_bounds reads TRUE, and the oracle
+        # pins the in-bounds pair to exactly (0, TRUE)
+        F.when(rel_err <= 0.08, F.lit(0))
+        .otherwise(F.floor(rel_err / 0.08))
+        .cast("bigint")
+        .alias("err_over_bound"),
         (rel_err <= 0.08).alias("within_bounds"),
     )
 

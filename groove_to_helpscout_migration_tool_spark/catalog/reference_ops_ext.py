@@ -1119,10 +1119,19 @@ def ref_s1_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortWithinPartitions("custkey")
         )
         tmpdir = path + ".spark_tmp"
-        snap.write.mode("overwrite").json(tmpdir)
-        part = sorted(glob.glob(os.path.join(tmpdir, "part-*")))[0]
-        os.replace(part, path)
-        shutil.rmtree(tmpdir, ignore_errors=True)
+        try:
+            snap.write.mode("overwrite").json(tmpdir)
+            parts = sorted(glob.glob(os.path.join(tmpdir, "part-*")))
+            if parts:
+                os.replace(parts[0], path)
+            else:
+                # an empty customer table writes no part file; the paged
+                # source contract is "file exists, zero pages"
+                open(path, "w").close()
+        finally:
+            # rmtree in finally (ADVICE r5): a missing part previously
+            # raised IndexError before cleanup and leaked the tmpdir
+            shutil.rmtree(tmpdir, ignore_errors=True)
     spark.dataSource.register(PagedJsonDataSource)
     return (
         spark.read.format("groove_pages")

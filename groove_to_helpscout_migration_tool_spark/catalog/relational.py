@@ -1226,10 +1226,12 @@ FROM orders GROUP BY o_orderpriority
         "Epsilon-check twin of p02_percentiles_approx: one agg produces"
         " sketch and exact side by side and asserts both percentile errors"
         " <= 5% relative (accuracy=10000 keeps true error far below that)."
-        " err_over_bound = floor(rel_err / 0.05): 0 everywhere within"
-        " bounds, and the multiple of the bound on a breach, so the diff"
-        " shows the magnitude -- the bucket edge coincides with the"
-        " within_bounds edge (ADVICE r4: a finer rounding would silently"
+        " err_over_bound = 0 when rel_err <= 0.05 else floor(rel_err /"
+        " 0.05): 0 everywhere within bounds, and the multiple of the bound"
+        " on a breach, so the diff shows the magnitude. Both columns"
+        " derive from the SAME <= comparison, so a boundary-exact error"
+        " (rel_err == 0.05 gives floor = 1 but within_bounds TRUE) cannot"
+        " split them (ADVICE r5; r4: a finer rounding would silently"
         " re-tighten the tolerance). Exists for falsifiability only; NOT"
         " benched -- the exact percentile() full-sort path is exactly what"
         " the approx entry removes at 100 TB."
@@ -1256,11 +1258,15 @@ def p02_percentiles_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.round(F.col("_p50_ex"), 4).alias("p50_exact"),
         F.round(F.col("_p95_ex"), 4).alias("p95_exact"),
-        F.floor(max_err / 0.05).cast("bigint").alias("err_over_bound"),
-        (
-            (rel_err("_p50_ap", "_p50_ex") <= 0.05)
-            & (rel_err("_p95_ap", "_p95_ex") <= 0.05)
-        ).alias("within_bounds"),
+        # derived from the SAME comparison as within_bounds (<=), not a
+        # bare floor(err/bound): floor alone reads 1 at a boundary-exact
+        # rel_err == 0.05 while within_bounds reads TRUE, and the oracle
+        # pins the in-bounds pair to exactly (0, TRUE)
+        F.when(max_err <= 0.05, F.lit(0))
+        .otherwise(F.floor(max_err / 0.05))
+        .cast("bigint")
+        .alias("err_over_bound"),
+        (max_err <= 0.05).alias("within_bounds"),
     )
 
 

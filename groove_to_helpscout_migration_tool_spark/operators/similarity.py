@@ -29,6 +29,7 @@ Scale/perf design shared by all of them:
 from __future__ import annotations
 
 import hashlib
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -384,7 +385,13 @@ def _codebook(cents: DataFrame) -> list[tuple[int, list[float], float]]:
     )
 
 
-_DOTS_UDF_CACHE: dict = {}
+_DOTS_UDF_CACHE: "OrderedDict" = OrderedDict()
+# LRU bound (ADVICE r5): the memo is keyed by full codebook bytes, so a
+# long-lived library session running ivf_topk over many corpora would
+# otherwise accumulate one UDF closure + centroid matrix per distinct
+# codebook forever. A few entries keep plan-identity for the common
+# repeated-call case (the same corpus snapshot queried many times).
+_DOTS_UDF_CACHE_MAX = 4
 
 
 def _centroid_dots_udf(cmat: np.ndarray):
@@ -393,15 +400,16 @@ def _centroid_dots_udf(cmat: np.ndarray):
     accumulation loops the DIMENSION axis left-to-right, so each float
     add matches the interpreted F.aggregate / DuckDB list_sum order.
 
-    MEMOIZED per codebook content: Catalyst compares PythonUDF plan
-    nodes by object identity of the serialized function, so a fresh UDF
-    per call would make every ivf_topk invocation plan-unequal and
-    defeat the CacheManager's reuse of the persisted cell assignment
-    (identical plans -> the second call reads the cached artifact
-    instead of recomputing the corpus scan)."""
+    MEMOIZED per codebook content (bounded LRU): Catalyst compares
+    PythonUDF plan nodes by object identity of the serialized function,
+    so a fresh UDF per call would make every ivf_topk invocation
+    plan-unequal and defeat the CacheManager's reuse of the persisted
+    cell assignment (identical plans -> the second call reads the cached
+    artifact instead of recomputing the corpus scan)."""
     key = (cmat.shape, cmat.tobytes())
     cached = _DOTS_UDF_CACHE.get(key)
     if cached is not None:
+        _DOTS_UDF_CACHE.move_to_end(key)
         return cached
 
     @pandas_udf(T.ArrayType(T.DoubleType()))
@@ -415,6 +423,8 @@ def _centroid_dots_udf(cmat: np.ndarray):
         return pd.Series(list(acc))
 
     _DOTS_UDF_CACHE[key] = _dots
+    while len(_DOTS_UDF_CACHE) > _DOTS_UDF_CACHE_MAX:
+        _DOTS_UDF_CACHE.popitem(last=False)
     return _dots
 
 
@@ -425,23 +435,36 @@ def _with_cell_ranking(rows: DataFrame, book) -> DataFrame:
     dots arrive from one Arrow stage against the in-closure codebook
     and the C-way rank is a per-row sort_array, all map-side. csim
     keeps the exact expression shape of the oracle (round to 9 of
-    dot / (nrm * cnrm), dots accumulated dimension-first)."""
+    dot / (nrm * cnrm), dots accumulated dimension-first).
+
+    Plan size is O(1) in the codebook size C (ADVICE r5): the cnrm and
+    -cid codebook columns enter the plan as two single array-LITERAL
+    nodes and the struct array is built by one transform over the dots
+    column, instead of C unrolled struct expressions whose codegen grows
+    linearly with C and risks the JVM method-size fallback at the 'low
+    thousands of cells' a production codebook reaches. transform is
+    interpreted (all higher-order functions are), but so was the
+    unrolled CreateArray once codegen fell back -- and the per-element
+    work here is one divide + round + two literal-array lookups."""
     dots = _centroid_dots_udf(
         np.array([cv for _, cv, _ in book], dtype=np.float64)
     )
+    cnrms = F.lit([float(cnrm) for _, _cv, cnrm in book])
+    ncids = F.lit([int(-cid) for cid, _cv, _ in book])
     rows = rows.withColumn("_cd", dots(F.col("v")))
-    structs = [
-        F.struct(
-            F.round(
-                F.element_at(F.col("_cd"), j + 1) / (F.col("nrm") * F.lit(cnrm)), 9
-            ).alias("csim"),
-            F.lit(-cid).cast("long").alias("ncid"),
-        )
-        for j, (cid, _cv, cnrm) in enumerate(book)
-    ]
-    return rows.withColumn(
-        "_csims", F.sort_array(F.array(*structs), asc=False)
-    ).drop("_cd")
+    ranked = F.sort_array(
+        F.transform(
+            F.col("_cd"),
+            lambda cd, i: F.struct(
+                F.round(
+                    cd / (F.col("nrm") * F.element_at(cnrms, i + F.lit(1))), 9
+                ).alias("csim"),
+                F.element_at(ncids, i + F.lit(1)).cast("long").alias("ncid"),
+            ),
+        ),
+        asc=False,
+    )
+    return rows.withColumn("_csims", ranked).drop("_cd")
 
 
 def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
