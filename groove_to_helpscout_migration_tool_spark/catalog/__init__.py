@@ -43,6 +43,9 @@ _CHANGED_THIS_ROUND = {
     # round 6: fixture export guards the empty-part case and cleans the
     # tmpdir in a finally (ADVICE r5)
     "ref_s1_python_datasource",
+    # round 6: MIME table gains rtf/ics/eml + HEIF-family ftyp brands
+    # (finfo-gap closure); P13's sniffer expression changed shape
+    "ref_p13_mime_sniff",
 }
 
 _HEAVY = {

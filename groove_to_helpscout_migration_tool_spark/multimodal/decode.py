@@ -72,6 +72,15 @@ _MAGIC = [
     (1, b"Rar!\x1a\x07", "application/x-rar"),
     (1, b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
     (1, b"PK\x05\x06", "application/zip"),      # empty zip
+    (1, b"{\\rtf", "application/rtf"),
+    (1, b"BEGIN:VCALENDAR", "text/calendar"),   # ics
+    # .eml attachments have no magic number; finfo keys on a leading
+    # RFC-5322 header line, same as file(1)'s news/mail detection
+    (1, b"Return-Path:", "message/rfc822"),
+    (1, b"Received:", "message/rfc822"),
+    (1, b"Delivered-To:", "message/rfc822"),
+    (1, b"MIME-Version:", "message/rfc822"),
+    (1, b"Message-ID:", "message/rfc822"),
 ]
 
 
@@ -103,12 +112,19 @@ def sniff_mime(data: "F.Column") -> "F.Column":
         .when(_slice_eq(data, 9, b"WEBP"), F.lit("image/webp"))
         .otherwise(F.lit("application/octet-stream")),
     )
-    # ISO base media (mp4 family): size box then 'ftyp'
+    # ISO base media (mp4 family): size box then 'ftyp', subtype by brand
+    # -- the HEIF still-image brands (heic/heix/mif1/msf1/avif) are the
+    # finfo types an iPhone-attachment-heavy helpdesk sees most
     expr = expr.when(
         _slice_eq(data, 5, b"ftyp"),
-        F.when(_slice_eq(data, 9, b"M4A"), F.lit("audio/mp4")).otherwise(
-            F.lit("video/mp4")
-        ),
+        F.when(_slice_eq(data, 9, b"M4A"), F.lit("audio/mp4"))
+        .when(_slice_eq(data, 9, b"heic"), F.lit("image/heic"))
+        .when(_slice_eq(data, 9, b"heix"), F.lit("image/heic"))
+        .when(_slice_eq(data, 9, b"mif1"), F.lit("image/heif"))
+        .when(_slice_eq(data, 9, b"msf1"), F.lit("image/heif"))
+        .when(_slice_eq(data, 9, b"avif"), F.lit("image/avif"))
+        .when(_slice_eq(data, 9, b"qt  "), F.lit("video/quicktime"))
+        .otherwise(F.lit("video/mp4")),
     )
     # zip: OOXML when the content-types part leads, else plain zip
     expr = expr.when(

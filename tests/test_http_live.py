@@ -1,0 +1,243 @@
+"""Live-socket transport driven through the SAME suite shape as the
+cassette tests (tests/test_http_fixture.py): taxonomy, retry recovery,
+and the probe -> paginated scan -> transform -> publish flow -- but over
+real TCP against a local fixture server, with OAuth header injection and
+Retry-After pacing verified on the wire.
+
+The server replays a cassette script per PATH (ordered responses,
+last-repeats, optional headers), so the scenarios are byte-for-byte the
+ones RecordedTransport replays in-process; executor tasks reach it at
+127.0.0.1 like any remote API."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from groove_to_helpscout_migration_tool_spark.sources.api import (
+    foreach_partition_sink,
+    paginated_source,
+)
+from groove_to_helpscout_migration_tool_spark.sources.http_fixture import (
+    ApiError,
+    FixtureHttpClient,
+    RecordedTransport,
+    paged_script,
+)
+from groove_to_helpscout_migration_tool_spark.sources.http_live import (
+    LIVE_HTTP_ENV,
+    TOKEN_ENV,
+    LiveHttpTransport,
+    make_transport,
+)
+from groove_to_helpscout_migration_tool_spark.sources.retry import (
+    TransientApiError,
+    with_retries,
+)
+
+TICKETS = [{"rec_id": i, "payload": f"ticket-{i}"} for i in range(123)]
+SCHEMA = T.StructType(
+    [T.StructField("rec_id", T.LongType()), T.StructField("payload", T.StringType())]
+)
+
+
+class _CassetteServer:
+    """Socket fixture server replaying {path: [(status, body, headers)]}
+    scripts, last-response-repeats -- RecordedTransport semantics over
+    TCP. Captures every POST body and every request's auth header."""
+
+    def __init__(self, script: dict[str, list]):
+        self.lock = threading.Lock()
+        self.script = {p: list(rs) for p, rs in script.items()}
+        self.calls: dict[str, int] = {}
+        self.posts: list[dict] = []
+        self.auth_headers: list[str | None] = []
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # keep pytest output clean
+                pass
+
+            def _reply(self, status: int, body: str, headers: dict):
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                for k, v in headers.items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body.encode("utf-8"))
+
+            def do_GET(self):
+                with server.lock:
+                    server.auth_headers.append(self.headers.get("Authorization"))
+                    seq = server.script.get(self.path)
+                    if not seq:
+                        self._reply(404, json.dumps({"error": "not found"}), {})
+                        return
+                    i = server.calls.get(self.path, 0)
+                    server.calls[self.path] = i + 1
+                    entry = seq[min(i, len(seq) - 1)]
+                status, body = entry[0], entry[1]
+                hdrs = entry[2] if len(entry) > 2 else {}
+                self._reply(status, body, hdrs)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"null")
+                with server.lock:
+                    server.auth_headers.append(self.headers.get("Authorization"))
+                    server.posts.append({"url": self.path, "payload": payload})
+                self._reply(201, json.dumps({"ok": True}), {})
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.base_url = f"http://127.0.0.1:{self.httpd.server_port}/v1"
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture
+def serve():
+    servers = []
+
+    def start(script: dict[str, list]) -> _CassetteServer:
+        s = _CassetteServer(script)
+        servers.append(s)
+        return s
+
+    yield start
+    for s in servers:
+        s.close()
+
+
+def _paths(script: dict[str, list], base_url: str) -> dict[str, list]:
+    """Cassette script (full-URL keys) -> server script (path keys)."""
+    prefix = base_url[: base_url.index("/v1")]
+    return {url[len(prefix):]: rs for url, rs in script.items()}
+
+
+class TestLiveTransport:
+    def test_get_and_status_passthrough(self, serve):
+        s = serve({"/v1/x": [(500, "boom"), (200, "ok")]})
+        t = LiveHttpTransport()
+        assert t.get(f"{s.base_url}/x") == (500, "boom")
+        assert t.get(f"{s.base_url}/x") == (200, "ok")
+        assert t.get(f"{s.base_url}/missing")[0] == 404
+
+    def test_bearer_token_injected_on_every_request(self, serve):
+        s = serve({"/v1/x": [(200, "ok")]})
+        t = LiveHttpTransport(token="sekret")
+        t.get(f"{s.base_url}/x")
+        t.post(f"{s.base_url}/x", [{"a": 1}])
+        assert s.auth_headers == ["Bearer sekret", "Bearer sekret"]
+
+    def test_retry_after_paced_in_transport(self, serve):
+        s = serve(
+            {"/v1/x": [(429, "slow", {"Retry-After": "7"}), (200, "ok")]}
+        )
+        delays = []
+        t = LiveHttpTransport(sleep=delays.append)
+        assert t.get(f"{s.base_url}/x") == (200, "ok")
+        assert delays == [7.0]  # server-directed pacing, honored once
+
+    def test_retry_after_capped_and_wait_budget_bounded(self, serve):
+        s = serve({"/v1/x": [(429, "slow", {"Retry-After": "999"})] * 5})
+        delays = []
+        t = LiveHttpTransport(sleep=delays.append, max_rate_limit_waits=2)
+        status, _ = t.get(f"{s.base_url}/x")
+        assert status == 429  # budget exhausted: taxonomy layer takes over
+        assert delays == [30.0, 30.0]  # capped by max_retry_after
+
+    def test_bare_429_flows_to_taxonomy_not_transport(self, serve):
+        s = serve({"/v1/x": [(429, "slow")]})
+        delays = []
+        t = LiveHttpTransport(sleep=delays.append)
+        assert t.get(f"{s.base_url}/x")[0] == 429
+        assert delays == []  # no Retry-After -> with_retries owns backoff
+
+
+class TestTaxonomyParityWithCassette:
+    """FixtureHttpClient's status taxonomy, unchanged, over the socket."""
+
+    def _client(self, serve, seq):
+        s = serve({"/v1/tickets?page=1&per_page=50": seq})
+        return FixtureHttpClient(LiveHttpTransport(), base_url=s.base_url)
+
+    def test_5xx_transient(self, serve):
+        for code in (500, 503):
+            with pytest.raises(TransientApiError, match=str(code)):
+                self._client(serve, [(code, "")]).fetch_page(1, 50)
+
+    def test_other_4xx_permanent(self, serve):
+        with pytest.raises(ApiError, match="403"):
+            self._client(serve, [(403, "")]).fetch_page(1, 50)
+
+    def test_retry_wrapper_recovers_through_scripted_failures(self, serve):
+        client = self._client(
+            serve,
+            [(429, ""), (500, ""), (200, json.dumps({"tickets": TICKETS[:50]}))],
+        )
+        delays = []
+        fetch = with_retries(
+            client.fetch_page, max_attempts=3, backoff_base=0.5, sleep=delays.append
+        )
+        assert len(fetch(1, 50)) == 50
+        assert delays == [0.5, 1.0]  # same recovery shape as the cassette test
+
+
+class TestEndToEndLive:
+    def test_probe_scan_transform_publish_over_sockets(self, spark, serve):
+        script = paged_script(TICKETS, per_page=20, flaky={3: [429, 500], 6: [503]})
+        s = serve(_paths(script, "https://api.example.test/v1"))
+        client = FixtureHttpClient(LiveHttpTransport(), base_url=s.base_url)
+
+        total = client.probe_total()
+        assert total == 123
+
+        fetch = with_retries(client.fetch_page, max_attempts=3, backoff_base=0.0)
+        df = paginated_source(
+            spark, fetch, total_count=total, schema=SCHEMA, per_page=20,
+            requests_per_minute=600,
+        )
+        out = df.select(
+            "rec_id", F.upper("payload").alias("payload"), "page"
+        ).filter(F.col("rec_id") % 2 == 0)
+
+        foreach_partition_sink(out, client.publish, requests_per_minute=6000)
+
+        published = [r for p in s.posts for r in p["payload"]]
+        assert all(p["url"].endswith("/conversations") for p in s.posts)
+        assert sorted(r["rec_id"] for r in published) == list(range(0, 123, 2))
+        assert all(r["payload"].startswith("TICKET-") for r in published)
+
+    def test_unrecoverable_page_fails_the_job(self, spark, serve):
+        script = paged_script(TICKETS, per_page=20, flaky={2: [500] * 10})
+        s = serve(_paths(script, "https://api.example.test/v1"))
+        client = FixtureHttpClient(LiveHttpTransport(), base_url=s.base_url)
+        fetch = with_retries(client.fetch_page, max_attempts=2, backoff_base=0.0)
+        df = paginated_source(
+            spark, fetch, total_count=123, schema=SCHEMA, per_page=20,
+            requests_per_minute=600,
+        )
+        with pytest.raises(Exception, match="500"):
+            df.collect()
+
+
+class TestFlag:
+    def test_cassette_is_the_default(self, monkeypatch):
+        monkeypatch.delenv(LIVE_HTTP_ENV, raising=False)
+        assert isinstance(make_transport({}), RecordedTransport)
+
+    def test_flag_selects_live_with_env_token(self, monkeypatch):
+        monkeypatch.setenv(LIVE_HTTP_ENV, "1")
+        monkeypatch.setenv(TOKEN_ENV, "tok")
+        t = make_transport({})
+        assert isinstance(t, LiveHttpTransport)
+        assert t.token == "tok"

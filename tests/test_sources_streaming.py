@@ -171,6 +171,20 @@ class TestMultimodal:
          "application/vnd.openxmlformats-officedocument"),
         (b"PK\x03\x04" + b"\x00" * 26 + b"mimetypeapplication",
          "application/zip"),
+        # r6: the last finfo-gap types a helpdesk plausibly attaches
+        (b"{\\rtf1\\ansi\\deff0", "application/rtf"),
+        (b"BEGIN:VCALENDAR\r\nVERSION:2.0", "text/calendar"),
+        (b"Return-Path: <a@example.com>\r\n", "message/rfc822"),
+        (b"Received: from mx.example.com\r\n", "message/rfc822"),
+        (b"Delivered-To: ops@example.com\r\n", "message/rfc822"),
+        (b"MIME-Version: 1.0\r\n", "message/rfc822"),
+        (b"Message-ID: <x@y>\r\n", "message/rfc822"),
+        (b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00", "image/heic"),
+        (b"\x00\x00\x00\x18ftypheix\x00\x00\x00\x00", "image/heic"),
+        (b"\x00\x00\x00\x18ftypmif1\x00\x00\x00\x00", "image/heif"),
+        (b"\x00\x00\x00\x18ftypmsf1\x00\x00\x00\x00", "image/heif"),
+        (b"\x00\x00\x00\x1cftypavif\x00\x00\x00\x00", "image/avif"),
+        (b"\x00\x00\x00\x14ftypqt  \x00\x00\x00\x00", "video/quicktime"),
         (b"Hello world, plain text", "application/octet-stream"),
         (b"", "application/octet-stream"),
     ]
