@@ -78,6 +78,12 @@ HEADLINE = [
     # hot-keyed salted join (r5: straggler bounds measured separately by
     # tools/skew_stress.py -> SKEW_r5.json; this times the salted plan)
     "ref_skew_salted_join",
+    # curation family (r6)
+    "llm_decontaminate_bloom",
+    "llm_repetition_stats",
+    "llm_quality_filter_c4",
+    "llm_dedup_by_source",
+    "llm_ann_quantized_topk",
 ]
 
 
@@ -99,6 +105,8 @@ BUILD_SPLIT = {
     "llm_neardup_minhash_lsh_capped",
     "llm_dedup_incremental",
     "llm_decontaminate",
+    "llm_decontaminate_bloom",
+    "llm_ann_quantized_topk",
 }
 
 # Measurement shape (r6): an explicit BUILD run, then N_WARM timed warm

@@ -11,6 +11,7 @@ from . import partsupp  # noqa: F401
 from . import reference_ops  # noqa: F401
 from . import reference_ops_ext  # noqa: F401
 from . import llm_ops  # noqa: F401
+from . import curation_ops  # noqa: F401
 
 from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 
@@ -57,6 +58,8 @@ _HEAVY = {
     "llm_video_frames_mjpeg",  # ~10s at sf0.01: pure-python Huffman decode per frame
     "llm_decontaminate",  # ~6s at sf0.01: cold shingle build
     "ref_t3_streaming_state_dedup",  # ~7s: streaming query startup
+    "llm_decontaminate_bloom",  # ~8s at sf0.01: shingle build + the exact oracle
+    "llm_ann_quantized_topk",  # ~3s at sf0.01: brute-force oracle dominates
 }
 
 

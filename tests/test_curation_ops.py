@@ -1,0 +1,171 @@
+"""Round-6 curation operators: invisibility contracts (bloom prefilter
+and SQ8 quantization must not change output), selectivity/recall floors,
+and internal-consistency checks the value-hash oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from groove_to_helpscout_migration_tool_spark import catalog
+from groove_to_helpscout_migration_tool_spark.operators import similarity as SIM
+from groove_to_helpscout_migration_tool_spark.operators.cache import (
+    unpersist_artifacts,
+)
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    exact = catalog.QUERIES["llm_decontaminate"].fn(spark, sf_dir)
+    bloom = catalog.QUERIES["llm_decontaminate_bloom"].fn(spark, sf_dir)
+    assert _rows(bloom) == _rows(exact)
+    unpersist_artifacts()
+
+
+def test_bloom_prefilter_is_selective(spark, sf_dir):
+    """The bitmap must actually kill grams: survivors of the bloom pass
+    are a strict subset of the training gram stream, and every exact hit
+    survives (no false negatives by construction)."""
+    from groove_to_helpscout_migration_tool_spark.catalog.curation_ops import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+    from groove_to_helpscout_migration_tool_spark.operators import dedup as DD
+    from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = DD.shingled_docs(t.documents)
+    eval_grams = (
+        docs.filter(F.col("doc_id") < 50).select(F.explode("xs").alias("g")).distinct()
+    )
+    train = docs.filter(F.col("doc_id") >= 50).select(F.explode("xs").alias("g"))
+    bloom = bloom_bitmap(eval_grams, "g")
+    probed = train.crossJoin(F.broadcast(bloom))
+    tests = bloom_might_contain("g")
+    for name, p, _ in tests:
+        probed = probed.withColumn(name, p)
+    import functools
+
+    hit = functools.reduce(lambda a, b: a & b, [c for _, _, c in tests])
+    n_train = train.count()
+    n_pass = probed.filter(hit).count()
+    n_true = train.join(F.broadcast(eval_grams), ["g"]).count()
+    # false positives exist but must be rare; false negatives must not
+    assert n_true <= n_pass < n_train
+    assert (n_pass - n_true) / max(n_train, 1) < 0.05  # fpp well under 5%
+    unpersist_artifacts()
+
+
+def test_sq8_topk_equals_brute(spark, sf_dir):
+    brute = catalog.QUERIES["llm_ann_topk_cosine"].fn(spark, sf_dir)
+    sq8 = catalog.QUERIES["llm_ann_quantized_topk"].fn(spark, sf_dir)
+    assert _rows(sq8) == _rows(brute)
+    unpersist_artifacts()
+
+
+def test_sq8_pool_recall_has_margin(spark, sf_dir):
+    """Every true top-5 neighbor must sit WELL inside the approx pool
+    (rank <= pool/2), so the exactness contract holds with margin rather
+    than by luck."""
+    from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = SIM.prepared(t.embeddings)
+    qc = SIM.sq8_corpus(emb)
+    q = qc.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q8").alias("qq8"),
+        F.col("qs").alias("qqs"),
+    )
+    nrms = emb.select("vec_id", "nrm")
+    qn = nrms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm"))
+    scored = (
+        qc.join(nrms, ["vec_id"])
+        .crossJoin(F.broadcast(q.join(qn, ["qid"])))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (
+                SIM._pair_dot_batch_sq8(F.col("qq8"), F.col("q8")).cast("double")
+                / (F.col("qqs") * F.col("qs") * F.col("qnrm") * F.col("nrm"))
+            ).alias("acos"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("qid").orderBy(F.desc("acos"), F.asc("nid"))
+    approx_rank = scored.withColumn("arank", F.row_number().over(wp)).select(
+        "qid", "nid", "arank"
+    )
+    brute = catalog.QUERIES["llm_ann_topk_cosine"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    )
+    worst = (
+        brute.join(approx_rank, ["qid", "nid"])
+        .agg(F.max("arank").alias("w"))
+        .collect()[0]["w"]
+    )
+    assert worst is not None and worst <= SIM.SQ8_POOL // 2
+    unpersist_artifacts()
+
+
+def test_repetition_stats_invariants(spark, sf_dir):
+    df = catalog.QUERIES["llm_repetition_stats"].fn(spark, sf_dir)
+    bad = df.filter(
+        (F.col("n_distinct_words") > F.col("n_tokens"))
+        | (F.col("n_distinct_shingles") > F.col("n_shingles"))
+        | (F.col("dup_word_frac") < 0)
+        | (F.col("dup_word_frac") > 1)
+        | (F.col("top_word_frac") <= 0)
+        | (F.col("top_word_frac") > 1)
+        | ((F.col("n_shingles") == 0) & (F.col("dup_shingle_frac") != 0.0))
+    ).count()
+    assert bad == 0
+    # the synthetic corpus draws from a small vocabulary: repetition MUST
+    # be visible (otherwise the operator is testing nothing)
+    assert df.filter(F.col("dup_word_frac") > 0).count() > 0
+
+
+def test_quality_filter_flags_consistent(spark, sf_dir):
+    df = catalog.QUERIES["llm_quality_filter_c4"].fn(spark, sf_dir)
+    any_flag = (
+        F.col("too_short")
+        | F.col("too_long")
+        | F.col("bad_mean_word_len")
+        | F.col("high_symbol_ratio")
+        | F.col("no_stopwords")
+    )
+    assert df.filter(F.col("keep") == any_flag).count() == 0  # keep == NOT any
+    assert df.count() == df.select("doc_id").distinct().count()
+
+
+def test_dedup_by_source_argmax(spark, sf_dir):
+    """The bit-packed argmax must pick the longest copy (ties -> lowest
+    doc_id) and n_copies must partition the corpus."""
+    from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = catalog.QUERIES["llm_dedup_by_source"].fn(spark, sf_dir)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == t.documents.count()
+    normed = t.documents.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("text_hash"),
+    )
+    joined = out.join(normed, ["source", "text_hash"])
+    # no group member is strictly better than the kept row
+    better = joined.filter(
+        (F.col("n_chars") > F.col("kept_chars"))
+        | (
+            (F.col("n_chars") == F.col("kept_chars"))
+            & (F.col("doc_id") < F.col("kept_doc_id"))
+        )
+    ).count()
+    assert better == 0

@@ -71,6 +71,18 @@ AUDIT = {
     # (the surviving Window is the per-QUERY top-k; a window partitioned
     # by vec_id would be the old N x C corpus-wide assignment rank)
     "llm_ann_ivf_topk": (["ArrowEvalPython|EvalPython"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window \\[[^\\]]*vec_id"]),
+    # curation ops (r6): the C4 gate is a map-only pass fused into the
+    # scan -- ANY exchange would mean an accidental shuffle
+    "llm_quality_filter_c4": (["ReadSchema: struct<doc_id:bigint,text:string,lang:string"], ["Exchange", "CartesianProduct"]),
+    # source-level dedup: argmax via partial-aggregating groupBy -- a
+    # Window would be the per-group sort formulation the oracle uses
+    "llm_dedup_by_source": (["HashAggregate"], ["Window", "SortMergeJoin"]),
+    # bloom decontamination: the bitmap (1 row) and the verify gram set
+    # must both broadcast; the training side must never sort-merge
+    "llm_decontaminate_bloom": (["BroadcastHashJoin", "BroadcastNestedLoopJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # SQ8 ANN: int8 dot runs Arrow-batched; the corpus-side scan must
+    # never cartesian (the query side is a broadcast)
+    "llm_ann_quantized_topk": (["ArrowEvalPython|EvalPython", "BroadcastNestedLoopJoin"], ["CartesianProduct"]),
 }
 
 
