@@ -91,6 +91,20 @@ class TestUnpersistDiscipline:
             spark, similarity.ivf_topk(_load_emb(spark), k=5, query_max_id=5)
         )
 
+    def test_sq8_topk_release(self, spark):
+        from groove_to_helpscout_migration_tool_spark.operators import similarity
+
+        self._assert_released(
+            spark, similarity.sq8_topk(_load_emb(spark), k=5, query_max_id=5)
+        )
+
+    def test_bloom_decontaminate_release(self, spark):
+        from groove_to_helpscout_migration_tool_spark.catalog import curation_ops
+
+        self._assert_released(
+            spark, curation_ops.llm_decontaminate_bloom(spark, SF)
+        )
+
     def test_clusters_release_including_checkpoints(self, spark):
         from groove_to_helpscout_migration_tool_spark.operators import cache, dedup
 
