@@ -84,6 +84,7 @@ HEADLINE = [
     "llm_quality_filter_c4",
     "llm_dedup_by_source",
     "llm_ann_quantized_topk",
+    "llm_lang_temperature_sample",
 ]
 
 

@@ -2,7 +2,7 @@
 family a 100 TB pre-training pipeline runs between raw crawl and
 training shards.
 
-Five operators, each a distinct at-scale technique:
+Six operators, each a distinct at-scale technique:
 
   - llm_decontaminate_bloom  : Bloom-prefiltered decontamination -- a
         constant-size bitmap broadcast kills ~all training shingles
@@ -15,6 +15,8 @@ Five operators, each a distinct at-scale technique:
         longest copy -- groupBy + struct-max, no window sort.
   - llm_ann_quantized_topk   : int8 scalar-quantized ANN first pass +
         exact re-rank (FAISS SQ8 shape), output equal to brute force.
+  - llm_lang_temperature_sample : mT5-style temperature re-balancing
+        of the language mixture with integer-only deterministic rates.
 
 Reference parity note: the reference tool has no corpus-curation stage
 (it is a ticket migrator); these extend the engine for the LLM-data
@@ -459,3 +461,77 @@ QUERIES["llm_ann_quantized_topk"] = type(_spec)(
     oracle=QUERIES["llm_ann_topk_cosine"].oracle,
     doc=_spec.doc,
 )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based language mixing (mT5/XLM-R-style corpus re-balancing)
+# ---------------------------------------------------------------------------
+_MIX_KEY_SQL = _LL._DOC_KEY_SQL.format(salt="mix:t0.5")
+
+
+@register(
+    "llm_lang_temperature_sample",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+), s AS (
+  SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS sw FROM c
+), tot AS (
+  SELECT sum(c) AS n_total, sum(sw) AS w_total FROM s
+), rates AS (
+  SELECT lang,
+         least(1000, (1000 * (n_total // 2) * sw) // (w_total * c)) AS keep_rate
+  FROM s, tot
+)
+SELECT d.doc_id, d.lang,
+       CAST(r.keep_rate AS BIGINT) AS keep_rate,
+       CAST({_MIX_KEY_SQL} % 1000 AS BIGINT) AS keep_bucket
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE {_MIX_KEY_SQL} % 1000 < r.keep_rate
+""",
+    doc=(
+        "Temperature-based language re-balancing (the mT5/XLM-R mixing"
+        " rule at T = 2, i.e. weight ~ count^0.5): per-language keep"
+        " rates flatten the head language toward the tail, targeting"
+        " half the corpus. ALL arithmetic is integer (isqrt weights,"
+        " integer div) so the rates are bit-identical cross-engine with"
+        " no float-sum order dependence -- the only float op is one"
+        " IEEE-exact sqrt per language. Plan shape: a 5-row aggregate"
+        " broadcast back onto the scan + the same deterministic md5"
+        " per-mille bucket as llm_sample_stratified -- no rand(), no"
+        " shuffle of the corpus, keep decisions reproducible at any"
+        " partitioning/retry. At 100 TB the rate table is still"
+        " O(languages): the corpus pays one map-side filter."
+        " (Integer-range note: 1000 * (n_total/2) * sw must fit int64 --"
+        " holds to ~10^14 docs; DuckDB computes it in int128.)"
+    ),
+)
+def llm_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    stats = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    stats = stats.select(
+        "lang",
+        "c",
+        F.floor(F.sqrt(F.col("c").cast("double"))).cast("bigint").alias("sw"),
+    )
+    tot = stats.agg(
+        F.sum("c").alias("n_total"), F.sum("sw").alias("w_total")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1000).cast("bigint"),
+            F.expr("(1000 * (n_total div 2) * sw) div (w_total * c)"),
+        ).alias("keep_rate"),
+    )
+    bucket = _LL._doc_key("mix:t0.5") % 1000
+    return (
+        t.documents.join(F.broadcast(rates), ["lang"])
+        .filter(bucket < F.col("keep_rate"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("keep_rate").cast("bigint").alias("keep_rate"),
+            bucket.cast("bigint").alias("keep_bucket"),
+        )
+    )

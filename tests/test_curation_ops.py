@@ -169,3 +169,16 @@ def test_dedup_by_source_argmax(spark, sf_dir):
         )
     ).count()
     assert better == 0
+
+
+def test_temperature_sample_flattens_head_language(spark, sf_dir):
+    """T=2 mixing must assign the dominant language a STRICTLY lower
+    keep rate than every tail language (that is the whole point), and
+    kept buckets must respect the per-lang rate."""
+    df = catalog.QUERIES["llm_lang_temperature_sample"].fn(spark, sf_dir)
+    rates = {
+        r["lang"]: r["rate"]
+        for r in df.groupBy("lang").agg(F.max("keep_rate").alias("rate")).collect()
+    }
+    assert rates["en"] < min(v for k, v in rates.items() if k != "en")
+    assert df.filter(F.col("keep_bucket") >= F.col("keep_rate")).count() == 0
