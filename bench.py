@@ -312,8 +312,17 @@ def build_output(
         "sha": sha,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # hard guard: never exceed the driver's tail buffer
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+    # hard guard: never exceed the driver's ~2KB tail buffer. Precision
+    # ladder 2dp -> 1dp -> int: at 4-digit timings 1dp saves nothing
+    # ("9999.99" -> "10000.0"), so the final rung rounds to integers,
+    # which bounds the line for any plausible headline count.
+    for ndigits in (1, 0):
+        if len(line) <= 1900:
+            break
+        compact["queries"] = {
+            k: (round(v, ndigits) if ndigits else int(round(v)))
+            for k, v in timings.items()
+        }
         line = json.dumps(compact, separators=(",", ":"))
     return detail, line
 
