@@ -1,0 +1,189 @@
+"""Shuffle-record scaling probe: deterministic 10x-growth evidence for
+the dedup/ANN/curation family.
+
+The 100 TB question for every candidate-generating operator is "how does
+the shuffled volume grow when the data grows?" -- wall time at fixture
+scale cannot answer it (fixed overheads and timer noise swamp the
+signal), but TOTAL SHUFFLE-READ RECORDS are exact, reproducible, and
+exactly the quantity that prices the operator on a cluster. This
+harness runs each probe query at sf0.01 (500 docs / 500 vectors) and
+sf0.1 (5000 / 5000), attributes event-log task metrics to per-query job
+groups, and reports the record-growth ratio against the 10x data growth.
+
+Classes:
+  linear   -- bucketed/capped/map-shaped ops whose shuffle must grow
+              ~linearly with the corpus: ratio must stay under
+              LINEAR_BOUND (generous 3x headroom over proportional
+              growth for bucket-density drift; the quadratic signature
+              this guards against is ~100x).
+  control  -- the UNCAPPED pair enumerators, reported but unbounded:
+              their super-linear growth is the measured reason the
+              capped/assign variants exist.
+
+Each query runs with artifacts cleared before AND between runs, so its
+records include its full build (shingles/signatures/index) -- the
+self-contained cost a fresh corpus snapshot would pay.
+
+Exit 0 + one JSON line; exit 1 if a linear-class op breaches its bound.
+Usage: python tools/scale_records.py [small_sf_dir] [large_sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA_RATIO = 10.0
+LINEAR_BOUND = 30.0  # linear-class ops: max allowed record-growth ratio
+
+# query -> class
+PROBES = {
+    "llm_dedup_exact": "linear",
+    "llm_dedup_by_source": "linear",
+    "llm_repetition_stats": "linear",
+    "llm_lang_temperature_sample": "linear",
+    "llm_decontaminate_bloom": "linear",
+    "llm_neardup_minhash_lsh_capped": "linear",
+    "llm_neardup_simhash_capped": "linear",
+    "llm_simhash_dedup_assign": "linear",
+    "llm_semantic_dedup_assign": "linear",
+    "llm_ann_lsh_topk": "linear",
+    "llm_ann_ivf_topk": "linear",
+    "llm_ann_quantized_topk": "linear",
+    # uncapped enumerators: the measured negative controls
+    "llm_neardup_minhash_lsh": "control",
+    "llm_neardup_simhash": "control",
+    "llm_neardup_ngram_jaccard": "control",
+}
+
+
+def _build_session(event_dir: str):
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-records")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", event_dir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _group_records(event_dir: str) -> dict[str, int]:
+    """event log -> {job_group: total shuffle-read records}. Attribution
+    per stage ATTEMPT via its own StageSubmitted properties (same scheme
+    as tools/skew_stress.py: skipped stages can't be claimed, retries
+    don't merge)."""
+    stage_group: dict[tuple[int, int], str] = {}
+    stage_records: dict[tuple[int, int], int] = {}
+    paths = []
+    for root, _dirs, files in os.walk(event_dir):
+        paths.extend(
+            os.path.join(root, f)
+            for f in files
+            if not f.startswith(".") and "appstatus" not in f
+        )
+    for path in paths:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerStageSubmitted":
+                    si = ev.get("Stage Info") or {}
+                    key = (si.get("Stage ID"), si.get("Stage Attempt ID", 0))
+                    stage_group[key] = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id", ""
+                    )
+                elif kind == "SparkListenerTaskEnd":
+                    key = (ev.get("Stage ID"), ev.get("Stage Attempt ID", 0))
+                    srm = (ev.get("Task Metrics") or {}).get(
+                        "Shuffle Read Metrics"
+                    ) or {}
+                    stage_records[key] = stage_records.get(key, 0) + int(
+                        srm.get("Total Records Read", 0) or 0
+                    )
+    out: dict[str, int] = {}
+    for key, recs in stage_records.items():
+        group = stage_group.get(key, "?")
+        out[group] = out.get(group, 0) + recs
+    return out
+
+
+def _run_sweep(sf_dir: str) -> dict[str, int]:
+    from groove_to_helpscout_migration_tool_spark import catalog
+    from groove_to_helpscout_migration_tool_spark.operators import cache
+
+    event_dir = tempfile.mkdtemp(prefix="scale_events_")
+    spark = _build_session(event_dir)
+    sc = spark.sparkContext
+    for name in PROBES:
+        spec = catalog.QUERIES.get(name)
+        if spec is None:
+            continue
+        sc.setJobGroup(name, name)
+        spec.fn(spark, sf_dir).count()
+        # self-contained per query: the next one rebuilds its artifacts,
+        # so each query's records include its own build at BOTH scales
+        cache.unpersist_artifacts()
+        spark.catalog.clearCache()
+        sc.setJobGroup("idle", "idle")
+    spark.stop()  # flush the event log
+    return _group_records(event_dir)
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    large = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    recs_small = _run_sweep(small)
+    recs_large = _run_sweep(large)
+    report: dict[str, dict] = {}
+    violations: list[str] = []
+    for name, klass in PROBES.items():
+        s, l = recs_small.get(name, 0), recs_large.get(name, 0)
+        ratio = round(l / s, 2) if s else None
+        report[name] = {
+            "class": klass,
+            "records_small": s,
+            "records_large": l,
+            "growth_ratio": ratio,
+        }
+        if klass == "linear" and ratio is not None and ratio > LINEAR_BOUND:
+            violations.append(
+                f"{name}: record growth {ratio}x > {LINEAR_BOUND}x for "
+                f"{DATA_RATIO}x data"
+            )
+    out = {
+        "small_sf_dir": small,
+        "large_sf_dir": large,
+        "data_ratio": DATA_RATIO,
+        "linear_bound": LINEAR_BOUND,
+        "probes": report,
+        "violations": violations,
+    }
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+    sys.exit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()
