@@ -182,3 +182,36 @@ def test_temperature_sample_flattens_head_language(spark, sf_dir):
     }
     assert rates["en"] < min(v for k, v in rates.items() if k != "en")
     assert df.filter(F.col("keep_bucket") >= F.col("keep_rate")).count() == 0
+
+
+class TestPackedArgmaxEncoding:
+    """Pure property of the bit-packed (n_chars, doc_id) argmax encoding
+    used by llm_dedup_by_source: max over packed keys == argmax by
+    (n_chars DESC, doc_id ASC), for every list within the documented
+    bounds (docs < 8 MB, doc_id < 2^40)."""
+
+    def test_packed_max_equals_lexicographic_argmax(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        shift = 1 << 40
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=(1 << 23) - 1),  # n_chars
+                    st.integers(min_value=0, max_value=(1 << 40) - 1),  # doc_id
+                ),
+                min_size=1,
+                max_size=12,
+            )
+        )
+        def check(group):
+            packed_best = max(c * shift + (shift - 1 - d) for c, d in group)
+            kept_chars = packed_best // shift
+            kept_doc = shift - 1 - (packed_best % shift)
+            want_chars, want_doc = max(group, key=lambda t: (t[0], -t[1]))
+            assert (kept_chars, kept_doc) == (want_chars, want_doc)
+
+        check()
