@@ -83,6 +83,10 @@ AUDIT = {
     # SQ8 ANN: int8 dot runs Arrow-batched; the corpus-side scan must
     # never cartesian (the query side is a broadcast)
     "llm_ann_quantized_topk": (["ArrowEvalPython|EvalPython", "BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # temperature mixing: the O(languages) rate table joins back onto
+    # the corpus as a broadcast; the corpus itself must never shuffle
+    # (the tiny tot crossJoin is a 5x1 BroadcastNestedLoop -- allowed)
+    "llm_lang_temperature_sample": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
 }
 
 
