@@ -11,14 +11,21 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _latest_artifact() -> dict:
-    paths = sorted(glob.glob(os.path.join(REPO, "SCALE_r*.json")))
+    paths = glob.glob(os.path.join(REPO, "SCALE_r*.json"))
     assert paths, "no SCALE_r*.json artifact committed"
-    with open(paths[-1]) as fh:
+
+    def round_no(p: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    # numeric, not lexical: SCALE_r10 must beat SCALE_r6
+    with open(max(paths, key=round_no)) as fh:
         return json.load(fh)
 
 
