@@ -535,3 +535,4 @@ def llm_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket.cast("bigint").alias("keep_bucket"),
         )
     )
+

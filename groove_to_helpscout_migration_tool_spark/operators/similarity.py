@@ -663,3 +663,4 @@ def sq8_topk(
         .select("qid", "nid")
     )
     return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)
+
