@@ -85,6 +85,7 @@ HEADLINE = [
     "llm_dedup_by_source",
     "llm_ann_quantized_topk",
     "llm_lang_temperature_sample",
+    "llm_hashing_vectorizer",
 ]
 
 

@@ -215,3 +215,15 @@ class TestPackedArgmaxEncoding:
             assert (kept_chars, kept_doc) == (want_chars, want_doc)
 
         check()
+
+
+def test_hashing_vectorizer_unit_norm(spark, sf_dir):
+    """Per-doc L2 weights must square-sum to ~1 (the normalization
+    contract), and dims must stay inside the hashed space."""
+    df = catalog.QUERIES["llm_hashing_vectorizer"].fn(spark, sf_dir)
+    assert df.filter((F.col("dim") < 0) | (F.col("dim") >= 64)).count() == 0
+    norms = df.groupBy("doc_id").agg(
+        F.sum(F.col("weight_l2") * F.col("weight_l2")).alias("ss")
+    )
+    off = norms.filter(F.abs(F.col("ss") - 1.0) > 1e-3).count()
+    assert off == 0

@@ -87,6 +87,9 @@ AUDIT = {
     # the corpus as a broadcast; the corpus itself must never shuffle
     # (the tiny tot crossJoin is a 5x1 BroadcastNestedLoop -- allowed)
     "llm_lang_temperature_sample": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # hashing vectorizer: pure explode + partial-agg pipeline; a Window
+    # or cartesian would mean the normalization went through a sort
+    "llm_hashing_vectorizer": (["HashAggregate"], ["Window", "CartesianProduct"]),
 }
 
 

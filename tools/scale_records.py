@@ -46,6 +46,7 @@ PROBES = {
     "llm_dedup_by_source": "linear",
     "llm_repetition_stats": "linear",
     "llm_lang_temperature_sample": "linear",
+    "llm_hashing_vectorizer": "linear",
     "llm_decontaminate_bloom": "linear",
     "llm_neardup_minhash_lsh_capped": "linear",
     "llm_neardup_simhash_capped": "linear",
