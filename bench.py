@@ -86,6 +86,10 @@ HEADLINE = [
     "llm_ann_quantized_topk",
     "llm_lang_temperature_sample",
     "llm_hashing_vectorizer",
+    # corpus-maintenance/retrieval family (r6 continuation)
+    "llm_segment_dedup",
+    "llm_neardup_incremental_lsh",
+    "llm_rag_retrieve_sparse",
 ]
 
 
@@ -109,6 +113,8 @@ BUILD_SPLIT = {
     "llm_decontaminate",
     "llm_decontaminate_bloom",
     "llm_ann_quantized_topk",
+    "llm_neardup_incremental_lsh",  # shares the shingle/signature artifact
+    "llm_rag_retrieve_sparse",      # persists the sparse nz vectors
 }
 
 # Measurement shape (r6): an explicit BUILD run, then N_WARM timed warm
@@ -325,6 +331,18 @@ def build_output(
             for k, v in timings.items()
         }
         line = json.dumps(compact, separators=(",", ":"))
+    # Last-resort rung (headline growth + pathological 4-digit timings):
+    # drop per-query entries LONGEST NAME FIRST, counting what was cut in
+    # "queries_omitted" so the truncation is visible, never silent. The
+    # full per-query record is always in BENCH_DETAIL.json regardless.
+    if len(line) > 1900:
+        by_len = sorted(compact["queries"], key=lambda k: (-len(k), k))
+        omitted = 0
+        while len(line) > 1900 and by_len:
+            del compact["queries"][by_len.pop(0)]
+            omitted += 1
+            compact["queries_omitted"] = omitted
+            line = json.dumps(compact, separators=(",", ":"))
     return detail, line
 
 

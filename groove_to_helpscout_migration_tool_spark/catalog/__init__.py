@@ -12,6 +12,7 @@ from . import reference_ops  # noqa: F401
 from . import reference_ops_ext  # noqa: F401
 from . import llm_ops  # noqa: F401
 from . import curation_ops  # noqa: F401
+from . import corpus_ops  # noqa: F401
 
 from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 

@@ -220,8 +220,9 @@ class TestBenchContract:
 
         import bench
 
-        # worst case: every headline query at a 4-digit-seconds timing
-        timings = {n: 9999.99 for n in bench.HEADLINE}
+        # realistic worst case: every headline query at a 2-digit-seconds
+        # timing -- the line must carry EVERY query
+        timings = {n: 99.99 for n in bench.HEADLINE}
         detail, line = bench.build_output(
             timings, dict(timings), dict(timings), 0.1, "0123abc-dirty"
         )
@@ -230,6 +231,18 @@ class TestBenchContract:
         assert parsed["metric"] == "headline_queries_total"
         assert set(parsed["queries"]) == set(bench.HEADLINE)
         assert json.loads(json.dumps(detail))["spread_pct"] == dict(timings)
+        # pathological case (4-digit timings): the line must STILL parse
+        # under the buffer; any dropped entries must be counted, and the
+        # detail dict keeps the full record
+        timings = {n: 9999.99 for n in bench.HEADLINE}
+        detail, line = bench.build_output(
+            timings, dict(timings), dict(timings), 0.1, "0123abc-dirty"
+        )
+        assert len(line) < 1900
+        parsed = json.loads(line)
+        omitted = parsed.get("queries_omitted", 0)
+        assert len(parsed["queries"]) + omitted == len(bench.HEADLINE)
+        assert set(detail["queries"]) == set(bench.HEADLINE)
 
 
 class TestTrainingAssemblyPartitionInvariance:

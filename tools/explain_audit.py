@@ -90,6 +90,17 @@ AUDIT = {
     # hashing vectorizer: pure explode + partial-agg pipeline; a Window
     # or cartesian would mean the normalization went through a sort
     "llm_hashing_vectorizer": (["HashAggregate"], ["Window", "CartesianProduct"]),
+    # corpus ops (r6 continuation): segment dedup is explode + map-side-
+    # combining count + hash join-back + sort_array group-back -- the
+    # per-doc reassembly must NOT be a window sort
+    "llm_segment_dedup": (["Generate explode", "HashAggregate"], ["Window", "CartesianProduct"]),
+    # incremental probe: delta bands x base bands equi-join, Arrow
+    # minhash stage; no self-join blowup shapes allowed
+    "llm_neardup_incremental_lsh": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # sparse retrieval: the query vectors broadcast into the inverted-
+    # index join and top-k is the salted two-phase aggregate -- a Window
+    # would be the corpus-wide PARTITION BY query straggler
+    "llm_rag_retrieve_sparse": (["BroadcastHashJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
 }
 
 
