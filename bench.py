@@ -90,6 +90,8 @@ HEADLINE = [
     "llm_segment_dedup",
     "llm_neardup_incremental_lsh",
     "llm_rag_retrieve_sparse",
+    "llm_bpe_pair_counts",
+    "llm_importance_weights_dsir",
 ]
 
 
@@ -115,6 +117,7 @@ BUILD_SPLIT = {
     "llm_ann_quantized_topk",
     "llm_neardup_incremental_lsh",  # shares the shingle/signature artifact
     "llm_rag_retrieve_sparse",      # persists the sparse nz vectors
+    "llm_importance_weights_dsir",  # persists the hashed feature stream
 }
 
 # Measurement shape (r6): an explicit BUILD run, then N_WARM timed warm

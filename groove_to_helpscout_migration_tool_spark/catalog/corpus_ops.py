@@ -15,6 +15,12 @@ space.
         for a query set via hashing-trick sparse vectors -- broadcast
         inverted-index join + two-phase (salted) top-k, integer dot
         products so the oracle is bit-exact.
+  - llm_bpe_pair_counts        : one BPE merge round (the tokenizer-
+        training kernel) -- adjacent-character pair counts over the
+        frequency-weighted VOCABULARY, never the raw corpus.
+  - llm_importance_weights_dsir: DSIR-style importance weighting --
+        hashed-unigram likelihood ratio of a target slice vs the raw
+        corpus, bounded model broadcast back over the corpus.
 
 Reference parity note: the reference tool (a ticket migrator) has no
 corpus stage; these extend the engine for the LLM-data workload like
@@ -91,7 +97,10 @@ FROM m GROUP BY doc_id
 )
 def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    toked = t.documents.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    # md5-per-segment is the expensive stage: spread it off a one-split
+    # local scan (no-op on a many-split at-scale scan)
+    docs = DD.spread_off_file_layout(t.documents, "doc_id")
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
     # sequence(1, 0) DESCENDS instead of being empty -> guard n > 0
     # (DuckDB's range(1, 1) is naturally empty, so empty docs drop from
     # both sides identically).
@@ -279,7 +288,8 @@ FROM r WHERE rn <= {RAG_TOP_K}
 )
 def llm_rag_retrieve_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    tw = t.documents.select(
+    # one md5 per token: spread off a one-split local scan first
+    tw = DD.spread_off_file_layout(t.documents, "doc_id").select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
     ).select("doc_id", TX.word_hash(F.col("word")).alias("_h"))
     h = tw.select(
@@ -353,4 +363,184 @@ def llm_rag_retrieve_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("bigint").alias("match_rank"),
         F.col("s.did").alias("match_doc"),
         F.round(F.col("s.cos"), 6).alias("cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-round pair counts (the tokenizer-training kernel)
+# ---------------------------------------------------------------------------
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "llm_bpe_pair_counts",
+    oracle=f"""
+WITH tw AS (
+  SELECT unnest({_TOKENS_SQL}) AS word FROM documents
+), vocab AS (
+  SELECT word, count(*) AS wcnt FROM tw GROUP BY word
+), pairs AS (
+  SELECT substr(word, i, 1) || '|' || substr(word, i + 1, 1) AS pair,
+         sum(wcnt) AS n_occurrences
+  FROM vocab, unnest(range(1, length(word))) AS u(i)
+  WHERE length(word) >= 2
+  GROUP BY 1
+)
+SELECT pair, CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM pairs ORDER BY n_occurrences DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
+""",
+    doc=(
+        "One BPE merge round -- the kernel a distributed tokenizer"
+        " trainer repeats: count adjacent-symbol pairs and pick the most"
+        " frequent to merge. The scale trick (exactly what real BPE"
+        " trainers do) is aggregating the corpus to its frequency-weighted"
+        " VOCABULARY first: pair enumeration then runs over distinct words"
+        " x their counts, a table orders of magnitude smaller than the"
+        " token stream, so each additional merge round costs vocab-sized"
+        " work, not corpus-sized. Top pairs come out via"
+        " TakeOrderedAndProject (deterministic count DESC, pair ASC tie"
+        " break), never a global sort."
+    ),
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    vocab = (
+        t.documents.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "wcnt",
+        "word",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+    ).select(
+        "wcnt",
+        F.concat_ws(
+            "|",
+            F.expr("substr(word, i, 1)"),
+            F.expr("substr(word, i + 1, 1)"),
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wcnt").cast("bigint").alias("n_occurrences"))
+    return agg.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(BPE_TOP_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed-unigram likelihood ratio)
+# ---------------------------------------------------------------------------
+DSIR_NFEAT = 1024       # hashed feature space (DSIR's hashed n-gram trick)
+DSIR_SCALE = 1_000_000  # fixed-point scale: weight 1e6 == corpus-average
+
+_DSIR_MODEL_CTES = f"""
+tw AS (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS word FROM documents
+), feats AS (
+  SELECT doc_id, lang, {_WORD_HASH_SQL.format(w='word')} % {DSIR_NFEAT} AS f
+  FROM tw
+), model AS (
+  SELECT f, count(*) AS rcnt,
+         coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS tcnt
+  FROM feats GROUP BY f
+), tot AS (
+  SELECT CAST(sum(rcnt) + {DSIR_NFEAT} AS DOUBLE) AS rtot,
+         CAST(sum(tcnt) + {DSIR_NFEAT} AS DOUBLE) AS ttot
+  FROM model
+), weights AS (
+  SELECT f,
+         CAST(floor(((tcnt + 1) * rtot) / ((rcnt + 1) * ttot)
+                    * {DSIR_SCALE}) AS BIGINT) AS w
+  FROM model, tot
+)
+"""
+
+
+@register(
+    "llm_importance_weights_dsir",
+    oracle=f"""
+WITH {_DSIR_MODEL_CTES}, scored AS (
+  SELECT feats.doc_id, count(*) AS n_tokens, sum(w) AS score_raw
+  FROM feats JOIN weights USING (f)
+  GROUP BY feats.doc_id
+)
+SELECT s.doc_id, d.lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score_raw AS BIGINT) AS score_raw,
+       round(CAST(score_raw AS DOUBLE) / (n_tokens * {DSIR_SCALE}), 6)
+         AS importance,
+       score_raw >= {DSIR_SCALE} * n_tokens AS kept
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+""",
+    doc=(
+        "DSIR-style importance weighting (Data Selection via Importance"
+        " Resampling, hashed-feature form): fit a target unigram model"
+        " (the 'en' slice plays the high-quality target domain) and a raw"
+        " corpus model over a HASHED feature space of"
+        f" {DSIR_NFEAT} buckets, weight each feature by the add-one-"
+        "smoothed likelihood ratio in fixed-point (1e6 == corpus-average"
+        " likeness), and score each document by the INTEGER sum of its"
+        " token weights -- order-free, so the oracle hash-matches; the"
+        " keep flag compares integers (score_raw >= SCALE * n_tokens),"
+        " never the rounded display ratio. At 100 TB this is the DSIR"
+        " shape exactly: ONE aggregation fits both models (bounded at"
+        " NFEAT rows -- no vocabulary table), the weight table broadcasts"
+        " everywhere, and scoring is a map-side join + partial agg pass"
+        " over the corpus. The fixed-point ratio is floor'd from a"
+        " division mirrored expression-for-expression in the oracle, so"
+        " the weights are deterministic cross-engine."
+    ),
+)
+def llm_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    # one md5 per token, twice over (model fit + scoring): spread off a
+    # one-split local scan and persist the hashed feature stream so the
+    # two consumers share it
+    feats = persist_artifact(
+        DD.spread_off_file_layout(t.documents, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(TX.tokens(F.col("text"))).alias("word"),
+        )
+        .select(
+            "doc_id", "lang", (TX.word_hash(F.col("word")) % DSIR_NFEAT).alias("f")
+        )
+    )
+    model = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("rcnt"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", 1)), F.lit(0)
+        ).alias("tcnt"),
+    )
+    tot = model.agg(
+        (F.sum("rcnt") + DSIR_NFEAT).cast("double").alias("rtot"),
+        (F.sum("tcnt") + DSIR_NFEAT).cast("double").alias("ttot"),
+    )
+    weights = model.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.floor(
+            ((F.col("tcnt") + 1) * F.col("rtot"))
+            / ((F.col("rcnt") + 1) * F.col("ttot"))
+            * DSIR_SCALE
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    scored = (
+        feats.join(F.broadcast(weights), ["f"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("score_raw"),
+        )
+    )
+    return scored.join(t.documents.select("doc_id", "lang"), ["doc_id"]).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "score_raw",
+        F.round(
+            F.col("score_raw").cast("double") / (F.col("n_tokens") * DSIR_SCALE), 6
+        ).alias("importance"),
+        (F.col("score_raw") >= F.lit(DSIR_SCALE) * F.col("n_tokens")).alias("kept"),
     )

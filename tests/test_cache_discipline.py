@@ -105,6 +105,27 @@ class TestUnpersistDiscipline:
             spark, curation_ops.llm_decontaminate_bloom(spark, SF)
         )
 
+    def test_incremental_lsh_release(self, spark):
+        from groove_to_helpscout_migration_tool_spark.catalog import corpus_ops
+
+        self._assert_released(
+            spark, corpus_ops.llm_neardup_incremental_lsh(spark, SF)
+        )
+
+    def test_rag_retrieve_release(self, spark):
+        from groove_to_helpscout_migration_tool_spark.catalog import corpus_ops
+
+        self._assert_released(
+            spark, corpus_ops.llm_rag_retrieve_sparse(spark, SF)
+        )
+
+    def test_dsir_release(self, spark):
+        from groove_to_helpscout_migration_tool_spark.catalog import corpus_ops
+
+        self._assert_released(
+            spark, corpus_ops.llm_importance_weights_dsir(spark, SF)
+        )
+
     def test_clusters_release_including_checkpoints(self, spark):
         from groove_to_helpscout_migration_tool_spark.operators import cache, dedup
 

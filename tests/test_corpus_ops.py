@@ -70,6 +70,55 @@ def test_incremental_lsh_agrees_with_full_selfjoin(spark, sf_dir):
     unpersist_artifacts()
 
 
+def test_bpe_pair_counts_match_pure_python(spark, sf_dir):
+    """The distributed vocab-weighted pair count must equal a direct
+    Python recount of the raw token stream (the vocabulary aggregation
+    is an optimization, not a semantics change)."""
+    from collections import Counter
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    texts = [r["text"] for r in t.documents.select("text").collect()]
+    counts: Counter = Counter()
+    for txt in texts:
+        for w in txt.split():
+            for i in range(len(w) - 1):
+                counts[f"{w[i]}|{w[i+1]}"] += 1
+    from groove_to_helpscout_migration_tool_spark.catalog.corpus_ops import (
+        BPE_TOP_PAIRS,
+    )
+
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in catalog.QUERIES["llm_bpe_pair_counts"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_dsir_importance_separates_target_language(spark, sf_dir):
+    """The likelihood-ratio weights must rank the target slice ('en')
+    above every other language on average -- otherwise the model learned
+    nothing -- and the keep flag must agree with the integer score
+    comparison."""
+    from groove_to_helpscout_migration_tool_spark.catalog.corpus_ops import (
+        DSIR_SCALE,
+    )
+
+    df = catalog.QUERIES["llm_importance_weights_dsir"].fn(spark, sf_dir)
+    means = {
+        r["lang"]: r["m"]
+        for r in df.groupBy("lang").agg(F.avg("importance").alias("m")).collect()
+    }
+    assert means["en"] > max(v for k, v in means.items() if k != "en")
+    bad = df.filter(
+        F.col("kept") != (F.col("score_raw") >= F.lit(DSIR_SCALE) * F.col("n_tokens"))
+    ).count()
+    assert bad == 0
+    # weights are ratios of positive smoothed counts: scores are positive
+    assert df.filter(F.col("score_raw") <= 0).count() == 0
+    unpersist_artifacts()
+
+
 def test_rag_two_phase_topk_equals_global_window(spark, sf_dir):
     """The salted two-phase top-k must reproduce a naive global window
     ranking over the same similarity frame, and basic shape contracts

@@ -101,6 +101,13 @@ AUDIT = {
     # index join and top-k is the salted two-phase aggregate -- a Window
     # would be the corpus-wide PARTITION BY query straggler
     "llm_rag_retrieve_sparse": (["BroadcastHashJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # BPE merge round: vocab aggregation + top-pairs via
+    # TakeOrderedAndProject, never a global sort
+    "llm_bpe_pair_counts": (["TakeOrderedAndProject", "HashAggregate"], ["Sort \\[", "CartesianProduct"]),
+    # DSIR: the NFEAT-bounded weight table must broadcast back over the
+    # corpus (the one-row totals crossJoin is a BroadcastNestedLoop --
+    # allowed); scoring is partial-agg, never a window
+    "llm_importance_weights_dsir": (["BroadcastHashJoin"], ["Window", "CartesianProduct", "SortMergeJoin"]),
 }
 
 
