@@ -55,6 +55,14 @@ PROBES = {
     "llm_ann_lsh_topk": "linear",
     "llm_ann_ivf_topk": "linear",
     "llm_ann_quantized_topk": "linear",
+    # corpus-maintenance family (r6 continuation): segment hashing,
+    # delta-bounded incremental probe, broadcast retrieval, vocab-bounded
+    # BPE round, NFEAT-bounded DSIR scoring -- all must grow ~linearly
+    "llm_segment_dedup": "linear",
+    "llm_neardup_incremental_lsh": "linear",
+    "llm_rag_retrieve_sparse": "linear",
+    "llm_bpe_pair_counts": "linear",
+    "llm_importance_weights_dsir": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
