@@ -92,6 +92,7 @@ HEADLINE = [
     "llm_rag_retrieve_sparse",
     "llm_bpe_pair_counts",
     "llm_importance_weights_dsir",
+    "llm_substring_dedup_spans",
 ]
 
 
@@ -118,6 +119,7 @@ BUILD_SPLIT = {
     "llm_neardup_incremental_lsh",  # shares the shingle/signature artifact
     "llm_rag_retrieve_sparse",      # persists the sparse nz vectors
     "llm_importance_weights_dsir",  # persists the hashed feature stream
+    "llm_substring_dedup_spans",    # persists the sliding gram table
 }
 
 # Measurement shape (r6): an explicit BUILD run, then N_WARM timed warm

@@ -15,6 +15,10 @@ space.
         for a query set via hashing-trick sparse vectors -- broadcast
         inverted-index join + two-phase (salted) top-k, integer dot
         products so the oracle is bit-exact.
+  - llm_substring_dedup_spans  : sliding-window duplicated-span
+        detection (the exact-substring dedup shape): corpus-duplicated
+        8-grams mark every token position they cover; per-doc coverage
+        stats, expansion bounded to the (rare) duplicated grams.
   - llm_bpe_pair_counts        : one BPE merge round (the tokenizer-
         training kernel) -- adjacent-character pair counts over the
         frequency-weighted VOCABULARY, never the raw corpus.
@@ -363,6 +367,116 @@ def llm_rag_retrieve_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("bigint").alias("match_rank"),
         F.col("s.did").alias("match_doc"),
         F.round(F.col("s.cos"), 6).alias("cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window duplicated-span detection (exact-substring dedup shape)
+# ---------------------------------------------------------------------------
+SPAN_L = 8  # sliding gram width in tokens
+
+
+@register(
+    "llm_substring_dedup_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+), grams AS (
+  SELECT doc_id, s,
+         md5(array_to_string(list_slice(t, s, s + {SPAN_L} - 1), ' ')) AS gh
+  FROM toks, unnest(range(1, greatest(len(t) - {SPAN_L} + 1, 0) + 1)) AS u(s)
+), dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1
+), covered AS (
+  SELECT DISTINCT doc_id, s + o AS p
+  FROM grams JOIN dup USING (gh), unnest(range(0, {SPAN_L})) AS v(o)
+), cov AS (
+  SELECT doc_id, count(*) AS n_dup_tokens FROM covered GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       round(CAST(coalesce(cov.n_dup_tokens, 0) AS DOUBLE)
+             / greatest(len(t.t), 1), 6) AS dup_frac,
+       coalesce(cov.n_dup_tokens, 0) * 5 >= len(t.t) AS flagged
+FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id
+WHERE len(t.t) > 0
+""",
+    doc=(
+        "Sliding-window duplicated-SPAN detection -- the exact-substring"
+        " dedup shape (duplicated long substrings marked for removal"
+        " wherever they occur, the technique suffix-array dedup pipelines"
+        f" apply to training corpora), windowed at {SPAN_L} tokens with"
+        " stride 1. Every corpus-duplicated gram marks the token positions"
+        " it covers; per-doc output is coverage stats plus a >=20% flag"
+        " (integer-compared: n_dup*5 >= n_tokens). The scale contract:"
+        " gram counting is a map-side-combining groupBy; the position"
+        " EXPANSION (x8) runs only over duplicated grams -- a rare subset"
+        " on a healthy corpus -- and the distinct shuffles (doc_id,"
+        " position) pairs only for covered positions. Complements"
+        " llm_segment_dedup (fixed windows, whole-segment drop) with the"
+        " sliding-window within-segment-boundary-blind form."
+    ),
+)
+def llm_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = DD.spread_off_file_layout(t.documents, "doc_id")
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_grams = F.greatest(F.size("toks") - (SPAN_L - 1), F.lit(0))
+    grams = (
+        toked.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                # sequence(1, 0) descends -> guard zero-gram docs
+                F.when(
+                    n_grams > 0, F.sequence(F.lit(1), n_grams)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("bigint").alias("s"),
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("s"), SPAN_L), " ")
+            ).alias("gh"),
+        )
+    )
+    grams = persist_artifact(grams)  # read twice: count + join-back
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup, ["gh"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (SPAN_L - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    cov = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_tokens")
+    )
+    base = toked.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return base.join(cov, ["doc_id"], "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+        F.round(
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_frac"),
+        (
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)) * 5 >= F.col("n_tokens")
+        ).alias("flagged"),
     )
 
 

@@ -70,6 +70,43 @@ def test_incremental_lsh_agrees_with_full_selfjoin(spark, sf_dir):
     unpersist_artifacts()
 
 
+def test_substring_spans_cover_exact_duplicates(spark, sf_dir):
+    """Every member of an EXACT duplicate group (>= SPAN_L tokens) must
+    be 100% covered by duplicated spans; coverage is 0 or >= SPAN_L
+    (a duplicated gram covers SPAN_L positions); and the fixture must
+    exercise partial coverage somewhere."""
+    from groove_to_helpscout_migration_tool_spark.catalog.corpus_ops import SPAN_L
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = catalog.QUERIES["llm_substring_dedup_spans"].fn(spark, sf_dir)
+    assert out.filter(
+        (F.col("n_dup_tokens") > 0) & (F.col("n_dup_tokens") < SPAN_L)
+    ).count() == 0
+    assert out.filter(F.col("n_dup_tokens") > F.col("n_tokens")).count() == 0
+    norm = t.documents.select(
+        "doc_id",
+        F.array_join(TX.tokens(F.col("text")), " ").alias("nt"),
+    )
+    grp = norm.groupBy("nt").agg(
+        F.count(F.lit(1)).alias("c"), F.collect_list("doc_id").alias("ids")
+    )
+    dup_ids = [
+        i for r in grp.filter(F.col("c") > 1).collect() for i in r["ids"]
+    ]
+    if dup_ids:
+        uncovered = out.filter(
+            F.col("doc_id").isin(dup_ids)
+            & (F.col("n_tokens") >= SPAN_L)
+            & (F.col("dup_frac") < 1.0)
+        ).count()
+        assert uncovered == 0
+    partial = out.filter(
+        (F.col("n_dup_tokens") > 0) & (F.col("n_dup_tokens") < F.col("n_tokens"))
+    ).count()
+    assert partial > 0
+    unpersist_artifacts()
+
+
 def test_bpe_pair_counts_match_pure_python(spark, sf_dir):
     """The distributed vocab-weighted pair count must equal a direct
     Python recount of the raw token stream (the vocabulary aggregation

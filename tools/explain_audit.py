@@ -101,6 +101,9 @@ AUDIT = {
     # index join and top-k is the salted two-phase aggregate -- a Window
     # would be the corpus-wide PARTITION BY query straggler
     "llm_rag_retrieve_sparse": (["BroadcastHashJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # exact-substring spans: gram count + join-back + bounded expansion;
+    # per-doc coverage must come from aggregation, never a window
+    "llm_substring_dedup_spans": (["HashAggregate"], ["Window", "CartesianProduct"]),
     # BPE merge round: vocab aggregation + top-pairs via
     # TakeOrderedAndProject, never a global sort
     "llm_bpe_pair_counts": (["TakeOrderedAndProject", "HashAggregate"], ["Sort \\[", "CartesianProduct"]),

@@ -63,6 +63,7 @@ PROBES = {
     "llm_rag_retrieve_sparse": "linear",
     "llm_bpe_pair_counts": "linear",
     "llm_importance_weights_dsir": "linear",
+    "llm_substring_dedup_spans": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
@@ -142,12 +143,27 @@ def _run_sweep(sf_dir: str) -> dict[str, int]:
     event_dir = tempfile.mkdtemp(prefix="scale_events_")
     spark = _build_session(event_dir)
     sc = spark.sparkContext
+    from pyspark.sql import functions as F
+
     for name in PROBES:
         spec = catalog.QUERIES.get(name)
         if spec is None:
             continue
         sc.setJobGroup(name, name)
-        spec.fn(spark, sf_dir).count()
+        # Force FULL materialization: .count() lets Catalyst prune
+        # columns, no-op joins, and aggregate expressions out of
+        # map-shaped plans (a per-doc op collapsed to "which docs
+        # exist" under count, hiding its gram/feature shuffles). A
+        # checksum over every output column keeps the whole plan live
+        # while still reducing to one driver row.
+        out = spec.fn(spark, sf_dir)
+        out.agg(
+            # mod keeps the ANSI-mode sum far from int64 overflow
+            F.sum(
+                F.xxhash64(F.struct(*[F.col(c) for c in out.columns]))
+                % F.lit(1_000_000_007)
+            )
+        ).collect()
         # self-contained per query: the next one rebuilds its artifacts,
         # so each query's records include its own build at BOTH scales
         cache.unpersist_artifacts()
