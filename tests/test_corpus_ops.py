@@ -156,6 +156,48 @@ def test_dsir_importance_separates_target_language(spark, sf_dir):
     unpersist_artifacts()
 
 
+class TestTwoPhaseTopKProperty:
+    """Pure property of the salted two-phase top-k used by
+    llm_rag_retrieve_sparse: per-salt partial top-k followed by a merge
+    of the partials must equal the global top-k under the same
+    (score DESC, id ASC) order, for any score multiset and any salt
+    width -- the invariant that makes the corpus-wide window partition
+    removable."""
+
+    def test_partial_then_merge_equals_global(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        K = 3
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=-5, max_value=5),  # coarse score
+                    st.integers(min_value=0, max_value=200),  # doc id
+                ),
+                min_size=1,
+                max_size=60,
+                unique_by=lambda t: t[1],
+            ),
+            st.integers(min_value=1, max_value=8),  # salt width
+        )
+        def check(rows, n_salt):
+            key = lambda t: (-t[0], t[1])  # score DESC, id ASC
+            want = sorted(rows, key=key)[:K]
+            buckets: dict[int, list] = {}
+            for s, d in rows:
+                buckets.setdefault(d % n_salt, []).append((s, d))
+            partials = [
+                x for b in buckets.values() for x in sorted(b, key=key)[:K]
+            ]
+            got = sorted(partials, key=key)[:K]
+            assert got == want
+
+        check()
+
+
 def test_rag_two_phase_topk_equals_global_window(spark, sf_dir):
     """The salted two-phase top-k must reproduce a naive global window
     ranking over the same similarity frame, and basic shape contracts

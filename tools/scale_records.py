@@ -60,6 +60,9 @@ PROBES = {
     # BPE round, NFEAT-bounded DSIR scoring -- all must grow ~linearly
     "llm_segment_dedup": "linear",
     "llm_neardup_incremental_lsh": "linear",
+    # note: the fixture's QUERY SET (doc_id % 100 == 0) also grows 10x
+    # with the corpus, so this measures queries x corpus together; a
+    # fixed production query set is corpus-linear
     "llm_rag_retrieve_sparse": "linear",
     "llm_bpe_pair_counts": "linear",
     "llm_importance_weights_dsir": "linear",
