@@ -4,6 +4,9 @@ Submodules:
     relational    - TPC-H-style analytics + windows/set-ops/cube/JSON/as-of
     reference_ops - SURVEY.md section 2 operators mapped onto the test tables
     llm_ops       - dedup / similarity / text-analysis / multimodal extensions
+    curation_ops  - quality gates / quantized ANN / temperature mixing
+    corpus_ops    - segment+substring dedup, incremental probe, sparse
+                    retrieval, BPE round, DSIR weighting
 """
 
 from . import relational  # noqa: F401
