@@ -49,6 +49,75 @@ def test_segment_dedup_reconstructs_untouched_docs(spark, sf_dir):
     assert out.filter(F.col("n_kept") < F.col("n_segments")).count() > 0
 
 
+def test_segment_dedup_matches_pure_python(spark, sf_dir):
+    """Full independent recount: segment the raw texts in Python, count
+    corpus-wide, drop duplicated segments, reassemble -- must equal the
+    distributed output row for row."""
+    from collections import Counter
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    texts = {r["doc_id"]: r["text"] for r in t.documents.collect()}
+    counts: Counter = Counter()
+    segged: dict[int, list[str]] = {}
+    for d, txt in texts.items():
+        toks = txt.split()
+        segs = [
+            " ".join(toks[i : i + SEG_W]) for i in range(0, len(toks), SEG_W)
+        ]
+        if segs:
+            segged[d] = segs
+            counts.update(segs)
+    want = {
+        d: (
+            len(segs),
+            sum(1 for s in segs if counts[s] == 1),
+            " ".join(s for s in segs if counts[s] == 1),
+        )
+        for d, segs in segged.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["kept_text"])
+        for r in catalog.QUERIES["llm_segment_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_substring_spans_match_pure_python(spark, sf_dir):
+    """Independent recount of sliding-gram duplicate coverage."""
+    from collections import Counter
+
+    from groove_to_helpscout_migration_tool_spark.catalog.corpus_ops import SPAN_L
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    texts = {r["doc_id"]: r["text"].split() for r in t.documents.collect()}
+    counts: Counter = Counter()
+    grams: dict[int, list[tuple[int, str]]] = {}
+    for d, toks in texts.items():
+        gs = [
+            (s, " ".join(toks[s : s + SPAN_L]))
+            for s in range(0, max(len(toks) - SPAN_L + 1, 0))
+        ]
+        grams[d] = gs
+        counts.update(g for _, g in gs)
+    want = {}
+    for d, toks in texts.items():
+        if not toks:
+            continue
+        covered = set()
+        for s, g in grams[d]:
+            if counts[g] > 1:
+                covered.update(range(s, s + SPAN_L))
+        want[d] = (len(toks), len(covered))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"])
+        for r in catalog.QUERIES["llm_substring_dedup_spans"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    unpersist_artifacts()
+
+
 def test_incremental_lsh_agrees_with_full_selfjoin(spark, sf_dir):
     """The delta-vs-base probe must equal the full LSH self-join output
     restricted to (delta, base) cross pairs -- same bands, same verify
