@@ -93,6 +93,7 @@ HEADLINE = [
     "llm_bpe_pair_counts",
     "llm_importance_weights_dsir",
     "llm_substring_dedup_spans",
+    "llm_bigram_lm_score",
 ]
 
 
@@ -120,6 +121,7 @@ BUILD_SPLIT = {
     "llm_rag_retrieve_sparse",      # persists the sparse nz vectors
     "llm_importance_weights_dsir",  # persists the hashed feature stream
     "llm_substring_dedup_spans",    # persists the sliding gram table
+    "llm_bigram_lm_score",          # persists the positioned bigram stream
 }
 
 # Measurement shape (r6): an explicit BUILD run, then N_WARM timed warm

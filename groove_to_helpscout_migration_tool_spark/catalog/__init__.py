@@ -66,6 +66,7 @@ _HEAVY = {
     # reuse included, as always); the r6 members that fell off did so
     # via real effects -- shared signature/index artifact reuse and the
     # oracle-side DuckDB costs amortizing across the bigger catalog
+    "llm_bigram_lm_score",            # 19s: ORACLE-side per-doc list_reduce fold
     "llm_semantic_dedup_assign",      # 11.3s: brute-force pair oracle in DuckDB
     "llm_neardup_embedding_lsh",      # 10.8s: same oracle shape
     "ref_pipeline_sync_tickets",      # 7.8s: end-to-end pipeline + JSON oracle

@@ -25,6 +25,10 @@ space.
   - llm_importance_weights_dsir: DSIR-style importance weighting --
         hashed-unigram likelihood ratio of a target slice vs the raw
         corpus, bounded model broadcast back over the corpus.
+  - llm_bigram_lm_score        : CCNet-style LM-likelihood quality
+        signal -- corpus-fit bigram LM scores each doc's mean
+        transition probability via a deterministic ordered fold
+        (log-free so the oracle stays bit-exact).
 
 Reference parity note: the reference tool (a ticket migrator) has no
 corpus stage; these extend the engine for the LLM-data workload like
@@ -538,6 +542,127 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = pairs.groupBy("pair").agg(F.sum("wcnt").cast("bigint").alias("n_occurrences"))
     return agg.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(BPE_TOP_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM likelihood scoring (CCNet-style LM quality signal)
+# ---------------------------------------------------------------------------
+LM_LOW_THRESH = 0.033  # flags the unlikely tail on this corpus (~p5)
+
+
+@register(
+    "llm_bigram_lm_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, i AS pos, t[i] AS w1, t[i] || ' ' || t[i+1] AS bigram
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+), c12 AS (
+  SELECT bigram, w1, count(*) AS c12 FROM bg GROUP BY bigram, w1
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w1) AS v FROM bg
+), probs AS (
+  SELECT bigram, (c12 + 1) / CAST(c1 + v AS DOUBLE) AS p
+  FROM c12 JOIN c1 USING (w1), v
+), sc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         list_reduce(list(p ORDER BY pos), (a, b) -> a + b) AS sum_p
+  FROM bg JOIN probs USING (bigram) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(sum_p / n_bigrams, 6) AS mean_transition_p,
+       sum_p / n_bigrams < {LM_LOW_THRESH} AS low_likelihood
+FROM sc
+""",
+    doc=(
+        "LM-likelihood quality signal (the CCNet shape: score every doc"
+        " under a language model fit on the corpus, flag the unlikely"
+        " tail): a Laplace-smoothed bigram LM is fit in ONE pass (bigram"
+        " + prefix counts, vocabulary size as a one-row broadcast), and"
+        " each document scores its MEAN TRANSITION PROBABILITY. The"
+        " deliberate deviation from log-perplexity: ln() is libm-ULP-"
+        "dependent across engines, so the score is the mean of exact"
+        " rational probabilities summed by a deterministic ordered fold"
+        " -- collect (pos, p), sort, left-to-right F.aggregate, which"
+        " DuckDB mirrors with list_reduce(list(p ORDER BY pos)) --"
+        " making the hash oracle bit-exact where a log-sum never could"
+        " be. Monotonicity vs perplexity is preserved for ranking the"
+        " tail. At 100 TB: the LM table is vocab-bounded (hashed tiers"
+        " when vocab explodes), scoring is a broadcast-join + per-doc"
+        " local fold, and the flag threshold compares the UNROUNDED"
+        " double identically in both engines."
+    ),
+)
+def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = DD.spread_off_file_layout(t.documents, "doc_id").select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i).alias("w1"),
+                F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ).alias("bigram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,bigram:string>>"))
+    bg = persist_artifact(
+        toks.select("doc_id", F.posexplode(bigrams).alias("pos", "s")).select(
+            "doc_id",
+            (F.col("pos") + 1).cast("bigint").alias("pos"),
+            F.col("s.w1").alias("w1"),
+            F.col("s.bigram").alias("bigram"),
+        )
+    )
+    c12 = bg.groupBy("bigram", "w1").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bg.agg(F.countDistinct("w1").alias("v"))
+    probs = (
+        c12.join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bigram",
+            (
+                (F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    scored = (
+        bg.join(probs, ["bigram"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos").alias("pos"), F.col("p").alias("p")
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("sum_p"),
+        )
+    )
+    mean_p = F.col("sum_p") / F.col("n_bigrams")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(mean_p, 6).alias("mean_transition_p"),
+        (mean_p < LM_LOW_THRESH).alias("low_likelihood"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -176,6 +176,47 @@ def test_substring_spans_cover_exact_duplicates(spark, sf_dir):
     unpersist_artifacts()
 
 
+def test_bigram_lm_score_matches_pure_python(spark, sf_dir):
+    """Independent recount: fit the Laplace bigram LM in Python, score
+    with an identical left-to-right float fold -- every mean must match
+    to the rounded precision, and the low-likelihood flag must select a
+    real (non-empty, minority) tail."""
+    from collections import Counter
+
+    from groove_to_helpscout_migration_tool_spark.catalog.corpus_ops import (
+        LM_LOW_THRESH,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    texts = {r["doc_id"]: r["text"].lower().split() for r in t.documents.collect()}
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for toks in texts.values():
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    v = len(c1)
+    want = {}
+    for d, toks in texts.items():
+        ps = [
+            (c12[(a, b)] + 1) / float(c1[a] + v) for a, b in zip(toks, toks[1:])
+        ]
+        if not ps:
+            continue
+        s = 0.0
+        for p in ps:  # same left-to-right order as the engines' folds
+            s += p
+        want[d] = (len(ps), round(s / len(ps), 6), s / len(ps) < LM_LOW_THRESH)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_transition_p"], r["low_likelihood"])
+        for r in catalog.QUERIES["llm_bigram_lm_score"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    flagged = sum(1 for _, _, f in got.values() if f)
+    assert 0 < flagged < len(got) / 2
+    unpersist_artifacts()
+
+
 def test_bpe_pair_counts_match_pure_python(spark, sf_dir):
     """The distributed vocab-weighted pair count must equal a direct
     Python recount of the raw token stream (the vocabulary aggregation

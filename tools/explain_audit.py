@@ -104,6 +104,9 @@ AUDIT = {
     # exact-substring spans: gram count + join-back + bounded expansion;
     # per-doc coverage must come from aggregation, never a window
     "llm_substring_dedup_spans": (["HashAggregate"], ["Window", "CartesianProduct"]),
+    # bigram LM scoring: LM table joins back via broadcast; the per-doc
+    # ordered fold is a grouped aggregate, never a window
+    "llm_bigram_lm_score": (["BroadcastHashJoin", "HashAggregate"], ["Window", "CartesianProduct"]),
     # BPE merge round: vocab aggregation + top-pairs via
     # TakeOrderedAndProject, never a global sort
     "llm_bpe_pair_counts": (["TakeOrderedAndProject", "HashAggregate"], ["Sort \\[", "CartesianProduct"]),
