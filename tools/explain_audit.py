@@ -90,6 +90,19 @@ AUDIT = {
     # hashing vectorizer: pure explode + partial-agg pipeline; a Window
     # or cartesian would mean the normalization went through a sort
     "llm_hashing_vectorizer": (["HashAggregate"], ["Window", "CartesianProduct"]),
+    # relational families (r6 continuation widening): windows must hash-
+    # partition on their keys, never range-partition a global sort; the
+    # as-of join and sessionization are per-user windows; grouping sets
+    # plan through Expand (the mechanism); pivot is conditional aggs
+    # over a broadcast dim join
+    "w02_running_customer_spend": (["Exchange hashpartitioning", "RunningWindowFunction|Window"], ["Exchange rangepartitioning", "CartesianProduct"]),
+    "a01_asof_join_purchase_signup": (["Exchange hashpartitioning"], ["Exchange rangepartitioning", "CartesianProduct"]),
+    "a02_sessionize_events": (["Exchange hashpartitioning", "RunningWindowFunction|Window"], ["Exchange rangepartitioning", "CartesianProduct"]),
+    "a04_funnel_conversion": (["HashAggregate"], ["CartesianProduct", "Exchange rangepartitioning"]),
+    "g03_pivot_status_by_segment": (["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
+    "g04_grouping_sets": (["Expand", "HashAggregate"], ["Exchange rangepartitioning", "CartesianProduct"]),
+    "t02_multires_rollup": (["HashAggregate"], ["Window", "CartesianProduct"]),
+    "j01_json_extract_events": (["HashAggregate"], ["Window", "CartesianProduct"]),
     # corpus ops (r6 continuation): segment dedup is explode + map-side-
     # combining count + hash join-back + sort_array group-back -- the
     # per-doc reassembly must NOT be a window sort
