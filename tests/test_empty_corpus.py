@@ -1,0 +1,89 @@
+"""Totality on the empty corpus: every documents-based curation /
+corpus-maintenance operator must return an EMPTY result (not raise) on
+an empty documents table -- the degenerate input every production
+pipeline eventually feeds it (an empty snapshot, a filter that matched
+nothing, a brand-new tenant)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from groove_to_helpscout_migration_tool_spark import catalog
+from groove_to_helpscout_migration_tool_spark.operators.cache import (
+    unpersist_artifacts,
+)
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+# documents-only operators expected to be total on empty input
+EMPTY_TOTAL = [
+    "llm_segment_dedup",
+    "llm_substring_dedup_spans",
+    "llm_neardup_incremental_lsh",
+    "llm_rag_retrieve_sparse",
+    "llm_bpe_pair_counts",
+    "llm_importance_weights_dsir",
+    "llm_bigram_lm_score",
+    "llm_dedup_exact",
+    "llm_dedup_by_source",
+    "llm_repetition_stats",
+    "llm_quality_filter_c4",
+    "llm_text_stats",
+    "llm_lang_id",
+    "llm_quality_score",
+    "llm_doc_fingerprint",
+    "llm_tfidf_top_terms",
+    "llm_pii_redact",
+    "llm_ngram_counts",
+    "llm_chunk_documents",
+    "llm_hashing_vectorizer",
+    "llm_lang_temperature_sample",
+]
+
+
+EMB_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]
+)
+
+# embeddings-based ANN/dedup operators expected to be total on empty input
+EMPTY_TOTAL_EMB = [
+    "llm_ann_topk_cosine",
+    "llm_ann_lsh_topk",
+    "llm_ann_ivf_topk",
+    "llm_ann_ivf_kmeans_topk",
+    "llm_ann_quantized_topk",
+    "llm_neardup_embedding_lsh",
+    "llm_semantic_dedup_assign",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf_empty")
+    pq.write_table(DOCS_SCHEMA.empty_table(), os.path.join(str(d), "documents.parquet"))
+    pq.write_table(EMB_SCHEMA.empty_table(), os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMPTY_TOTAL + EMPTY_TOTAL_EMB)
+def test_empty_corpus_returns_empty(spark, empty_sf_dir, name, request):
+    df = catalog.QUERIES[name].fn(spark, empty_sf_dir)
+    rows = df.collect()
+    assert rows == []
+    unpersist_artifacts()
