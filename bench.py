@@ -94,6 +94,10 @@ HEADLINE = [
     "llm_importance_weights_dsir",
     "llm_substring_dedup_spans",
     "llm_bigram_lm_score",
+    # NOT headlined: llm_segment_dedup_keep_first (same plan shape as
+    # llm_segment_dedup but with an argmin stats join; a separate slot
+    # would push the compact stdout line past the driver's 2KB tail
+    # for no new plan coverage -- the full sweep still times it)
 ]
 
 

@@ -8,6 +8,9 @@ space.
   - llm_segment_dedup          : CCNet/RefinedWeb-style duplicated-
         segment removal -- corpus-wide segment hashing, drop every
         copy of a repeated segment, reassemble documents in order.
+  - llm_segment_dedup_keep_first: the keep-ONE-copy policy variant --
+        the canonical (lowest doc_id, lowest position) occurrence of a
+        repeated segment survives, every other copy drops.
   - llm_neardup_incremental_lsh: probe a NEW batch of documents
         against the standing MinHash band index; cost scales with the
         delta, not the corpus.
@@ -65,6 +68,58 @@ _MINHASH_SIG_SQL = _LL._MINHASH_SIG_SQL
 SEG_W = 12
 
 
+def _segment_table(documents: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx, seg_text, seg_hash): non-overlapping SEG_W-token
+    windows, md5-hashed. md5-per-segment is the expensive stage: spread
+    it off a one-split local scan (no-op on a many-split at-scale scan)."""
+    docs = DD.spread_off_file_layout(documents, "doc_id")
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    # sequence(1, 0) DESCENDS instead of being empty -> guard n > 0
+    # (DuckDB's range(1, 1) is naturally empty, so empty docs drop from
+    # both sides identically).
+    n_segs = F.ceil(F.size("toks") / F.lit(float(SEG_W))).cast("int")
+    segged = toked.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), n_segs)).alias("seg_idx"),
+    )
+    seg_text = F.array_join(
+        F.slice(F.col("toks"), (F.col("seg_idx") - 1) * SEG_W + 1, SEG_W), " "
+    )
+    return segged.select(
+        "doc_id",
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        seg_text.alias("seg_text"),
+        F.md5(seg_text).alias("seg_hash"),
+    )
+
+
+def _segment_group_back(marked: DataFrame, kept: F.Column) -> DataFrame:
+    """Reassemble per-doc output from a marked segment stream."""
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("seg_idx").alias("seg_idx"),
+                                kept.alias("kept"),
+                                F.col("seg_text").alias("seg_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["kept"],
+                ),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
 @register(
     "llm_segment_dedup",
     oracle=f"""
@@ -105,28 +160,7 @@ FROM m GROUP BY doc_id
 )
 def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    # md5-per-segment is the expensive stage: spread it off a one-split
-    # local scan (no-op on a many-split at-scale scan)
-    docs = DD.spread_off_file_layout(t.documents, "doc_id")
-    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
-    # sequence(1, 0) DESCENDS instead of being empty -> guard n > 0
-    # (DuckDB's range(1, 1) is naturally empty, so empty docs drop from
-    # both sides identically).
-    n_segs = F.ceil(F.size("toks") / F.lit(float(SEG_W))).cast("int")
-    segged = toked.filter(F.size("toks") > 0).select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(1), n_segs)).alias("seg_idx"),
-    )
-    seg_text = F.array_join(
-        F.slice(F.col("toks"), (F.col("seg_idx") - 1) * SEG_W + 1, SEG_W), " "
-    )
-    ex = segged.select(
-        "doc_id",
-        F.col("seg_idx").cast("bigint").alias("seg_idx"),
-        seg_text.alias("seg_text"),
-        F.md5(seg_text).alias("seg_hash"),
-    )
+    ex = _segment_table(t.documents)
     # Map-side partial counts make the groupBy skew-proof; only hashes
     # seen more than once survive, so the join-back right side is small
     # relative to the corpus (boilerplate is the exception, not the rule).
@@ -137,29 +171,72 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seg_hash", F.lit(True).alias("_dup"))
     )
     marked = ex.join(dup_hashes, ["seg_hash"], "left")
-    kept = F.col("_dup").isNull()
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
-        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col("seg_idx").alias("seg_idx"),
-                                kept.alias("kept"),
-                                F.col("seg_text").alias("seg_text"),
-                            )
-                        )
-                    ),
-                    lambda s: s["kept"],
-                ),
-                lambda s: s["seg_text"],
-            ),
-            " ",
-        ).alias("kept_text"),
+    return _segment_group_back(marked, F.col("_dup").isNull())
+
+
+# ---------------------------------------------------------------------------
+# Segment dedup, keep-one-copy policy (RefinedWeb-style)
+# ---------------------------------------------------------------------------
+# packed (doc_id, seg_idx) argmin: seg_idx < 2^20 (docs far below 12M
+# tokens), doc_id < 2^40 -- the same bit-pack bounds regime as
+# llm_dedup_by_source, so min() stays inside HashAggregate codegen
+# instead of falling into a SortAggregate over a struct.
+_SEG_PACK = 1 << 20
+
+
+@register(
+    "llm_segment_dedup_keep_first",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+), segs AS (
+  SELECT doc_id, k AS seg_idx,
+         array_to_string(list_slice(t, (k-1)*{SEG_W}+1, k*{SEG_W}), ' ') AS seg_text
+  FROM toks, unnest(range(1, CAST(ceil(len(t)/{SEG_W}.0) AS BIGINT) + 1)) AS u(k)
+), h AS (
+  SELECT doc_id, seg_idx, seg_text, md5(seg_text) AS seg_hash FROM segs
+), c AS (
+  SELECT seg_hash, count(*) AS cnt,
+         min(doc_id * {_SEG_PACK} + seg_idx) AS first_packed
+  FROM h GROUP BY seg_hash
+), m AS (
+  SELECT h.doc_id, h.seg_idx, h.seg_text,
+         (c.cnt = 1 OR h.doc_id * {_SEG_PACK} + h.seg_idx = c.first_packed)
+           AS kept
+  FROM h JOIN c USING (seg_hash)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(coalesce(sum(CASE WHEN kept THEN 1 END), 0) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN seg_text END, ' ' ORDER BY seg_idx),
+                '') AS kept_text
+FROM m GROUP BY doc_id
+""",
+    doc=(
+        "Segment dedup under the KEEP-ONE-COPY policy (the RefinedWeb"
+        " flavor, vs llm_segment_dedup's CCNet drop-every-copy): the"
+        " canonical occurrence of each repeated segment -- lowest doc_id,"
+        " then lowest position, chosen by a bit-packed integer argmin"
+        " that stays inside HashAggregate codegen -- survives; every"
+        " other copy drops. The per-hash stats frame here covers ALL"
+        " distinct segments (the keep-first decision needs an argmin per"
+        " hash, not just the dup subset), so the join-back is a standard"
+        " high-cardinality shuffle join; a hot boilerplate segment still"
+        " joins ONE right row, so skew cannot amplify."
+    ),
+)
+def llm_segment_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    ex = _segment_table(t.documents).withColumn(
+        "packed", F.col("doc_id") * _SEG_PACK + F.col("seg_idx")
     )
+    stats = ex.groupBy("seg_hash").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("packed").alias("first_packed"),
+    )
+    marked = ex.join(stats, ["seg_hash"])
+    kept = (F.col("cnt") == 1) | (F.col("packed") == F.col("first_packed"))
+    return _segment_group_back(marked, kept)
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,27 @@ def test_segment_dedup_reconstructs_untouched_docs(spark, sf_dir):
     assert out.filter(F.col("n_kept") < F.col("n_segments")).count() > 0
 
 
+def test_segment_dedup_keep_first_keeps_exactly_one_copy(spark, sf_dir):
+    """Keep-first must retain exactly ONE copy of every distinct segment
+    corpus-wide (total kept == distinct segment count) and dominate the
+    drop-all-copies policy per doc."""
+    from groove_to_helpscout_migration_tool_spark.catalog.corpus_ops import (
+        _segment_table,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    kf = catalog.QUERIES["llm_segment_dedup_keep_first"].fn(spark, sf_dir)
+    ccnet = catalog.QUERIES["llm_segment_dedup"].fn(spark, sf_dir)
+    n_distinct = (
+        _segment_table(t.documents).select("seg_hash").distinct().count()
+    )
+    assert kf.agg(F.sum("n_kept")).collect()[0][0] == n_distinct
+    j = kf.select("doc_id", F.col("n_kept").alias("kf_kept")).join(
+        ccnet.select("doc_id", F.col("n_kept").alias("cc_kept")), ["doc_id"]
+    )
+    assert j.filter(F.col("kf_kept") < F.col("cc_kept")).count() == 0
+
+
 def test_segment_dedup_matches_pure_python(spark, sf_dir):
     """Full independent recount: segment the raw texts in Python, count
     corpus-wide, drop duplicated segments, reassemble -- must equal the

@@ -107,6 +107,9 @@ AUDIT = {
     # combining count + hash join-back + sort_array group-back -- the
     # per-doc reassembly must NOT be a window sort
     "llm_segment_dedup": (["Generate explode", "HashAggregate"], ["Window", "CartesianProduct"]),
+    # keep-first variant: the bit-packed argmin must stay in hash
+    # aggregation, never a per-hash window sort
+    "llm_segment_dedup_keep_first": (["Generate explode", "HashAggregate"], ["Window", "CartesianProduct", "SortAggregate"]),
     # incremental probe: delta bands x base bands equi-join, Arrow
     # minhash stage; no self-join blowup shapes allowed
     "llm_neardup_incremental_lsh": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),

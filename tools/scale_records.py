@@ -68,6 +68,7 @@ PROBES = {
     "llm_importance_weights_dsir": "linear",
     "llm_substring_dedup_spans": "linear",
     "llm_bigram_lm_score": "linear",
+    "llm_segment_dedup_keep_first": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
