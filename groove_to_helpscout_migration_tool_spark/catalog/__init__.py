@@ -7,6 +7,8 @@ Submodules:
     curation_ops  - quality gates / quantized ANN / temperature mixing
     corpus_ops    - segment+substring dedup, incremental probe, sparse
                     retrieval, BPE round, DSIR weighting
+    mining_ops    - hard negatives, kNN label vote, per-source
+                    boilerplate strip, dataset card
 """
 
 from . import relational  # noqa: F401
@@ -16,6 +18,7 @@ from . import reference_ops_ext  # noqa: F401
 from . import llm_ops  # noqa: F401
 from . import curation_ops  # noqa: F401
 from . import corpus_ops  # noqa: F401
+from . import mining_ops  # noqa: F401
 
 from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 

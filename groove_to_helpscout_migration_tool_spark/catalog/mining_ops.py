@@ -1,0 +1,466 @@
+"""Training-signal mining operators (round 6, session 3): the ops that
+turn a curated corpus into TRAINING SIGNAL -- contrastive negatives,
+label propagation over the embedding space, per-domain boilerplate
+removal, and the per-source "dataset card" audit a 100 TB corpus ships
+with.
+
+  - llm_hard_negatives    : hard-negative mining for contrastive /
+        retrieval training -- for each query vector, the most-similar
+        corpus vectors with a DIFFERENT label (similar but wrong = the
+        gradient-rich negatives).
+  - llm_knn_label_vote    : kNN label propagation -- classify a seed
+        set of "unlabeled" vectors by majority vote of their k nearest
+        labeled neighbors (the embedding-space quality-classifier
+        bootstrap shape).
+  - llm_boilerplate_strip : per-SOURCE boilerplate removal (the CCNet
+        per-domain stage): a segment shared by >= BP_MIN_DOCS distinct
+        documents of the same source is site chrome, not content --
+        strip every copy within that source.
+  - llm_dataset_card      : one audit row per source -- doc/token
+        counts, language spread, deterministic top language, exact-dup
+        ratio -- the summary table a dataset release documents.
+
+Reference parity note: the reference tool (a PHP ticket migrator) has
+no training-data stage; these extend the engine for the LLM-data
+workload like catalog/llm_ops.py / curation_ops.py / corpus_ops.py do.
+Every operator carries a DuckDB oracle over the shared parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..registry import register
+from ..session import load_tables
+from . import corpus_ops as _CO  # registration-order dependency
+from .corpus_ops import SEG_W, _segment_group_back, _segment_table
+
+_TOKENS_SQL = _CO._TOKENS_SQL
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive / retrieval training)
+# ---------------------------------------------------------------------------
+HN_QUERIES = 10  # vec_id < HN_QUERIES form the anchor set
+HN_K = 5
+_HN_SALT = 8  # phase-1 fan of the two-phase top-k
+
+
+def _embeddings_with_norm(emb: DataFrame) -> DataFrame:
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
+    )
+
+
+def _zip_dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _two_phase_topk(scored: DataFrame, qid: str, k: int, salt_mod: int) -> DataFrame:
+    """Per-``qid`` deterministic top-k WITHOUT a corpus-wide window
+    partition: phase 1 takes a partial top-k per (qid, salt) hash
+    aggregation group (map-side combining bounds every group), phase 2
+    merges <= salt_mod * k candidate rows per query. Sort key is
+    struct(cosine DESC, nid ASC) via the (cos, -nid, nid) struct idiom;
+    cosine is pre-rounded so engine float noise cannot flip the order.
+    Returns (qid, rank, nid, cosine, label)."""
+    s = F.struct(
+        F.col("cosine").alias("cos"),
+        (-F.col("nid")).alias("nnid"),
+        F.col("nid").alias("nid"),
+        F.col("nlabel").alias("nlabel"),
+    )
+    phase1 = (
+        scored.withColumn("_salt", F.pmod(F.col("nid"), F.lit(salt_mod)))
+        .groupBy(qid, "_salt")
+        .agg(F.slice(F.sort_array(F.collect_list(s), asc=False), 1, k).alias("top"))
+    )
+    merged = (
+        phase1.select(qid, F.explode("top").alias("s"))
+        .groupBy(qid)
+        .agg(
+            F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, k).alias("top")
+        )
+    )
+    return merged.select(
+        qid, F.posexplode("top").alias("pos", "s")
+    ).select(
+        qid,
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        F.col("s.nid").alias("nid"),
+        F.col("s.cos").alias("cosine"),
+        F.col("s.nlabel").alias("nlabel"),
+    )
+
+
+_HN_PAIR_CTES = f"""
+e AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qv, nrm AS qnrm
+  FROM e WHERE vec_id < {HN_QUERIES}
+), pairs AS (
+  SELECT q.qid, q.qlabel, e.vec_id AS nid, e.label AS nlabel,
+         round(
+           list_sum(list_transform(range(1, len(q.qv) + 1),
+                    i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (q.qnrm * e.nrm), 6) AS cosine
+  FROM q CROSS JOIN e
+  WHERE e.vec_id <> q.qid
+)"""
+
+
+@register(
+    "llm_hard_negatives",
+    oracle=f"""
+WITH {_HN_PAIR_CTES}
+SELECT qid AS query_id, qlabel AS query_label,
+       CAST(rn AS BIGINT) AS rank, nid AS negative_id,
+       nlabel AS negative_label, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rn
+  FROM pairs WHERE nlabel <> qlabel
+) WHERE rn <= {HN_K}
+""",
+    doc=(
+        "Hard-negative mining for contrastive / retrieval training: for"
+        f" each anchor vector (vec_id < {HN_QUERIES}), the top-{HN_K}"
+        " most-cosine-similar corpus vectors whose LABEL DIFFERS from the"
+        " anchor's -- similar-but-wrong examples, the negatives that carry"
+        " gradient (SimCLR/DPR practice). Plan: the anchor set is"
+        " broadcast, the corpus streams once through a"
+        " BroadcastNestedLoopJoin + JVM-side zip_with/aggregate dot"
+        " products, and top-k is TWO-PHASE (per-salt partial top-k, then a"
+        f" merge over <= {_HN_SALT}*{HN_K} rows per anchor) -- no"
+        " corpus-wide window partition, so a 100 TB corpus never sorts"
+        " inside a 10-partition window. Ranks use the ROUNDED cosine with"
+        " vec_id tie-break so Spark/DuckDB float noise cannot flip order."
+    ),
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = _embeddings_with_norm(t.embeddings)
+    q = e.filter(F.col("vec_id") < HN_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter((F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            F.round(_zip_dot("qv", "v") / (F.col("qnorm") * F.col("norm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    top = _two_phase_topk(scored.drop("qlabel"), "qid", HN_K, _HN_SALT)
+    qlab = q.select("qid", "qlabel")
+    return top.join(F.broadcast(qlab), ["qid"]).select(
+        F.col("qid").alias("query_id"),
+        F.col("qlabel").alias("query_label"),
+        "rank",
+        F.col("nid").alias("negative_id"),
+        F.col("nlabel").alias("negative_label"),
+        "cosine",
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label propagation (embedding-space classifier bootstrap)
+# ---------------------------------------------------------------------------
+KNN_SEEDS = 30  # vec_id < KNN_SEEDS are treated as unlabeled probes
+KNN_K = 5
+# packed (votes, label) argmax: votes <= KNN_K < 16, label in [0, 16) on
+# this corpus -- votes*16 + (15 - label) orders by votes DESC then label
+# ASC under a plain integer max(), which stays inside HashAggregate
+# codegen (max over a struct falls out into SortAggregate).
+_VOTE_PACK = 16
+
+
+@register(
+    "llm_knn_label_vote",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, label AS true_label, embedding AS qv, nrm AS qnrm
+  FROM e WHERE vec_id < {KNN_SEEDS}
+), pairs AS (
+  SELECT q.qid, q.true_label, e.vec_id AS nid, e.label AS nlabel,
+         round(
+           list_sum(list_transform(range(1, len(q.qv) + 1),
+                    i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (q.qnrm * e.nrm), 6) AS cosine
+  FROM q CROSS JOIN e
+  WHERE e.vec_id >= {KNN_SEEDS}
+), knn AS (
+  SELECT qid, true_label, nlabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= {KNN_K}
+), votes AS (
+  SELECT qid, true_label, nlabel, count(*) AS cnt
+  FROM knn GROUP BY qid, true_label, nlabel
+), best AS (
+  SELECT qid, true_label,
+         max(cnt * {_VOTE_PACK} + ({_VOTE_PACK} - 1 - nlabel)) AS packed
+  FROM votes GROUP BY qid, true_label
+)
+SELECT qid AS vec_id,
+       CAST({_VOTE_PACK} - 1 - (packed % {_VOTE_PACK}) AS BIGINT) AS predicted_label,
+       CAST(packed // {_VOTE_PACK} AS BIGINT) AS votes,
+       true_label,
+       ({_VOTE_PACK} - 1 - (packed % {_VOTE_PACK})) = true_label AS correct
+FROM best
+""",
+    doc=(
+        "kNN label propagation (the embedding-space quality-classifier"
+        f" bootstrap): each probe vector (vec_id < {KNN_SEEDS}, its stored"
+        " label held out as ground truth) is classified by majority vote"
+        f" of its {KNN_K} nearest LABELED neighbors (vec_id >="
+        f" {KNN_SEEDS}) by rounded cosine. Plan: probes broadcast, corpus"
+        " streams once, two-phase salted top-k (no corpus-wide window),"
+        " then the vote argmax is BIT-PACKED into one integer max() --"
+        f" votes*{_VOTE_PACK} + ({_VOTE_PACK}-1-label) orders votes DESC,"
+        " label ASC, and a plain max stays in HashAggregate codegen where"
+        " max(struct(...)) would fall into SortAggregate. Ties are"
+        " deterministic by construction; at scale the probe set is the"
+        " unlabeled delta and the labeled pool is the corpus, so cost is"
+        " one corpus scan per delta batch (the ANN index replaces the"
+        " brute scan when the delta outgrows broadcast)."
+    ),
+)
+def llm_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = _embeddings_with_norm(t.embeddings)
+    q = e.filter(F.col("vec_id") < KNN_SEEDS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= KNN_SEEDS)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "true_label",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            F.round(_zip_dot("qv", "v") / (F.col("qnorm") * F.col("norm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    knn = _two_phase_topk(scored.drop("true_label"), "qid", KNN_K, _HN_SALT)
+    votes = knn.groupBy("qid", "nlabel").agg(F.count(F.lit(1)).alias("cnt"))
+    packed = votes.groupBy("qid").agg(
+        F.max(
+            F.col("cnt") * _VOTE_PACK + (F.lit(_VOTE_PACK - 1) - F.col("nlabel"))
+        ).alias("packed")
+    )
+    truth = q.select("qid", "true_label")
+    pred = F.lit(_VOTE_PACK - 1) - F.pmod(F.col("packed"), F.lit(_VOTE_PACK))
+    return packed.join(F.broadcast(truth), ["qid"]).select(
+        F.col("qid").alias("vec_id"),
+        pred.cast("bigint").alias("predicted_label"),
+        (F.col("packed") / _VOTE_PACK).cast("bigint").alias("votes"),
+        "true_label",
+        (pred == F.col("true_label")).alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate removal (CCNet per-domain stage)
+# ---------------------------------------------------------------------------
+BP_MIN_DOCS = 2  # >= this many distinct docs of ONE source share the segment
+# Production note: real web corpora use a higher threshold (CCNet strips
+# lines shared by >= 2 docs of a domain snapshot; Gopher-style pipelines
+# use proportional cutoffs). The synthetic corpus tops out at 2 distinct
+# docs per (source, segment), so 2 is the only exercising threshold.
+
+
+@register(
+    "llm_boilerplate_strip",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents
+), segs AS (
+  SELECT doc_id, source, k AS seg_idx,
+         array_to_string(list_slice(t, (k-1)*{SEG_W}+1, k*{SEG_W}), ' ') AS seg_text
+  FROM toks, unnest(range(1, CAST(ceil(len(t)/{SEG_W}.0) AS BIGINT) + 1)) AS u(k)
+), h AS (
+  SELECT doc_id, source, seg_idx, seg_text, md5(seg_text) AS seg_hash FROM segs
+), boiler AS (
+  SELECT source, seg_hash FROM h
+  GROUP BY source, seg_hash HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}
+), m AS (
+  SELECT h.doc_id, h.source, h.seg_idx, h.seg_text,
+         (b.seg_hash IS NOT NULL) AS is_boiler
+  FROM h LEFT JOIN boiler b ON h.source = b.source AND h.seg_hash = b.seg_hash
+)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(coalesce(sum(CASE WHEN NOT is_boiler THEN 1 END), 0) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg_text END, ' '
+                           ORDER BY seg_idx), '') AS kept_text
+FROM m GROUP BY doc_id, source
+""",
+    doc=(
+        "Per-source boilerplate removal (the CCNet per-domain line-dedup"
+        " stage, over the same fixed 12-token segments as"
+        " llm_segment_dedup): a segment appearing in >="
+        f" {BP_MIN_DOCS} DISTINCT documents of the SAME source is site"
+        " chrome (headers, footers, navigation), not content -- every copy"
+        " within that source drops; the same segment under another source"
+        " survives. Differs from llm_segment_dedup in both key (source-"
+        " scoped, not corpus-wide) and predicate (distinct-DOC count, so a"
+        " within-doc repetition is NOT boilerplate). Plan: distinct-doc"
+        " counting runs as groupBy(source, seg_hash, doc_id) collapse then"
+        " groupBy(source, seg_hash) count -- two map-side-combining hash"
+        " aggregations, never a count-distinct sort; the boilerplate list"
+        " is small (chrome is rare) so the mark join-back is"
+        " broadcast-shaped at any scale; reassembly is the sort_array"
+        " group-back, no windows."
+    ),
+)
+def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    src = t.documents.select("doc_id", "source")
+    ex = _segment_table(t.documents).join(F.broadcast(src), ["doc_id"])
+    # count(DISTINCT doc_id) as two hash aggregations: collapse the
+    # (source, seg_hash, doc_id) triples first (map-side combine kills
+    # within-doc repeats early), then count per (source, seg_hash).
+    boiler = (
+        ex.select("source", "seg_hash", "doc_id")
+        .groupBy("source", "seg_hash", "doc_id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("source", "seg_hash")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= BP_MIN_DOCS)
+        .select("source", "seg_hash", F.lit(True).alias("_boiler"))
+    )
+    marked = ex.join(boiler, ["source", "seg_hash"], "left")
+    out = _segment_group_back(marked.drop("source"), F.col("_boiler").isNull())
+    return out.join(F.broadcast(src), ["doc_id"]).select(
+        "doc_id", "source", "n_segments", "n_kept", "kept_text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the per-source audit table a corpus release ships with
+# ---------------------------------------------------------------------------
+@register(
+    "llm_dataset_card",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars,
+         len({_TOKENS_SQL}) AS n_toks, md5(text) AS th
+  FROM documents
+), per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         round(CAST(sum(n_toks) AS DOUBLE) / count(*), 2) AS avg_doc_tokens,
+         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(*) - count(DISTINCT th) AS BIGINT) AS n_dup_docs,
+         round(CAST(count(*) - count(DISTINCT th) AS DOUBLE) / count(*), 4)
+           AS dup_ratio
+  FROM base GROUP BY source
+), lang_cnt AS (
+  SELECT source, lang, count(*) AS cnt FROM base GROUP BY source, lang
+), top AS (
+  SELECT source, min(struct_pack(ncnt := -cnt, lang := lang)) AS s
+  FROM lang_cnt GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.avg_doc_tokens, p.avg_chars,
+       p.n_langs, t.s.lang AS top_lang, p.n_dup_docs, p.dup_ratio
+FROM per_src p JOIN top t USING (source)
+""",
+    doc=(
+        "Dataset card: the one-row-per-source audit table a corpus release"
+        " documents -- document/token counts, mean document size, language"
+        " spread with a DETERMINISTIC top language (min over"
+        " struct(-count, lang) = count DESC, lang ASC -- no arbitrary-tie"
+        " mode()), and the exact-duplicate ratio (1 - distinct md5/count"
+        " within source). Plan: one scan feeds two map-side-combining"
+        " aggregations -- per-(source, lang) for the language mode and"
+        " per-(source, text-hash) collapse then per-source for the rest --"
+        " joined by broadcast on the tiny source key. Averages are"
+        " computed as round(exact integer sum / exact count) on BOTH"
+        " engines, never avg(), so accumulation order cannot wobble the"
+        " hash. At 100 TB this is the cheapest query in the catalog: pure"
+        " map-combine tree aggregation, output rows = number of sources."
+    ),
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = DD.spread_off_file_layout(t.documents, "doc_id").select(
+        "source",
+        "lang",
+        "n_chars",
+        TX.token_count_ws(F.col("text")).alias("n_toks"),
+        F.md5("text").alias("th"),
+    )
+    # count(DISTINCT th) via an explicit pre-collapse keeps both
+    # aggregations in plain hash-agg shape (no expand-based distinct).
+    per_hash = base.groupBy("source", "th").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_toks").alias("toks"),
+        F.sum("n_chars").alias("chars"),
+    )
+    per_src = per_hash.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("toks").cast("double") / F.sum("c"), 2).alias("avg_doc_tokens"),
+        F.round(F.sum("chars").cast("double") / F.sum("c"), 2).alias("avg_chars"),
+        (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 4
+        ).alias("dup_ratio"),
+    )
+    lang_cnt = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    top = lang_cnt.groupBy("source").agg(
+        F.min(F.struct((-F.col("cnt")).alias("ncnt"), F.col("lang").alias("lang"))).alias(
+            "s"
+        )
+    )
+    n_langs = lang_cnt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs")
+    )
+    return (
+        per_src.join(F.broadcast(top), ["source"])
+        .join(F.broadcast(n_langs), ["source"])
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "avg_doc_tokens",
+            "avg_chars",
+            "n_langs",
+            F.col("s.lang").alias("top_lang"),
+            "n_dup_docs",
+            "dup_ratio",
+        )
+    )

@@ -50,6 +50,8 @@ EMPTY_TOTAL = [
     "llm_chunk_documents",
     "llm_hashing_vectorizer",
     "llm_lang_temperature_sample",
+    "llm_boilerplate_strip",
+    "llm_dataset_card",
 ]
 
 
@@ -70,6 +72,8 @@ EMPTY_TOTAL_EMB = [
     "llm_ann_quantized_topk",
     "llm_neardup_embedding_lsh",
     "llm_semantic_dedup_assign",
+    "llm_hard_negatives",
+    "llm_knn_label_vote",
 ]
 
 

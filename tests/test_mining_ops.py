@@ -1,0 +1,190 @@
+"""Training-signal mining operators: contracts the value-hash oracle
+can't express -- hard negatives must be the TRUE top among the
+different-label subset (recounted via a naive global window), the kNN
+vote must equal a plain-Python recount over the exact neighbor lists,
+boilerplate stripping must be source-scoped (a segment's copies under
+another source survive), and the dataset card must recount from the raw
+table."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from groove_to_helpscout_migration_tool_spark import catalog
+from groove_to_helpscout_migration_tool_spark.catalog.mining_ops import (
+    BP_MIN_DOCS,
+    HN_K,
+    HN_QUERIES,
+    KNN_K,
+    KNN_SEEDS,
+    _embeddings_with_norm,
+    _zip_dot,
+)
+from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+
+def _brute_pairs(spark, sf_dir, query_pred, pool_pred):
+    """(qid, nid, nlabel, cosine) for every (query, pool) pair, rounded
+    like the operator rounds."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = _embeddings_with_norm(t.embeddings)
+    q = e.filter(query_pred).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    return (
+        e.filter(pool_pred)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            F.round(
+                _zip_dot("qv", "v") / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+def test_hard_negatives_match_naive_window_ranking(spark, sf_dir):
+    """The two-phase salted top-k must equal a naive global window over
+    the different-label pairs, rank for rank."""
+    out = catalog.QUERIES["llm_hard_negatives"].fn(spark, sf_dir)
+    pairs = _brute_pairs(
+        spark, sf_dir, F.col("vec_id") < HN_QUERIES, F.lit(True)
+    ).filter(F.col("nlabel") != F.col("qlabel"))
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    naive = (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= HN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("nid").alias("negative_id"),
+        )
+    )
+    got = out.select("query_id", "rank", "negative_id")
+    assert got.count() == HN_QUERIES * HN_K
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_hard_negatives_never_share_the_anchor_label(spark, sf_dir):
+    out = catalog.QUERIES["llm_hard_negatives"].fn(spark, sf_dir)
+    assert out.filter(F.col("negative_label") == F.col("query_label")).count() == 0
+    # and they must be HARD: each anchor's top negative must beat that
+    # anchor's MEDIAN different-label similarity (otherwise the mining
+    # picked nothing special)
+    pairs = _brute_pairs(
+        spark, sf_dir, F.col("vec_id") < HN_QUERIES, F.lit(True)
+    ).filter(F.col("nlabel") != F.col("qlabel"))
+    med = pairs.groupBy("qid").agg(
+        F.expr("percentile_approx(cosine, 0.5)").alias("med")
+    )
+    top1 = out.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("qid"), F.col("cosine").alias("top")
+    )
+    assert top1.join(med, ["qid"]).filter(F.col("top") <= F.col("med")).count() == 0
+
+
+def test_knn_vote_matches_python_recount(spark, sf_dir):
+    """Exact neighbor lists -> a plain-Python majority vote with the
+    same (votes DESC, label ASC) tie-break must reproduce every
+    prediction."""
+    out = {
+        r["vec_id"]: (r["predicted_label"], r["votes"], r["correct"])
+        for r in catalog.QUERIES["llm_knn_label_vote"].fn(spark, sf_dir).collect()
+    }
+    pairs = _brute_pairs(
+        spark, sf_dir, F.col("vec_id") < KNN_SEEDS, F.col("vec_id") >= KNN_SEEDS
+    )
+    rows = pairs.select("qid", "nid", "nlabel", "cosine").collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((-r["cosine"], r["nid"], r["nlabel"]))
+    truth = {
+        r["vec_id"]: r["label"]
+        for r in load_tables(spark, sf_dir, ["embeddings"])
+        .embeddings.filter(F.col("vec_id") < KNN_SEEDS)
+        .collect()
+    }
+    assert set(out) == set(by_q)
+    for qid, cand in by_q.items():
+        cand.sort()
+        votes: dict[int, int] = {}
+        for _, _, lab in cand[:KNN_K]:
+            votes[lab] = votes.get(lab, 0) + 1
+        pred, n = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert out[qid] == (pred, n, pred == truth[qid]), qid
+
+
+def test_boilerplate_strip_is_source_scoped_and_reversible(spark, sf_dir):
+    """Every stripped segment must be shared by >= BP_MIN_DOCS distinct
+    docs WITHIN ITS SOURCE; untouched docs reassemble verbatim; and the
+    corpus must actually contain boilerplate (else the test is vacuous)."""
+    from groove_to_helpscout_migration_tool_spark.catalog.corpus_ops import (
+        _segment_table,
+    )
+    from groove_to_helpscout_migration_tool_spark.functions import text as TX
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = catalog.QUERIES["llm_boilerplate_strip"].fn(spark, sf_dir)
+    assert out.filter(F.col("n_kept") > F.col("n_segments")).count() == 0
+    assert out.filter(F.col("n_kept") < F.col("n_segments")).count() > 0
+
+    norm = t.documents.select(
+        "doc_id", F.array_join(TX.tokens(F.col("text")), " ").alias("norm_text")
+    )
+    full = out.filter(F.col("n_kept") == F.col("n_segments")).join(norm, ["doc_id"])
+    assert full.filter(F.col("kept_text") != F.col("norm_text")).count() == 0
+
+    # recount: the set of (source, seg_hash) whose distinct-doc count
+    # within the source reaches the threshold == exactly the segments
+    # the operator dropped
+    src = t.documents.select("doc_id", "source")
+    segs = _segment_table(t.documents).join(src, ["doc_id"])
+    per = segs.groupBy("source", "seg_hash").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    boiler_hashes = per.filter(F.col("nd") >= BP_MIN_DOCS)
+    expected_dropped = (
+        segs.join(boiler_hashes, ["source", "seg_hash"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("drop"))
+    )
+    got_dropped = out.select(
+        "doc_id", (F.col("n_segments") - F.col("n_kept")).alias("drop")
+    ).filter(F.col("drop") > 0)
+    assert got_dropped.exceptAll(expected_dropped).count() == 0
+    assert expected_dropped.exceptAll(got_dropped).count() == 0
+
+
+def test_dataset_card_recounts_from_raw_table(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["documents"])
+    card = {r["source"]: r for r in catalog.QUERIES["llm_dataset_card"].fn(spark, sf_dir).collect()}
+    rows = t.documents.collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(card) == set(by_src)
+    for src, docs in by_src.items():
+        c = card[src]
+        assert c["n_docs"] == len(docs)
+        langs = {}
+        texts = set()
+        ntok = 0
+        for d in docs:
+            langs[d["lang"]] = langs.get(d["lang"], 0) + 1
+            texts.add(d["text"])
+            ntok += len([w for w in d["text"].split() if w])
+        assert c["n_tokens"] == ntok
+        assert c["n_langs"] == len(langs)
+        top = min(langs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert c["top_lang"] == top
+        assert c["n_dup_docs"] == len(docs) - len(texts)
+        assert abs(c["avg_doc_tokens"] - round(ntok / len(docs), 2)) < 1e-9

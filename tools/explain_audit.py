@@ -130,6 +130,20 @@ AUDIT = {
     # corpus (the one-row totals crossJoin is a BroadcastNestedLoop --
     # allowed); scoring is partial-agg, never a window
     "llm_importance_weights_dsir": (["BroadcastHashJoin"], ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # mining ops (r6 session 3): the brute dense scans stream the corpus
+    # once through a BROADCAST nested-loop (the anchor/probe set is tiny
+    # by contract); top-k is the salted two-phase aggregate, never a
+    # corpus-wide window, and never an unbroadcast CartesianProduct
+    "llm_hard_negatives": (["BroadcastNestedLoopJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # kNN vote: same scan shape; the vote argmax is a bit-packed integer
+    # max that must stay in hash aggregation, never SortAggregate
+    "llm_knn_label_vote": (["BroadcastNestedLoopJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # boilerplate strip: explode + two map-side-combining hash aggs for
+    # the distinct-doc count + join-back + sort_array group-back
+    "llm_boilerplate_strip": (["Generate explode", "HashAggregate"], ["Window", "CartesianProduct"]),
+    # dataset card: pure map-combine tree aggregation joined by
+    # broadcast on the tiny source key; no shuffle-heavy shapes at all
+    "llm_dataset_card": (["HashAggregate", "BroadcastHashJoin"], ["Window", "CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin"]),
 }
 
 

@@ -69,6 +69,13 @@ PROBES = {
     "llm_substring_dedup_spans": "linear",
     "llm_bigram_lm_score": "linear",
     "llm_segment_dedup_keep_first": "linear",
+    # mining family (r6 session 3): brute dense scans against a FIXED
+    # anchor/probe set (corpus-linear by construction), source-scoped
+    # boilerplate counting, and the per-source card aggregation
+    "llm_hard_negatives": "linear",
+    "llm_knn_label_vote": "linear",
+    "llm_boilerplate_strip": "linear",
+    "llm_dataset_card": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
