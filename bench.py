@@ -25,21 +25,30 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
-    # q06_forecast_revenue rotated out r6-s3 (headline cap, see below);
-    # it remains the JVM warmup query in main(), so its plan still runs
+    # Headline capacity (r6-s3): the driver keeps only a ~2KB stdout tail,
+    # and per-query values in the compact line must keep >= 1 decimal (an
+    # integer-rounded line is useless round-over-round evidence), which
+    # caps the list at ~63 names. Rotated out, each covered by a benched
+    # sibling of the same plan shape: q06_forecast_revenue (scan+filter
+    # agg ~ q01; still the JVM warmup query in main()), q10_returned_items
+    # + q20_surplus_suppliers (broadcast-dim join aggs ~ q03/q05/q02/q11),
+    # ref_p1_customer_mapping (projection ~ pipeline entries),
+    # ref_s6_two_level_fanout (fanout ~ ref_s5), llm_doc_fingerprint +
+    # llm_ngram_counts (map-only text / explode-agg ~ llm_text_stats /
+    # llm_tfidf_top_terms), llm_neardup_simhash_capped (capped bucket join
+    # ~ llm_neardup_minhash_lsh_capped), llm_audio_features (Arrow
+    # mapInPandas over binary ~ llm_multimodal_decode). The full oracle
+    # sweep still runs and times every catalog query each round.
     "q07_nation_volume",
-    "q10_returned_items",
     "q18_large_orders",
     "q02_min_cost_supplier",
     "q11_important_stock",
-    "q20_surplus_suppliers",
     "a03_range_join_order_events",
     "w03_top3_orders_per_customer",
     "a01_asof_join_purchase_signup",
     "a02_sessionize_events",
     "t01_tumbling_window_events",
     "ref_s5_nested_scan_fanout",
-    "ref_s6_two_level_fanout",
     "ref_j5_dedup_antijoin",
     "ref_groupback_threads",
     "ref_sort_limit_topn",
@@ -57,9 +66,7 @@ HEADLINE = [
     "llm_neardup_minhash_lsh_capped",
     "llm_dedup_incremental",
     "llm_pii_redact",
-    "llm_ngram_counts",
     "llm_multimodal_decode",
-    "llm_audio_features",
     "llm_image_resize",
     "llm_video_frames",
     "llm_semantic_dedup_assign",
@@ -97,7 +104,10 @@ HEADLINE = [
     "llm_knn_label_vote",
     "llm_boilerplate_strip",
     "llm_dataset_card",
-    # NOT headlined: llm_segment_dedup_keep_first (same plan shape as
+    "llm_token_budget_sample",
+    # NOT headlined: llm_cluster_kmeans_assign (same codebook-build and
+    # Arrow-dots plan family as the benched llm_ann_ivf_topk entry), and
+    # llm_segment_dedup_keep_first (same plan shape as
     # llm_segment_dedup but with an argmin stats join; a separate slot
     # would push the compact stdout line past the driver's 2KB tail
     # for no new plan coverage -- the full sweep still times it)

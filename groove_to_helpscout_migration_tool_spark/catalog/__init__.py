@@ -8,7 +8,8 @@ Submodules:
     corpus_ops    - segment+substring dedup, incremental probe, sparse
                     retrieval, BPE round, DSIR weighting
     mining_ops    - hard negatives, kNN label vote, per-source
-                    boilerplate strip, dataset card
+                    boilerplate strip, dataset card, token-budget
+                    sampling, k-means clustering view
 """
 
 from . import relational  # noqa: F401

@@ -862,11 +862,13 @@ def _cos_sql(av: str, bv: str, digits: int) -> str:
     )
 
 
-def _ivf_oracle(n_iter: int = 0, nprobe: int = 3, qmax: int = 10) -> str:
-    """IVF top-k oracle generator, mirroring SIM.ivf_topk with n_iter
-    Lloyd refinement rounds. The refinement is exactly mirrorable because
-    centroid means go through fixed-point BIGINT sums (order-independent)
-    and every float expression has identical operand order both engines."""
+def _ivf_ctes(n_iter: int) -> list[str]:
+    """Shared CTE prefix of the IVF/k-means oracles: embeddings, the
+    deterministic initial codebook (min vec_id per label), ``n_iter``
+    fixed-point Lloyd refinement rounds, and the final per-vector
+    ``ranked``/``assigned`` cell assignment (csim kept). Reused by
+    ``_ivf_oracle`` here and the clustering-view oracle in
+    catalog/mining_ops.py so the two can never drift."""
     ctes = [
         """e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
@@ -902,8 +904,18 @@ def _ivf_oracle(n_iter: int = 0, nprobe: int = 3, qmax: int = 10) -> str:
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crank
   FROM sims
 ), assigned AS (
-  SELECT vec_id, v, cid AS cell FROM ranked WHERE crank = 1
-), probes AS (
+  SELECT vec_id, v, cid AS cell, csim FROM ranked WHERE crank = 1
+)""")
+    return ctes
+
+
+def _ivf_oracle(n_iter: int = 0, nprobe: int = 3, qmax: int = 10) -> str:
+    """IVF top-k oracle generator, mirroring SIM.ivf_topk with n_iter
+    Lloyd refinement rounds. The refinement is exactly mirrorable because
+    centroid means go through fixed-point BIGINT sums (order-independent)
+    and every float expression has identical operand order both engines."""
+    ctes = _ivf_ctes(n_iter)
+    ctes.append(f"""probes AS (
   SELECT vec_id AS qid, v AS qv, cid AS cell FROM ranked
   WHERE crank <= {nprobe} AND vec_id < {qmax}
 ), cand AS (

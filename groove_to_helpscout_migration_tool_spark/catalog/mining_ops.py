@@ -19,6 +19,12 @@ with.
   - llm_dataset_card      : one audit row per source -- doc/token
         counts, language spread, deterministic top language, exact-dup
         ratio -- the summary table a dataset release documents.
+  - llm_token_budget_sample : Chinchilla-style per-source data
+        budgeting -- deterministic salted-key order, keep while the
+        inclusive cumulative token count fits the budget; two-phase
+        sharded cumulative sum, never one window per source.
+  - llm_cluster_kmeans_assign : the corpus clustering view (SemDeDup /
+        topic-balancing prep) on the certified IVF k-means machinery.
 
 Reference parity note: the reference tool (a PHP ticket migrator) has
 no training-data stage; these extend the engine for the LLM-data
@@ -31,11 +37,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window as W
+
 from ..functions import text as TX
 from ..operators import dedup as DD
 from ..registry import register
 from ..session import load_tables
 from . import corpus_ops as _CO  # registration-order dependency
+from . import llm_ops as _LL
 from .corpus_ops import SEG_W, _segment_group_back, _segment_table
 
 _TOKENS_SQL = _CO._TOKENS_SQL
@@ -463,4 +472,160 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_docs",
             "dup_ratio",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget sampling (Chinchilla-style data budgeting)
+# ---------------------------------------------------------------------------
+TB_BUDGET = 700  # tokens kept per source (inclusive cumulative bound)
+# 64 ORDERED shards by 60-bit key prefix: shard = key >> 54 is monotone
+# in the key, so (shard ASC, key ASC, doc_id ASC) equals the global
+# (key, doc_id) order within a source -- the property that lets the
+# cumulative sum run as per-shard windows plus a tiny shard-offset
+# window instead of one straggler window per source.
+TB_SHARD_SHIFT = 54
+TB_KEY_SQL = _LL._DOC_KEY_SQL.format(salt="budget:v1")
+
+
+@register(
+    "llm_token_budget_sample",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_toks,
+         {TB_KEY_SQL} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_toks,
+         sum(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_toks
+  FROM toks
+)
+SELECT doc_id, source, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks,
+       cum_toks <= {TB_BUDGET} AS kept
+FROM c
+""",
+    doc=(
+        "Per-source token-budget sampling (the Chinchilla-style data-"
+        "budget stage): each source contributes documents in a"
+        " DETERMINISTIC pseudo-random order (the 60-bit salted md5 key"
+        " that stands in for rand() across this catalog) until its"
+        f" cumulative token count exceeds {TB_BUDGET}; kept ="
+        " inclusive-cumulative-sum <= budget, so reruns and retries pick"
+        " the identical subset. The oracle states the semantics as ONE"
+        " window per source -- the formulation that does NOT scale (a"
+        " 100 TB source is a single sort partition). The Spark plan is"
+        " TWO-PHASE instead, the llm_pack_sequences trick applied to"
+        " sources: 64 ORDERED shards by key prefix (shard = key >> 54 is"
+        " monotone in the key), a per-(source, shard) running sum over"
+        " well-spread partitions, shard totals rolled into exclusive"
+        " offsets by a window over the tiny (source x 64)-row frame, and"
+        " cum = offset + intra. Equality with the oracle holds because"
+        " shard order refines key order exactly."
+    ),
+)
+def llm_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t.documents.select(
+        "doc_id",
+        "source",
+        TX.token_count_ws(F.col("text")).cast("bigint").alias("n_toks"),
+        _LL._doc_key("budget:v1").alias("h"),
+    ).withColumn("shard", F.shiftright(F.col("h"), TB_SHARD_SHIFT))
+    intra_w = (
+        W.partitionBy("source", "shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    intra = toks.withColumn("intra_cum", F.sum("n_toks").over(intra_w))
+    shard_tot = toks.groupBy("source", "shard").agg(
+        F.sum("n_toks").alias("tot")
+    )
+    # exclusive shard offset: running total minus own -- the window frame
+    # is (sources x <=64) rows, driver-trivial at any corpus size
+    off_w = (
+        W.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = shard_tot.withColumn(
+        "off", F.sum("tot").over(off_w) - F.col("tot")
+    ).select("source", "shard", "off")
+    cum = intra.join(F.broadcast(offsets), ["source", "shard"]).withColumn(
+        "cum_toks", (F.col("off") + F.col("intra_cum")).cast("bigint")
+    )
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "cum_toks",
+        (F.col("cum_toks") <= TB_BUDGET).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus k-means clustering view (SemDeDup / topic-balancing prep)
+# ---------------------------------------------------------------------------
+from ..operators import similarity as SIM  # noqa: E402
+
+
+def _kmeans_assign_oracle(n_iter: int = 1) -> str:
+    """Clustering-view oracle on the SHARED IVF CTE prefix
+    (llm_ops._ivf_ctes): same deterministic init, same fixed-point Lloyd
+    refinement, same rounded-cosine argmax -- only the final SELECT
+    differs (every vector's assignment + cell occupancy instead of a
+    query probe)."""
+    ctes = _LL._ivf_ctes(n_iter)
+    return "WITH " + ",\n".join(ctes) + """
+, sizes AS (SELECT cell, count(*) AS cell_size FROM assigned GROUP BY cell)
+SELECT a.vec_id, a.cell, a.csim AS centroid_cosine,
+       CAST(s.cell_size AS BIGINT) AS cell_size
+FROM assigned a JOIN sizes s USING (cell)
+"""
+
+
+@register(
+    "llm_cluster_kmeans_assign",
+    oracle=_kmeans_assign_oracle(n_iter=1),
+    doc=(
+        "Corpus k-means clustering view (the SemDeDup / topic-balancing"
+        " prep stage): every embedding's cell after one deterministic"
+        " Lloyd round, with its cosine to the winning centroid and the"
+        " cell's occupancy. Same machinery the IVF ANN index certifies"
+        " (operators/similarity.refined_centroids + the O(1)-in-C"
+        " codebook ranking -- one Arrow dots stage, per-row argmax, NO"
+        " N x C crossJoin and NO per-vector window), so the clustering"
+        " output and the ANN index can never disagree; the oracle shares"
+        " the IVF oracle's CTE prefix verbatim (llm_ops._ivf_ctes)."
+        " Downstream: SemDeDup prunes within-cell near-duplicates, data"
+        " mixers re-weight cells, and cell_size exposes the imbalance a"
+        " production pipeline monitors. At 100 TB the assignment is the"
+        " same build-once cell-partitioned artifact IVF persists."
+    ),
+)
+def llm_cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = SIM.prepared(t.embeddings)
+    reps = t.embeddings.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    cents = emb.join(
+        F.broadcast(reps.select(F.col("rep_id").alias("vec_id"))), "vec_id"
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cents = SIM.refined_centroids(emb, cents, 1)
+    best = F.element_at(F.col("_csims"), 1)
+    assigned = SIM._with_cell_ranking(emb, SIM._codebook(cents)).select(
+        "vec_id",
+        (-best["ncid"]).alias("cell"),
+        best["csim"].alias("centroid_cosine"),
+    )
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_size")
+    )
+    return assigned.join(F.broadcast(sizes), ["cell"]).select(
+        "vec_id", "cell", "centroid_cosine", "cell_size"
     )

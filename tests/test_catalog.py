@@ -222,8 +222,10 @@ class TestBenchContract:
 
         # realistic worst case: every headline query at a 1-digit-seconds
         # timing (the actual bench tops out ~2s/query) -- the line must
-        # carry EVERY query
-        timings = {n: 9.99 for n in bench.HEADLINE}
+        # carry EVERY query at FULL 2-decimal precision (an integer- or
+        # 1dp-rounded line is weak round-over-round evidence; the
+        # precision ladder exists only for pathological timings)
+        timings = {n: 8.77 for n in bench.HEADLINE}
         detail, line = bench.build_output(
             timings, dict(timings), dict(timings), 0.1, "0123abc-dirty"
         )
@@ -231,6 +233,7 @@ class TestBenchContract:
         parsed = json.loads(line)
         assert parsed["metric"] == "headline_queries_total"
         assert set(parsed["queries"]) == set(bench.HEADLINE)
+        assert all(v == 8.77 for v in parsed["queries"].values())
         assert json.loads(json.dumps(detail))["spread_pct"] == dict(timings)
         # pathological case (4-digit timings): the line must STILL parse
         # under the buffer; any dropped entries must be counted, and the

@@ -52,6 +52,7 @@ EMPTY_TOTAL = [
     "llm_lang_temperature_sample",
     "llm_boilerplate_strip",
     "llm_dataset_card",
+    "llm_token_budget_sample",
 ]
 
 
@@ -74,6 +75,7 @@ EMPTY_TOTAL_EMB = [
     "llm_semantic_dedup_assign",
     "llm_hard_negatives",
     "llm_knn_label_vote",
+    "llm_cluster_kmeans_assign",
 ]
 
 

@@ -188,3 +188,90 @@ def test_dataset_card_recounts_from_raw_table(spark, sf_dir):
         assert c["top_lang"] == top
         assert c["n_dup_docs"] == len(docs) - len(texts)
         assert abs(c["avg_doc_tokens"] - round(ntok / len(docs), 2)) < 1e-9
+
+
+def test_token_budget_sample_matches_python_recount(spark, sf_dir):
+    """The two-phase (shard-offset) cumulative sum must equal a plain
+    per-source running sum in (key, doc_id) order; kept sets must be
+    non-trivial in both directions."""
+    from groove_to_helpscout_migration_tool_spark.catalog.mining_ops import (
+        TB_BUDGET,
+    )
+    from groove_to_helpscout_migration_tool_spark.catalog.llm_ops import _doc_key
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    keyed = t.documents.select(
+        "doc_id", "source", _doc_key("budget:v1").alias("h"), "text"
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in keyed:
+        n = len([w for w in r["text"].split() if w])
+        by_src.setdefault(r["source"], []).append((r["h"], r["doc_id"], n))
+    expect = {}
+    for src, rows in by_src.items():
+        rows.sort()
+        cum = 0
+        for h, did, n in rows:
+            cum += n
+            expect[did] = (src, n, cum, cum <= TB_BUDGET)
+    out = catalog.QUERIES["llm_token_budget_sample"].fn(spark, sf_dir)
+    got = {
+        r["doc_id"]: (r["source"], r["n_toks"], r["cum_toks"], r["kept"])
+        for r in out.collect()
+    }
+    assert got == expect
+    kept = sum(1 for v in got.values() if v[3])
+    assert 0 < kept < len(got)
+
+
+def test_cluster_assign_is_true_argmax_and_sizes_sum(spark, sf_dir):
+    """The codebook-ranking assignment must equal a brute recount: for
+    every vector, the assigned cell is the rounded-cosine argmax over
+    the refined centroid set (cid tie-break), and cell sizes sum to the
+    corpus."""
+    from groove_to_helpscout_migration_tool_spark.operators import similarity as SIM
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    out = catalog.QUERIES["llm_cluster_kmeans_assign"].fn(spark, sf_dir)
+    rows = out.collect()
+    n = t.embeddings.count()
+    assert len(rows) == n
+    sizes = {}
+    for r in rows:
+        sizes[r["cell"]] = sizes.get(r["cell"], 0) + 1
+    for r in rows:
+        assert r["cell_size"] == sizes[r["cell"]]
+    # brute recount of the argmax against the same refined centroids
+    emb = SIM.prepared(t.embeddings)
+    reps = t.embeddings.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    cents = emb.join(
+        F.broadcast(reps.select(F.col("rep_id").alias("vec_id"))), "vec_id"
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cents = SIM.refined_centroids(emb, cents, 1)
+    pairs = emb.crossJoin(cents).select(
+        "vec_id",
+        "cid",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (F.col("nrm") * F.col("cnrm")),
+            9,
+        ).alias("csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    brute = {
+        r["vec_id"]: (r["cid"], r["csim"])
+        for r in pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    for r in rows:
+        bc, bs = brute[r["vec_id"]]
+        assert r["cell"] == bc and abs(r["centroid_cosine"] - bs) < 1e-12, r

@@ -144,6 +144,14 @@ AUDIT = {
     # dataset card: pure map-combine tree aggregation joined by
     # broadcast on the tiny source key; no shuffle-heavy shapes at all
     "llm_dataset_card": (["HashAggregate", "BroadcastHashJoin"], ["Window", "CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin"]),
+    # token-budget sampler: per-(source, shard) running sums hash-
+    # partition; the oracle's one-window-per-source shape (a range
+    # partition straggler at scale) must NOT appear in the Spark plan
+    "llm_token_budget_sample": (["Exchange hashpartitioning", "RunningWindowFunction|Window"], ["Exchange rangepartitioning", "CartesianProduct"]),
+    # clustering view: Arrow dots stage + per-row argmax + hash aggs;
+    # the N x C crossJoin and per-vector window shapes stay forbidden
+    # exactly as in the IVF plans it shares machinery with
+    "llm_cluster_kmeans_assign": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["CartesianProduct", "Window", "SortMergeJoin"]),
 }
 
 

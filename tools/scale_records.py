@@ -76,6 +76,8 @@ PROBES = {
     "llm_knn_label_vote": "linear",
     "llm_boilerplate_strip": "linear",
     "llm_dataset_card": "linear",
+    "llm_token_budget_sample": "linear",
+    "llm_cluster_kmeans_assign": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
