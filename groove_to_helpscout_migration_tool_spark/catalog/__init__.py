@@ -9,7 +9,7 @@ Submodules:
                     retrieval, BPE round, DSIR weighting
     mining_ops    - hard negatives, kNN label vote, per-source
                     boilerplate strip, dataset card, token-budget
-                    sampling, k-means clustering view
+                    sampling, k-means clustering view + balanced sampling
 """
 
 from . import relational  # noqa: F401
@@ -78,6 +78,8 @@ _HEAVY = {
     "ref_s1_python_datasource",       # 3.7s: registered-datasource round trip
     "llm_dedup_clusters",             # 3.2s: iterative CC
     "llm_ann_ivf_kmeans_topk",        # 2.5s
+    "llm_cluster_kmeans_assign",      # same Lloyd-round machinery + oracle family
+    "llm_cluster_balanced_sample",    # extends that oracle with the rate CTEs
     "ref_t3_streaming_state_dedup",   # 2.1s: streaming query startup
     "ref_t1_streaming_quota",         # 2.1s: streaming query startup
 }

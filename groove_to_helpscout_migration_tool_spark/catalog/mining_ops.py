@@ -25,6 +25,9 @@ with.
         sharded cumulative sum, never one window per source.
   - llm_cluster_kmeans_assign : the corpus clustering view (SemDeDup /
         topic-balancing prep) on the certified IVF k-means machinery.
+  - llm_cluster_balanced_sample : temperature re-balancing (T=2) over
+        the k-means CELLS -- flatten over-dense embedding regions with
+        integer-exact deterministic keep rates.
 
 Reference parity note: the reference tool (a PHP ticket migrator) has
 no training-data stage; these extend the engine for the LLM-data
@@ -628,4 +631,88 @@ def llm_cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.join(F.broadcast(sizes), ["cell"]).select(
         "vec_id", "cell", "centroid_cosine", "cell_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling (flatten the cell mixture, SemDeDup-style)
+# ---------------------------------------------------------------------------
+_CELL_KEY_SQL = "(('0x' || substr(md5(vec_id::VARCHAR || ':cellmix:t0.5'), 1, 15))::BIGINT)"
+
+
+def _cell_key() -> F.Column:
+    return TX.word_hash(
+        F.concat(F.col("vec_id").cast("string"), F.lit(":cellmix:t0.5"))
+    )
+
+
+@register(
+    "llm_cluster_balanced_sample",
+    oracle=(
+        "WITH "
+        + ",\n".join(_LL._ivf_ctes(1))
+        + f"""
+, sizes AS (
+  SELECT cell, count(*) AS c FROM assigned GROUP BY cell
+), s AS (
+  SELECT cell, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS sw FROM sizes
+), tot AS (
+  SELECT sum(c) AS n_total, sum(sw) AS w_total FROM s
+), rates AS (
+  SELECT cell,
+         least(1000, (1000 * (n_total // 2) * sw) // (w_total * c)) AS keep_rate
+  FROM s, tot
+)
+SELECT a.vec_id, a.cell,
+       CAST(r.keep_rate AS BIGINT) AS keep_rate,
+       CAST({_CELL_KEY_SQL.replace('vec_id', 'a.vec_id')} % 1000 AS BIGINT)
+         AS keep_bucket
+FROM assigned a JOIN rates r USING (cell)
+WHERE {_CELL_KEY_SQL.replace('vec_id', 'a.vec_id')} % 1000 < r.keep_rate
+"""
+    ),
+    doc=(
+        "Cluster-balanced sampling: the temperature re-balancing rule"
+        " (T = 2, weight ~ count^0.5 -- llm_lang_temperature_sample's"
+        " integer-exact machinery) applied to the K-MEANS CELLS of the"
+        " clustering view instead of a metadata column, targeting ~half"
+        " the corpus while flattening over-dense embedding regions --"
+        " the mixing step SemDeDup-style pipelines run after clustering"
+        " (topical balance, not just label balance). Keep decisions are"
+        " per-mille buckets of a salted md5 key, so reruns are"
+        " reproducible and the oracle is integer-exact; the cell rate"
+        " table is cells-sized and broadcast. The oracle extends the"
+        " shared IVF CTE prefix (llm_ops._ivf_ctes), so the clustering"
+        " it samples is bit-identical to the certified assignment."
+    ),
+)
+def llm_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = (
+        llm_cluster_kmeans_assign(spark, sf_dir)
+        .select("vec_id", "cell", F.col("cell_size").alias("c"))
+    )
+    # cell_size is constant within a cell; max() collapses it exactly
+    stats = assigned.groupBy("cell").agg(F.max("c").alias("c")).select(
+        "cell",
+        "c",
+        F.floor(F.sqrt(F.col("c").cast("double"))).cast("bigint").alias("sw"),
+    )
+    tot = stats.agg(F.sum("c").alias("n_total"), F.sum("sw").alias("w_total"))
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        F.least(
+            F.lit(1000).cast("bigint"),
+            F.expr("(1000 * (n_total div 2) * sw) div (w_total * c)"),
+        ).alias("keep_rate"),
+    )
+    bucket = _cell_key() % 1000
+    return (
+        assigned.join(F.broadcast(rates), ["cell"])
+        .filter(bucket < F.col("keep_rate"))
+        .select(
+            "vec_id",
+            "cell",
+            F.col("keep_rate").cast("bigint").alias("keep_rate"),
+            bucket.cast("bigint").alias("keep_bucket"),
+        )
     )

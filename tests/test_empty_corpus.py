@@ -76,6 +76,7 @@ EMPTY_TOTAL_EMB = [
     "llm_hard_negatives",
     "llm_knn_label_vote",
     "llm_cluster_kmeans_assign",
+    "llm_cluster_balanced_sample",
 ]
 
 

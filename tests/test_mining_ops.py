@@ -275,3 +275,49 @@ def test_cluster_assign_is_true_argmax_and_sizes_sum(spark, sf_dir):
     for r in rows:
         bc, bs = brute[r["vec_id"]]
         assert r["cell"] == bc and abs(r["centroid_cosine"] - bs) < 1e-12, r
+
+
+def test_cluster_balanced_sample_rates_recount(spark, sf_dir):
+    """Keep rates must recount from the clustering view's cell sizes via
+    the integer temperature formula; kept rows must be exactly the
+    bucket-below-rate subset of the full assignment; over-dense cells
+    must get LOWER rates than sparse cells."""
+    import math
+
+    assign = {
+        r["vec_id"]: (r["cell"], r["cell_size"])
+        for r in catalog.QUERIES["llm_cluster_kmeans_assign"].fn(spark, sf_dir).collect()
+    }
+    sizes = {}
+    for cell, csz in assign.values():
+        sizes[cell] = csz
+    n_total = sum(sizes.values())
+    w_total = sum(math.isqrt(c) for c in sizes.values())
+    rates = {
+        cell: min(1000, (1000 * (n_total // 2) * math.isqrt(c)) // (w_total * c))
+        for cell, c in sizes.items()
+    }
+    out = catalog.QUERIES["llm_cluster_balanced_sample"].fn(spark, sf_dir).collect()
+    assert all(r["keep_rate"] == rates[r["cell"]] for r in out)
+    assert all(r["keep_bucket"] < r["keep_rate"] for r in out)
+    # exactness of the kept set: recount buckets driver-side
+    from groove_to_helpscout_migration_tool_spark.catalog.mining_ops import _cell_key
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in t.embeddings.select(
+            "vec_id", (_cell_key() % 1000).alias("b")
+        ).collect()
+    }
+    expect_kept = {
+        vid for vid, (cell, _) in assign.items() if buckets[vid] < rates[cell]
+    }
+    assert {r["vec_id"] for r in out} == expect_kept
+    # monotone in the large: cells at least 2x denser must not get a
+    # HIGHER rate (the integer isqrt steps wobble +-2% between cells of
+    # near-equal size, so strict pairwise monotonicity does not hold)
+    for ca, a in sizes.items():
+        for cb, b in sizes.items():
+            if a >= 2 * b:
+                assert rates[ca] <= rates[cb], (ca, cb, a, b)

@@ -152,6 +152,10 @@ AUDIT = {
     # the N x C crossJoin and per-vector window shapes stay forbidden
     # exactly as in the IVF plans it shares machinery with
     "llm_cluster_kmeans_assign": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["CartesianProduct", "Window", "SortMergeJoin"]),
+    # cluster-balanced sampler: rates table broadcast back over the
+    # assignment (the one-row totals crossJoin is BroadcastNestedLoop --
+    # allowed, as in the DSIR/temperature plans)
+    "llm_cluster_balanced_sample": (["BroadcastHashJoin", "HashAggregate"], ["CartesianProduct", "Window", "SortMergeJoin"]),
 }
 
 

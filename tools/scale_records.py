@@ -78,6 +78,7 @@ PROBES = {
     "llm_dataset_card": "linear",
     "llm_token_budget_sample": "linear",
     "llm_cluster_kmeans_assign": "linear",
+    "llm_cluster_balanced_sample": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
