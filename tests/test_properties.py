@@ -603,3 +603,111 @@ class TestJpegCodecProperty:
             except ValueError:
                 break
             assert br.acc.bit_length() <= 40, br.acc.bit_length()
+
+
+class TestTwoPhaseTopKProperty:
+    """The salted two-phase top-k (catalog/mining_ops._two_phase_topk,
+    also the shape inside llm_rag_retrieve_sparse) must equal a naive
+    global window ranking for ANY scored relation -- including ties on
+    the score (broken by id) and groups smaller than k."""
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),      # qid
+                st.integers(min_value=0, max_value=200),    # nid
+                st.integers(min_value=-5, max_value=5),     # coarse score (forces ties)
+                st.integers(min_value=0, max_value=9),      # nlabel
+            ),
+            min_size=1, max_size=80,
+        )
+    )
+    def test_equals_global_window(self, spark, rows):
+        from pyspark.sql import Window as W
+
+        from groove_to_helpscout_migration_tool_spark.catalog.mining_ops import (
+            _two_phase_topk,
+        )
+
+        # dedupe nid within qid (the operator's inputs are keyed pairs)
+        seen = set()
+        uniq = []
+        for qid, nid, sc, lab in rows:
+            if (qid, nid) in seen:
+                continue
+            seen.add((qid, nid))
+            uniq.append((qid, nid, float(sc) / 2.0, lab))
+        df = spark.createDataFrame(uniq, ["qid", "nid", "cosine", "nlabel"])
+        k = 3
+        got = (
+            _two_phase_topk(df, "qid", k, salt_mod=4)
+            .select("qid", "rank", "nid")
+            .collect()
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+        want = (
+            df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "nid")
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestShardedCumsumProperty:
+    """The token-budget sampler's two-phase cumulative sum (ordered
+    key-prefix shards + shard offsets) must equal the one-window-per-
+    group running sum for ANY (group, key, weight) relation, including
+    shards that receive no rows and single-row groups."""
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),        # group
+                st.integers(min_value=0, max_value=2**60 - 1),  # key
+                st.integers(min_value=0, max_value=50),       # weight
+            ),
+            min_size=1, max_size=60,
+        )
+    )
+    def test_equals_single_window(self, spark, rows):
+        from pyspark.sql import Window as W
+
+        uniq = {}
+        for g, h, w_ in rows:
+            uniq[(g, h)] = w_  # (group, key) unique like (source, doc key)
+        data = [(g, h, w_) for (g, h), w_ in uniq.items()]
+        df = spark.createDataFrame(data, ["src", "h", "n"])
+        shard = F.shiftright(F.col("h"), 54)
+        d2 = df.withColumn("shard", shard)
+        intra = d2.withColumn("ic", F.sum("n").over(
+            W.partitionBy("src", "shard").orderBy("h")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ))
+        tot = d2.groupBy("src", "shard").agg(F.sum("n").alias("tot"))
+        off = tot.withColumn(
+            "off",
+            F.sum("tot").over(
+                W.partitionBy("src").orderBy("shard")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ) - F.col("tot"),
+        ).select("src", "shard", "off")
+        got = {
+            (r["src"], r["h"]): r["cum"]
+            for r in intra.join(off, ["src", "shard"])
+            .withColumn("cum", F.col("off") + F.col("ic"))
+            .collect()
+        }
+        naive_w = (
+            W.partitionBy("src").orderBy("h")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        want = {
+            (r["src"], r["h"]): r["cum"]
+            for r in df.withColumn("cum", F.sum("n").over(naive_w)).collect()
+        }
+        assert got == want
