@@ -80,6 +80,7 @@ _HEAVY = {
     "llm_ann_ivf_kmeans_topk",        # 2.5s
     "llm_cluster_kmeans_assign",      # same Lloyd-round machinery + oracle family
     "llm_cluster_balanced_sample",    # extends that oracle with the rate CTEs
+    "llm_hard_negatives_ivf",         # cell-join oracle over the same prefix
     "ref_t3_streaming_state_dedup",   # 2.1s: streaming query startup
     "ref_t1_streaming_quota",         # 2.1s: streaming query startup
 }

@@ -28,6 +28,9 @@ with.
   - llm_cluster_balanced_sample : temperature re-balancing (T=2) over
         the k-means CELLS -- flatten over-dense embedding regions with
         integer-exact deterministic keep rates.
+  - llm_hard_negatives_ivf : the negative miner through the IVF index
+        (probe nprobe cells, drop same-label, exact re-rank) -- the
+        scale path of llm_hard_negatives.
 
 Reference parity note: the reference tool (a PHP ticket migrator) has
 no training-data stage; these extend the engine for the LLM-data
@@ -715,4 +718,115 @@ def llm_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("keep_rate").cast("bigint").alias("keep_rate"),
             bucket.cast("bigint").alias("keep_bucket"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard negatives through the IVF index (the scale path of the miner)
+# ---------------------------------------------------------------------------
+HN_IVF_NPROBE = 3
+
+
+def _hn_ivf_oracle() -> str:
+    ctes = _LL._ivf_ctes(0)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+, probes AS (
+  SELECT vec_id AS qid, cid AS cell FROM ranked
+  WHERE crank <= {HN_IVF_NPROBE} AND vec_id < {HN_QUERIES}
+), cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.qid
+), lab AS (
+  SELECT c.qid, c.nid, eq.label AS qlabel, en.label AS nlabel
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings en ON en.vec_id = c.nid
+  WHERE en.label <> eq.label
+), scored AS (
+  SELECT l.qid, l.qlabel, l.nid, l.nlabel,
+         {_LL._cos_sql('ev.v', 'nv.v', 6)} AS cosine
+  FROM lab l JOIN e ev ON ev.vec_id = l.qid JOIN e nv ON nv.vec_id = l.nid
+)
+SELECT qid AS query_id, qlabel AS query_label, CAST(rn AS BIGINT) AS rank,
+       nid AS negative_id, nlabel AS negative_label, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rn
+  FROM scored
+) WHERE rn <= {HN_K}
+"""
+    )
+
+
+@register(
+    "llm_hard_negatives_ivf",
+    oracle=_hn_ivf_oracle(),
+    doc=(
+        "Hard-negative mining THROUGH the IVF index (the scale path of"
+        " llm_hard_negatives, exactly as llm_ann_ivf_topk is the scale"
+        f" path of the brute ANN baseline): each anchor probes its"
+        f" {HN_IVF_NPROBE} nearest cells, candidates drop same-label"
+        " rows, and survivors exact-re-rank on the shared rounded-cosine"
+        " path -- so at 100 TB the miner touches nprobe cells instead of"
+        " the corpus, reusing the SAME build-once cell assignment the"
+        " ANN index persists. The oracle mirrors the algorithm on the"
+        " shared IVF CTE prefix; recall vs the brute miner is"
+        " floor-tested in tests/test_mining_ops.py (similar-but-wrong"
+        " vectors concentrate in the anchor's own cells, which is the"
+        " reason cell probing works for negative mining at all)."
+    ),
+)
+def llm_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = SIM.prepared(t.embeddings)
+    labels = t.embeddings.select("vec_id", "label")
+    reps = t.embeddings.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    cents = emb.join(
+        F.broadcast(reps.select(F.col("rep_id").alias("vec_id"))), "vec_id"
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    book = SIM._codebook(cents)
+    assigned = SIM._with_cell_ranking(emb, book).select(
+        "vec_id",
+        (-F.element_at(F.col("_csims"), 1)["ncid"]).alias("cell"),
+    )
+    probes = (
+        SIM._with_cell_ranking(emb.filter(F.col("vec_id") < HN_QUERIES), book)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.slice(F.col("_csims"), 1, HN_IVF_NPROBE)).alias("_s"),
+        )
+        .select("qid", (-F.col("_s")["ncid"]).alias("cell"))
+    )
+    cand = (
+        probes.join(assigned, ["cell"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"))
+        .distinct()
+    )
+    ql = labels.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
+    nl = labels.select(F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"))
+    cand = (
+        cand.join(F.broadcast(ql), ["qid"])
+        .join(nl, ["nid"])
+        .filter(F.col("nlabel") != F.col("qlabel"))
+    )
+    scored = SIM._rejoin_cosine(
+        cand.select("qid", "nid", "nlabel"), emb, "qid", "nid", "qv", "nv"
+    )
+    top = _two_phase_topk(
+        scored.select("qid", "nid", "nlabel", "cosine"), "qid", HN_K, _HN_SALT
+    )
+    return top.join(F.broadcast(ql), ["qid"]).select(
+        F.col("qid").alias("query_id"),
+        F.col("qlabel").alias("query_label"),
+        "rank",
+        F.col("nid").alias("negative_id"),
+        F.col("nlabel").alias("negative_label"),
+        "cosine",
     )

@@ -77,6 +77,7 @@ EMPTY_TOTAL_EMB = [
     "llm_knn_label_vote",
     "llm_cluster_kmeans_assign",
     "llm_cluster_balanced_sample",
+    "llm_hard_negatives_ivf",
 ]
 
 

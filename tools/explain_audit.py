@@ -156,6 +156,10 @@ AUDIT = {
     # assignment (the one-row totals crossJoin is BroadcastNestedLoop --
     # allowed, as in the DSIR/temperature plans)
     "llm_cluster_balanced_sample": (["BroadcastHashJoin", "HashAggregate"], ["CartesianProduct", "Window", "SortMergeJoin"]),
+    # IVF-indexed negative miner: cell-bucketed candidate join + Arrow
+    # re-rank; the brute scan's BroadcastNestedLoop must NOT appear --
+    # the whole point of the index path
+    "llm_hard_negatives_ivf": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
 }
 
 

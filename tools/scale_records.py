@@ -79,6 +79,7 @@ PROBES = {
     "llm_token_budget_sample": "linear",
     "llm_cluster_kmeans_assign": "linear",
     "llm_cluster_balanced_sample": "linear",
+    "llm_hard_negatives_ivf": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
