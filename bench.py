@@ -105,8 +105,9 @@ HEADLINE = [
     "llm_boilerplate_strip",
     "llm_dataset_card",
     "llm_token_budget_sample",
-    # NOT headlined: llm_cluster_kmeans_assign (same codebook-build and
-    # Arrow-dots plan family as the benched llm_ann_ivf_topk entry), and
+    # NOT headlined: llm_cluster_kmeans_assign + llm_hard_negatives_ivf
+    # (same codebook-build and Arrow-dots plan family as the benched
+    # llm_ann_ivf_topk entry; the brute llm_hard_negatives IS benched), and
     # llm_segment_dedup_keep_first (same plan shape as
     # llm_segment_dedup but with an argmin stats join; a separate slot
     # would push the compact stdout line past the driver's 2KB tail
