@@ -78,6 +78,7 @@ EMPTY_TOTAL_EMB = [
     "llm_cluster_kmeans_assign",
     "llm_cluster_balanced_sample",
     "llm_hard_negatives_ivf",
+    "llm_embedding_jl_project",
 ]
 
 

@@ -336,3 +336,31 @@ def test_hard_negatives_ivf_recall_floor(spark, sf_dir):
     }
     iset = {(r["query_id"], r["negative_id"]) for r in ivf.collect()}
     assert len(bset & iset) / len(bset) >= 0.70
+
+
+def test_jl_projection_recount_and_norm_envelope(spark, sf_dir):
+    """One vector recounted in pure Python must match component-for-
+    component; every vector's norm ratio must sit inside the measured
+    JL envelope with margin."""
+    import math
+
+    from groove_to_helpscout_migration_tool_spark.catalog.mining_ops import (
+        _JL_S,
+        JL_OUT,
+    )
+
+    out = catalog.QUERIES["llm_embedding_jl_project"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert all(0.55 <= r["norm_ratio"] <= 1.60 for r in rows)
+    assert all(len(r["proj"]) == JL_OUT for r in rows)
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    first = t.embeddings.orderBy("vec_id").first()
+    v = [float(x) for x in first["embedding"]]
+    expect = [
+        round(
+            sum(v[i] * _JL_S[i][j] for i in range(len(v))) / math.sqrt(JL_OUT), 6
+        )
+        for j in range(JL_OUT)
+    ]
+    got = next(r["proj"] for r in rows if r["vec_id"] == first["vec_id"])
+    assert [round(x, 5) for x in got] == [round(x, 5) for x in expect]

@@ -160,6 +160,9 @@ AUDIT = {
     # re-rank; the brute scan's BroadcastNestedLoop must NOT appear --
     # the whole point of the index path
     "llm_hard_negatives_ivf": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    # JL projection: a pure column transform -- the scan must prune to
+    # (vec_id, embedding) and the plan must have NO exchange at all
+    "llm_embedding_jl_project": (["ReadSchema: struct<vec_id:bigint,embedding"], ["Exchange", "CartesianProduct"]),
 }
 
 

@@ -80,6 +80,7 @@ PROBES = {
     "llm_cluster_kmeans_assign": "linear",
     "llm_cluster_balanced_sample": "linear",
     "llm_hard_negatives_ivf": "linear",
+    "llm_embedding_jl_project": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
