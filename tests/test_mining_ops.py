@@ -364,3 +364,25 @@ def test_jl_projection_recount_and_norm_envelope(spark, sf_dir):
     ]
     got = next(r["proj"] for r in rows if r["vec_id"] == first["vec_id"])
     assert [round(x, 5) for x in got] == [round(x, 5) for x in expect]
+
+
+def test_jl_matrix_is_md5_derived_and_balanced():
+    """The embedded +-1 matrix must recompute exactly from md5('jl:i:j')
+    (guards accidental edits to the literal) and be roughly sign-
+    balanced (a skewed matrix would bias every projection)."""
+    import hashlib
+
+    from groove_to_helpscout_migration_tool_spark.catalog.mining_ops import (
+        _JL_S,
+        JL_IN,
+        JL_OUT,
+    )
+
+    assert len(_JL_S) == JL_IN and all(len(r) == JL_OUT for r in _JL_S)
+    for i in range(JL_IN):
+        for j in range(JL_OUT):
+            h = hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()
+            assert _JL_S[i][j] == (1 if int(h[:15], 16) % 2 == 0 else -1)
+    pos = sum(1 for r in _JL_S for x in r if x == 1)
+    n = JL_IN * JL_OUT
+    assert 0.4 < pos / n < 0.6
