@@ -43,18 +43,24 @@ from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 # Keeping them ahead of the untouched-green block guarantees the sweep
 # re-verifies everything this round's diff could have regressed.
 _CHANGED_THIS_ROUND = {
-    # round 6: err_over_bound now derives from the same <= comparison as
-    # within_bounds (ADVICE r5 boundary-exact split)
-    "p02_percentiles_approx_check", "q_distinct_users_approx_check",
-    # round 6: IVF cell ranking built by transform over literal codebook
-    # arrays (O(1)-in-C plan, ADVICE r5) + bounded dots-UDF memo
-    "llm_ann_ivf_topk", "llm_ann_ivf_kmeans_topk",
-    # round 6: fixture export guards the empty-part case and cleans the
-    # tmpdir in a finally (ADVICE r5)
-    "ref_s1_python_datasource",
-    # round 6: MIME table gains rtf/ics/eml + HEIF-family ftyp brands
-    # (finfo-gap closure); P13's sniffer expression changed shape
-    "ref_p13_mime_sniff",
+    # round 7: output reshaped to scalar columns (proj -> proj_csv via
+    # %.6f serialization) so the official pandas canonicalizer can hash
+    # it -- the r6 red row; it is ALSO block-1 (red) until re-certified
+    "llm_embedding_jl_project",
+}
+
+# Queries the round's VERDICT.md explicitly directs into the front-50
+# (task 5, round 7): stale-green entries whose last official row is old
+# enough that the judge wants a fresh certification this round. They
+# rank with block 2 regardless of the heavy sink -- a judge-directed
+# re-certification outranks budget friction for one round.
+_VERDICT_FRONT = {
+    "ref_s6_two_level_fanout",
+    "ref_p17_recipient_tolist",
+    "ref_a1_running_count",
+    "ref_a4_throughput_eta",
+    "ref_k5_observed_metrics",
+    "ref_t1_streaming_quota",
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB
@@ -136,7 +142,7 @@ def _apply_sweep_order() -> None:
             return 0
         if name not in green:
             return 1
-        if name in _CHANGED_THIS_ROUND:
+        if name in _CHANGED_THIS_ROUND or name in _VERDICT_FRONT:
             return 2
         if last_round.get(name, 0) < newest:
             # STALE green: certified in an older round but skipped by the

@@ -875,7 +875,9 @@ WITH s AS (SELECT {_JL_SQL_MATRIX} AS m), e AS (
                  / sqrt({JL_OUT}.0), 6)) AS proj
   FROM e, s
 )
-SELECT vec_id, proj,
+SELECT vec_id,
+       array_to_string(list_transform(proj, y -> printf('%.6f', y)), ',')
+         AS proj_csv,
        round(sqrt(list_sum(list_transform(proj, y -> y * y)))
              / sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS norm_ratio
 FROM p
@@ -912,9 +914,20 @@ def llm_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = F.array(*cols)
     ssq = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)  # noqa: E731
     out = t.embeddings.select("vec_id", v.alias("v"), proj.alias("proj"))
+    # Output contract (round 7): the official driver canonicalizes results
+    # in pandas, where a list-typed cell is unhashable/unsortable -- every
+    # catalog query must emit SCALAR columns only. Serialize the projected
+    # vector to a deterministic CSV string: each component is already
+    # rounded to 6 decimals, and %.6f of the same double is bit-identical
+    # across Java's Formatter and DuckDB's printf (no decimal halfway case
+    # of the form n/10^6 + 5/10^7 is representable in binary, so the two
+    # formatters can never disagree on the rounding of digit 7).
+    proj_csv = F.concat_ws(
+        ",", F.transform(F.col("proj"), lambda y: F.format_string("%.6f", y))
+    )
     return out.select(
         "vec_id",
-        "proj",
+        proj_csv.alias("proj_csv"),
         F.round(F.sqrt(ssq(F.col("proj"))) / F.sqrt(ssq(F.col("v"))), 4).alias(
             "norm_ratio"
         ),

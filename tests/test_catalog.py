@@ -203,6 +203,49 @@ class TestTrainingAssembly:
                 total += r["n_tokens"]
 
 
+def test_no_complex_output_columns_anywhere(spark, sf_dir):
+    """Catalog-wide output contract: the OFFICIAL driver canonicalizes
+    results in pandas, where list/dict/Row cells are unhashable -- a
+    query whose schema contains ArrayType/MapType/StructType errors in
+    the driver even when its values are exactly right (round-6
+    llm_embedding_jl_project). Sweep every registered query's output
+    schema; any complex-typed column is a failure here first."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from minidriver import complex_output_cols
+
+    offenders = {}
+    for name, spec in catalog.QUERIES.items():
+        schema = spec.fn(spark, sf_dir).schema
+        bad = complex_output_cols(schema)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"complex-typed output columns: {offenders}"
+
+
+def test_minidriver_rejects_complex_output_schema():
+    """The mirror must flag an array column the same way the official
+    driver would die on it (never greener than the driver)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from pyspark.sql import types as T
+
+    from minidriver import complex_output_cols
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("proj", T.ArrayType(T.DoubleType())),
+            T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("pair", T.StructType([T.StructField("a", T.LongType())])),
+            T.StructField("ok", T.StringType()),
+        ]
+    )
+    assert complex_output_cols(schema) == ["proj", "meta", "pair"]
+
+
 class TestBenchContract:
     """The external driver keeps only a ~2KB tail of bench stdout; the
     final line must always parse from within it (r2/r3 benches went

@@ -352,7 +352,9 @@ def test_jl_projection_recount_and_norm_envelope(spark, sf_dir):
     out = catalog.QUERIES["llm_embedding_jl_project"].fn(spark, sf_dir)
     rows = out.collect()
     assert all(0.55 <= r["norm_ratio"] <= 1.60 for r in rows)
-    assert all(len(r["proj"]) == JL_OUT for r in rows)
+    # round-7 output contract: scalar columns only -- the projected vector
+    # ships as a %.6f CSV string, parsed back here for the recount.
+    assert all(len(r["proj_csv"].split(",")) == JL_OUT for r in rows)
     t = load_tables(spark, sf_dir, ["embeddings"])
     first = t.embeddings.orderBy("vec_id").first()
     v = [float(x) for x in first["embedding"]]
@@ -362,7 +364,8 @@ def test_jl_projection_recount_and_norm_envelope(spark, sf_dir):
         )
         for j in range(JL_OUT)
     ]
-    got = next(r["proj"] for r in rows if r["vec_id"] == first["vec_id"])
+    got_csv = next(r["proj_csv"] for r in rows if r["vec_id"] == first["vec_id"])
+    got = [float(x) for x in got_csv.split(",")]
     assert [round(x, 5) for x in got] == [round(x, 5) for x in expect]
 
 

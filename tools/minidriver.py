@@ -25,6 +25,20 @@ from groove_to_helpscout_migration_tool_spark import catalog, get_session
 from groove_to_helpscout_migration_tool_spark.session import TABLES
 
 
+def complex_output_cols(schema) -> list[str]:
+    """Column names whose type the official driver's pandas canonicalizer
+    cannot hash/sort (ArrayType/MapType/StructType). Any such column is a
+    contract violation even if the values are correct -- the round-6
+    llm_embedding_jl_project red row was exactly this shape."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -73,6 +87,16 @@ def main():
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
+            bad = complex_output_cols(sdf.schema)
+            if bad:
+                # Mirror the OFFICIAL driver's failure mode, loudly: its
+                # pandas canonicalizer raises on list/dict cells, so the
+                # mirror must never be greener than the driver here.
+                raise TypeError(
+                    f"complex-typed output columns {bad} violate the "
+                    "scalar-output contract (official pandas canonicalizer "
+                    "cannot hash them)"
+                )
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:
