@@ -47,6 +47,12 @@ _CHANGED_THIS_ROUND = {
     # %.6f serialization) so the official pandas canonicalizer can hash
     # it -- the r6 red row; it is ALSO block-1 (red) until re-certified
     "llm_embedding_jl_project",
+    # round 7: aggregate pushed below the join in both (VERDICT r6 task 3
+    # perf regressions) -- a03 pre-aggregates events to (user, day)
+    # partials before the day-bucket join; groupback aggregates lineitem
+    # first and keeps orders as a broadcast LeftSemi filter
+    "a03_range_join_order_events",
+    "ref_groupback_threads",
 }
 
 # Queries the round's VERDICT.md explicitly directs into the front-50

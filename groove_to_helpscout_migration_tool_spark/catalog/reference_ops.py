@@ -818,14 +818,21 @@ GROUP BY o_orderkey
         "Fan-out -> group-back with per-conversation thread ordering by "
         "timestamp (threads appended in message order, TicketProcessor.php:189): "
         "sort_array(collect_list(struct(ts, id))) preserves order without a "
-        "per-group window shuffle."
+        "per-group window shuffle. Round 7: aggregate BELOW the join -- "
+        "lineitem groups by its own key first, then a broadcast LEFT SEMI "
+        "join against orders keeps only real tickets. The orders join adds "
+        "no columns (it only filters), so running it after the group-back "
+        "probes one aggregated row per ticket instead of fanning every "
+        "thread row through the join before aggregating. At 100 TB drop "
+        "the broadcast hint: the aggregate output is already hash-"
+        "partitioned on the key, so a shuffle semi join reuses that "
+        "exchange and only the orders key column moves."
     ),
 )
 def ref_groupback_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
-    joined = t.orders.join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-    return (
-        joined.groupBy(F.col("o_orderkey").alias("ticket_number"))
+    grouped = (
+        t.lineitem.groupBy(F.col("l_orderkey").alias("ticket_number"))
         .agg(
             F.count(F.lit(1)).alias("n_threads"),
             F.array_join(
@@ -838,4 +845,13 @@ def ref_groupback_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             ).alias("thread_order"),
         )
+    )
+    # inner-join semantics of the original orders JOIN lineitem: an
+    # orderkey absent from orders must drop (semi), one absent from
+    # lineitem never reaches the aggregate. orders is unique on the key
+    # so the join could never multiply rows -- it is purely a filter.
+    return grouped.join(
+        F.broadcast(t.orders.select(F.col("o_orderkey").alias("ticket_number"))),
+        "ticket_number",
+        "left_semi",
     )

@@ -990,22 +990,36 @@ JOIN events ON user_id = o_custkey % 150
 GROUP BY o_orderkey
 """,
     doc=(
-        "Range join (equi key + time interval) via DAY-BUCKETING: the"
-        " order side explodes to the calendar days its 3-day window"
-        " covers, the event side keys each row by to_date(ts), and the"
-        " join runs on the COMPOUND key (user, day) with the exact range"
-        " as a post-probe filter. Each event owns exactly one day bucket"
-        " so no pair can match twice. Versus joining on the user key"
-        " alone this divides per-key probe fanout by the ratio of the"
-        " window span to the corpus span AND multiplies the join-key"
-        " cardinality by the day count -- the interval-join pattern that"
-        " survives 100 TB, where a low-cardinality user key is both a"
-        " skew magnet and a quadratic per-key cross product."
+        "Range join (equi key + time interval) via DAY-BUCKETING with"
+        " AGGREGATE PUSHDOWN: the order side explodes to the calendar"
+        " days its 3-day window covers; the event side is first"
+        " pre-aggregated to (user, day) partials -- count + value sum --"
+        " because every window here starts at midnight and spans whole"
+        " days, so day-bucket membership IS the range predicate and no"
+        " per-event post-probe filter is needed. The join then probes"
+        " the tiny day-partial table on the COMPOUND key (user, day) and"
+        " the final per-order aggregate folds <= 3 partials per order."
+        " Versus joining raw events on the user key alone this divides"
+        " probe fanout by the window/corpus span ratio, multiplies"
+        " join-key cardinality by the day count (the low-cardinality"
+        " user key is a skew magnet), AND shrinks the probe side from"
+        " |events| rows to |users|x|days| partials -- at 100 TB the"
+        " day-partial table is the only side small enough to broadcast"
+        " (windows NOT aligned to whole days would keep the two boundary"
+        " days row-level and pre-aggregate only the interior days)."
     ),
 )
 def a03_range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders", "events"])
     window = F.expr("INTERVAL 3 DAY")
+    # (user, day) partials: legal below the join because w_start is
+    # always midnight (whole-day offsets from 2024-01-01) and the window
+    # spans exactly 3 whole days, so [w_start, w_start+3d) membership is
+    # decided entirely by to_date(ts). count/sum partials re-aggregate
+    # losslessly in the per-order fold (sum of counts, sum of sums).
+    day_agg = t.events.groupBy(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
     anchored = t.orders.select(
         "o_orderkey",
         "o_custkey",
@@ -1025,19 +1039,16 @@ def a03_range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    ev = t.events.withColumn("day", F.to_date("ts"))
     return (
         buckets.join(
-            ev,
-            (ev["user_id"] == buckets["o_custkey"] % 150)
-            & (buckets["day"] == ev["day"])
-            & (ev["ts"] >= buckets["w_start"])
-            & (ev["ts"] < buckets["w_start"] + window),
+            F.broadcast(day_agg),
+            (day_agg["user_id"] == buckets["o_custkey"] % 150)
+            & (buckets["day"] == day_agg["day"]),
         )
         .groupBy(F.col("o_orderkey").alias("orderkey"))
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("event_value"),
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("event_value"),
         )
     )
 

@@ -163,6 +163,16 @@ AUDIT = {
     # JL projection: a pure column transform -- the scan must prune to
     # (vec_id, embedding) and the plan must have NO exchange at all
     "llm_embedding_jl_project": (["ReadSchema: struct<vec_id:bigint,embedding"], ["Exchange", "CartesianProduct"]),
+    # r7 interval join with aggregate pushdown: events collapse to
+    # (user, day) partials BELOW the broadcast day-bucket join (the
+    # partial_sum/sum pair is what crosses the final exchange, never raw
+    # event rows); no sort-merge or cross product anywhere
+    "a03_range_join_order_events": (["BroadcastHashJoin", "partial_sum"], ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r7 group-back: aggregate below the orders join -- the orders side
+    # participates only as a LeftSemi filter (broadcast at bench scale),
+    # and the thread lists aggregate via ObjectHashAggregate, never a
+    # per-group window or sort-based aggregate
+    "ref_groupback_threads": (["LeftSemi", "ObjectHashAggregate"], ["SortMergeJoin", "CartesianProduct", "Window"]),
 }
 
 
