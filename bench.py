@@ -21,98 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from groove_to_helpscout_migration_tool_spark import catalog, get_session
 from groove_to_helpscout_migration_tool_spark.operators import cache
 
-HEADLINE = [
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_region_revenue",
-    # Headline capacity (r6-s3): the driver keeps only a ~2KB stdout tail,
-    # and per-query values in the compact line must keep >= 1 decimal (an
-    # integer-rounded line is useless round-over-round evidence), which
-    # caps the list at ~63 names. Rotated out, each covered by a benched
-    # sibling of the same plan shape: q06_forecast_revenue (scan+filter
-    # agg ~ q01; still the JVM warmup query in main()), q10_returned_items
-    # + q20_surplus_suppliers (broadcast-dim join aggs ~ q03/q05/q02/q11),
-    # ref_p1_customer_mapping (projection ~ pipeline entries),
-    # ref_s6_two_level_fanout (fanout ~ ref_s5), llm_doc_fingerprint +
-    # llm_ngram_counts (map-only text / explode-agg ~ llm_text_stats /
-    # llm_tfidf_top_terms), llm_neardup_simhash_capped (capped bucket join
-    # ~ llm_neardup_minhash_lsh_capped), llm_audio_features (Arrow
-    # mapInPandas over binary ~ llm_multimodal_decode). The full oracle
-    # sweep still runs and times every catalog query each round.
-    "q07_nation_volume",
-    "q18_large_orders",
-    "q02_min_cost_supplier",
-    "q11_important_stock",
-    "a03_range_join_order_events",
-    "w03_top3_orders_per_customer",
-    "a01_asof_join_purchase_signup",
-    "a02_sessionize_events",
-    "t01_tumbling_window_events",
-    "ref_s5_nested_scan_fanout",
-    "ref_j5_dedup_antijoin",
-    "ref_groupback_threads",
-    "ref_sort_limit_topn",
-    "llm_dedup_exact",
-    "llm_text_stats",
-    "llm_ann_topk_cosine",
-    "llm_ann_lsh_topk",
-    "llm_ann_ivf_topk",
-    "llm_neardup_minhash_lsh",
-    "llm_neardup_ngram_jaccard",
-    "llm_neardup_simhash",
-    "llm_simhash_dedup_assign",
-    "llm_dedup_clusters",
-    "llm_tfidf_top_terms",
-    "llm_neardup_minhash_lsh_capped",
-    "llm_dedup_incremental",
-    "llm_pii_redact",
-    "llm_multimodal_decode",
-    "llm_image_resize",
-    "llm_video_frames",
-    "llm_semantic_dedup_assign",
-    "llm_train_shuffle",
-    "llm_sample_stratified",
-    "llm_pack_sequences",
-    "llm_decontaminate",
-    "q_zorder_layout",
-    "llm_chunk_documents",
-    # sketch-only approx plans (r5: the exact twins moved to the NOT-benched
-    # *_check entries, so these now time the 100 TB-shaped plan alone)
-    "p02_percentiles_approx",
-    "q_distinct_users_approx",
-    # hot-keyed salted join (r5: straggler bounds measured separately by
-    # tools/skew_stress.py -> SKEW_r5.json; this times the salted plan)
-    "ref_skew_salted_join",
-    # curation family (r6)
-    "llm_decontaminate_bloom",
-    "llm_repetition_stats",
-    "llm_quality_filter_c4",
-    "llm_dedup_by_source",
-    "llm_ann_quantized_topk",
-    "llm_lang_temperature_sample",
-    "llm_hashing_vectorizer",
-    # corpus-maintenance/retrieval family (r6 continuation)
-    "llm_segment_dedup",
-    "llm_neardup_incremental_lsh",
-    "llm_rag_retrieve_sparse",
-    "llm_bpe_pair_counts",
-    "llm_importance_weights_dsir",
-    "llm_substring_dedup_spans",
-    "llm_bigram_lm_score",
-    # training-signal mining family (r6 session 3)
-    "llm_hard_negatives",
-    "llm_knn_label_vote",
-    "llm_boilerplate_strip",
-    "llm_dataset_card",
-    "llm_token_budget_sample",
-    # NOT headlined: llm_cluster_kmeans_assign + llm_hard_negatives_ivf
-    # (same codebook-build and Arrow-dots plan family as the benched
-    # llm_ann_ivf_topk entry; the brute llm_hard_negatives IS benched), and
-    # llm_segment_dedup_keep_first (same plan shape as
-    # llm_segment_dedup but with an argmin stats join; a separate slot
-    # would push the compact stdout line past the driver's 2KB tail
-    # for no new plan coverage -- the full sweep still times it)
-]
+# Headline membership lives in bench_manifest.json (committed manifest +
+# changelog; VERDICT r6 task 4 -- membership changes must never be silent).
+# The rotation rationale for every past drop is a changelog entry there;
+# the full oracle sweep still runs and times every catalog query each
+# round regardless of headline membership.
+def _load_manifest() -> dict:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_manifest.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+MANIFEST = _load_manifest()
+HEADLINE = list(MANIFEST["headline"])
 
 
 # Operators whose first run materializes a persisted build artifact
@@ -308,6 +230,39 @@ def main() -> None:
     print(line)
 
 
+def _set_delta(current: set[str]) -> dict:
+    """Headline-set churn vs the newest BENCH_r*.json at the repo root:
+    {vs: "BENCH_rN", added: [...], dropped: [...], common: n}. Totals are
+    only comparable round-over-round on the common subset; this stamps
+    the membership change into the artifact itself (VERDICT r6 task 4)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    newest, newest_n = None, -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > newest_n:
+            newest, newest_n = path, int(m.group(1))
+    if newest is None:
+        return {"vs": None, "added": [], "dropped": [], "common": len(current)}
+    try:
+        with open(newest) as f:
+            rec = json.load(f)
+        # driver wrapper: {"n", "rc", "tail", "parsed": <compact line>};
+        # fall back to a bare compact/detail record
+        parsed = rec.get("parsed") if isinstance(rec.get("parsed"), dict) else rec
+        prev = set((parsed or {}).get("queries", {}))
+    except (OSError, ValueError):
+        return {"vs": None, "added": [], "dropped": [], "common": len(current)}
+    return {
+        "vs": f"BENCH_r{newest_n}",
+        "added": sorted(current - prev),
+        "dropped": sorted(prev - current),
+        "common": len(current & prev),
+    }
+
+
 def build_output(
     timings: dict[str, float],
     build: dict[str, float],
@@ -333,6 +288,9 @@ def build_output(
         "spread_pct": spreads,
         "sha": sha,
         "sf": sf_val,
+        # membership delta vs the newest recorded round, so a total that
+        # moved because the SET moved is never mistaken for a perf change
+        "set_delta": _set_delta(set(timings)),
     }
     compact = {
         "metric": "headline_queries_total",

@@ -68,18 +68,24 @@ _MINHASH_SIG_SQL = _LL._MINHASH_SIG_SQL
 SEG_W = 12
 
 
-def _segment_table(documents: DataFrame) -> DataFrame:
+def _segment_table(documents: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, seg_idx, seg_text, seg_hash): non-overlapping SEG_W-token
     windows, md5-hashed. md5-per-segment is the expensive stage: spread
-    it off a one-split local scan (no-op on a many-split at-scale scan)."""
+    it off a one-split local scan (no-op on a many-split at-scale scan).
+
+    ``carry`` passes extra per-doc columns (e.g. source) through the
+    segment stream so source-scoped consumers never need to join the
+    corpus projection back on -- at 100 TB a doc_id->source map is not
+    broadcastable, but a column riding the same scan is free."""
     docs = DD.spread_off_file_layout(documents, "doc_id")
-    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    toked = docs.select("doc_id", *carry, TX.tokens(F.col("text")).alias("toks"))
     # sequence(1, 0) DESCENDS instead of being empty -> guard n > 0
     # (DuckDB's range(1, 1) is naturally empty, so empty docs drop from
     # both sides identically).
     n_segs = F.ceil(F.size("toks") / F.lit(float(SEG_W))).cast("int")
     segged = toked.filter(F.size("toks") > 0).select(
         "doc_id",
+        *carry,
         "toks",
         F.explode(F.sequence(F.lit(1), n_segs)).alias("seg_idx"),
     )
@@ -88,15 +94,20 @@ def _segment_table(documents: DataFrame) -> DataFrame:
     )
     return segged.select(
         "doc_id",
+        *carry,
         F.col("seg_idx").cast("bigint").alias("seg_idx"),
         seg_text.alias("seg_text"),
         F.md5(seg_text).alias("seg_hash"),
     )
 
 
-def _segment_group_back(marked: DataFrame, kept: F.Column) -> DataFrame:
-    """Reassemble per-doc output from a marked segment stream."""
-    return marked.groupBy("doc_id").agg(
+def _segment_group_back(
+    marked: DataFrame, kept: F.Column, keys: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Reassemble per-doc output from a marked segment stream. ``keys``
+    widens the group-back key for streams carrying per-doc constants
+    (doc_id is unique, so extra key columns never change the groups)."""
+    return marked.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
         F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.array_join(

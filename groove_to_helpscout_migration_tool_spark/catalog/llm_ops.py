@@ -485,7 +485,15 @@ FROM cand WHERE bit_count(xor(sh_i, sh_j)) <= 8
         "SimHash near-dup pairs: block on equal 15-bit signature chunks "
         "(pigeonhole: hamming<=8 over 60 bits guarantees >=1 equal chunk... "
         "for <=3; wider blocking is recall-best-effort as in production "
-        "simhash dedup), verify Hamming <= 8."
+        "simhash dedup), verify Hamming <= 8. BRUTE ORACLE/BASELINE, not "
+        "the production path: emitting every qualifying pair grows "
+        "quadratically with duplicate-cluster size (the r6 scale probe "
+        "measured 100.7x pair growth at 10x data on this corpus -- "
+        "SCALE_r6.json). At scale run llm_neardup_simhash_capped (per-"
+        "bucket candidate cap bounds the pair fanout) or "
+        "llm_simhash_dedup_assign (keeper assignment without ever "
+        "materializing the pair set); keep this entry for recall "
+        "certification of those twins on bounded samples."
     ),
 )
 def llm_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

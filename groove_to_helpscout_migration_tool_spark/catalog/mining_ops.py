@@ -292,9 +292,25 @@ def llm_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     knn = _two_phase_topk(scored.drop("true_label"), "qid", KNN_K, _HN_SALT)
     votes = knn.groupBy("qid", "nlabel").agg(F.count(F.lit(1)).alias("cnt"))
+    # Runtime pack guard (ADVICE r6): the packed argmax is only a valid
+    # (votes DESC, label ASC) order while 0 <= label < _VOTE_PACK -- an
+    # out-of-range label would collide across cnt boundaries and
+    # SILENTLY mispredict (the oracle shares the packing, so the hash
+    # compare could not catch data drift). Fail loudly instead.
+    nlabel_ok = F.when(
+        (F.col("nlabel") >= 0) & (F.col("nlabel") < _VOTE_PACK), F.col("nlabel")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "llm_knn_label_vote: label %%s outside [0, %d) breaks the"
+                " packed vote argmax -- raise _VOTE_PACK" % _VOTE_PACK,
+                F.col("nlabel"),
+            )
+        )
+    )
     packed = votes.groupBy("qid").agg(
         F.max(
-            F.col("cnt") * _VOTE_PACK + (F.lit(_VOTE_PACK - 1) - F.col("nlabel"))
+            F.col("cnt") * _VOTE_PACK + (F.lit(_VOTE_PACK - 1) - nlabel_ok)
         ).alias("packed")
     )
     truth = q.select("qid", "true_label")
@@ -364,8 +380,11 @@ FROM m GROUP BY doc_id, source
 )
 def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    src = t.documents.select("doc_id", "source")
-    ex = _segment_table(t.documents).join(F.broadcast(src), ["doc_id"])
+    # source rides the segment scan itself (carry=) and the group-back
+    # key (doc_id is unique, so adding source never changes the groups):
+    # the previous shape broadcast the full (doc_id, source) projection
+    # twice, which is corpus-sized -- not broadcastable at 100 TB.
+    ex = _segment_table(t.documents, carry=("source",))
     # count(DISTINCT doc_id) as two hash aggregations: collapse the
     # (source, seg_hash, doc_id) triples first (map-side combine kills
     # within-doc repeats early), then count per (source, seg_hash).
@@ -379,10 +398,10 @@ def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "seg_hash", F.lit(True).alias("_boiler"))
     )
     marked = ex.join(boiler, ["source", "seg_hash"], "left")
-    out = _segment_group_back(marked.drop("source"), F.col("_boiler").isNull())
-    return out.join(F.broadcast(src), ["doc_id"]).select(
-        "doc_id", "source", "n_segments", "n_kept", "kept_text"
+    out = _segment_group_back(
+        marked, F.col("_boiler").isNull(), keys=("doc_id", "source")
     )
+    return out.select("doc_id", "source", "n_segments", "n_kept", "kept_text")
 
 
 # ---------------------------------------------------------------------------
@@ -666,7 +685,9 @@ def _cell_key() -> F.Column:
   SELECT sum(c) AS n_total, sum(sw) AS w_total FROM s
 ), rates AS (
   SELECT cell,
-         least(1000, (1000 * (n_total // 2) * sw) // (w_total * c)) AS keep_rate
+         least(1000::HUGEINT,
+               (1000::HUGEINT * (n_total // 2) * sw) // (w_total::HUGEINT * c))
+           AS keep_rate
   FROM s, tot
 )
 SELECT a.vec_id, a.cell,
@@ -704,11 +725,21 @@ def llm_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sqrt(F.col("c").cast("double"))).cast("bigint").alias("sw"),
     )
     tot = stats.agg(F.sum("c").alias("n_total"), F.sum("sw").alias("w_total"))
+    # 128-bit exact rate arithmetic (ADVICE r6): in BIGINT the numerator
+    # 1000 * (n_total div 2) * sw overflows once n_total*sw nears
+    # ~1.8e16 -- i.e. at the 100 TB corpus the doc narrative targets.
+    # DECIMAL(38,0) on the Spark side and HUGEINT in the DuckDB oracle
+    # hold the full product exactly (bound ~1e38 >> any corpus), so the
+    # formula stays integer-exact with NO added rounding step; `div`
+    # returns the floored BIGINT both engines agree on.
     rates = stats.crossJoin(F.broadcast(tot)).select(
         "cell",
         F.least(
             F.lit(1000).cast("bigint"),
-            F.expr("(1000 * (n_total div 2) * sw) div (w_total * c)"),
+            F.expr(
+                "(CAST(1000 AS DECIMAL(38,0)) * (n_total div 2) * sw)"
+                " div (CAST(w_total AS DECIMAL(38,0)) * c)"
+            ),
         ).alias("keep_rate"),
     )
     bucket = _cell_key() % 1000

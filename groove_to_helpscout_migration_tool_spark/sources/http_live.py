@@ -65,6 +65,7 @@ class LiveHttpTransport:
         max_rate_limit_waits: int = 2,
         max_retry_after: float = 30.0,
         sleep=time.sleep,
+        refresh_token=None,
     ):
         self.token = token
         self.timeout = timeout
@@ -73,6 +74,17 @@ class LiveHttpTransport:
         # park an executor task for minutes
         self.max_retry_after = max_retry_after
         self.sleep = sleep  # injectable: tests record delays instead of waiting
+        # OAuth expiry handling (round 7): a 401 means the bearer token
+        # expired mid-run (long migrations outlive access tokens; the
+        # reference re-authenticates manually). When a ``refresh_token``
+        # callable is provided -- () -> new token string, e.g. an OAuth2
+        # refresh-grant POST -- the transport calls it ONCE per request
+        # and retries in place with the new token. Without it (or on a
+        # second 401) the response returns verbatim to the taxonomy
+        # layer, which raises the permanent ApiError. The callable must
+        # be cloudpickle-safe (plain function / functools.partial over
+        # plain values) to ride into executor closures.
+        self.refresh_token = refresh_token
 
     # -- one wire request ---------------------------------------------------
     def _headers(self, has_body: bool) -> dict[str, str]:
@@ -103,6 +115,7 @@ class LiveHttpTransport:
 
     def _request(self, url: str, data: bytes | None = None) -> Response:
         waits = 0
+        refreshed = False
         while True:
             status, body, headers = self._once(url, data)
             if status == 429 and waits < self.max_rate_limit_waits:
@@ -115,6 +128,13 @@ class LiveHttpTransport:
                     self.sleep(max(delay, 0.0))
                     waits += 1
                     continue
+            if status == 401 and self.refresh_token is not None and not refreshed:
+                # expired bearer: refresh ONCE and replay the request with
+                # the new token; a 401 that survives the refresh is a real
+                # authorization failure and flows to the taxonomy layer
+                self.token = self.refresh_token()
+                refreshed = True
+                continue
             return (status, body)
 
     # -- the cassette interface --------------------------------------------

@@ -258,6 +258,42 @@ class TestBenchContract:
         assert missing == []
         assert bench.BUILD_SPLIT <= set(bench.HEADLINE)
 
+    def test_manifest_changelog_accounts_for_membership(self):
+        """Replaying the manifest changelog (adds minus drops, in order)
+        must reproduce the headline list exactly: editing membership
+        without a changelog entry fails here, so the set can never
+        rotate silently again (the r6 VERDICT hygiene flag)."""
+        import bench
+
+        replay: set[str] = set()
+        for entry in bench.MANIFEST["changelog"]:
+            names = set(entry["names"])
+            assert entry["action"] in ("add", "drop")
+            assert entry.get("reason"), f"changelog entry without reason: {entry}"
+            if entry["action"] == "add":
+                assert not (names & replay), "re-adding without a drop"
+                replay |= names
+            else:
+                assert names <= replay, "dropping names never added"
+                replay -= names
+        assert replay == set(bench.MANIFEST["headline"])
+        # the headline list itself must be duplicate-free
+        assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+    def test_set_delta_detects_membership_change(self):
+        """_set_delta must name the adds/drops vs the newest recorded
+        BENCH_r*.json so a moved total is attributable to the set."""
+        import bench
+
+        delta = bench._set_delta(set(bench.HEADLINE))
+        assert delta["vs"] is not None
+        assert delta["common"] >= 1
+        # a synthetic membership change is reported, not swallowed
+        mutated = (set(bench.HEADLINE) - {bench.HEADLINE[0]}) | {"made_up_query"}
+        d2 = bench._set_delta(mutated)
+        assert "made_up_query" in d2["added"]
+        assert bench.HEADLINE[0] in d2["dropped"] or bench.HEADLINE[0] not in d2["added"]
+
     def test_compact_line_fits_tail_buffer(self):
         import json
 

@@ -91,7 +91,16 @@ class _CassetteServer:
                 with server.lock:
                     server.auth_headers.append(self.headers.get("Authorization"))
                     server.posts.append({"url": self.path, "payload": payload})
-                self._reply(201, json.dumps({"ok": True}), {})
+                    seq = server.script.get(self.path)
+                    if not seq:  # unscripted publish path: plain accept
+                        self._reply(201, json.dumps({"ok": True}), {})
+                        return
+                    i = server.calls.get(self.path, 0)
+                    server.calls[self.path] = i + 1
+                    entry = seq[min(i, len(seq) - 1)]
+                status, body = entry[0], entry[1]
+                hdrs = entry[2] if len(entry) > 2 else {}
+                self._reply(status, body, hdrs)
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self.base_url = f"http://127.0.0.1:{self.httpd.server_port}/v1"
@@ -161,6 +170,50 @@ class TestLiveTransport:
         t = LiveHttpTransport(sleep=delays.append)
         assert t.get(f"{s.base_url}/x")[0] == 429
         assert delays == []  # no Retry-After -> with_retries owns backoff
+
+
+class TestOAuthRefresh:
+    """401-on-expiry handling (r7): rotating-token server scenarios."""
+
+    def test_401_refreshes_once_and_replays_with_new_token(self, serve):
+        s = serve({"/v1/x": [(401, "expired"), (200, "ok")]})
+        t = LiveHttpTransport(token="stale", refresh_token=lambda: "fresh")
+        assert t.get(f"{s.base_url}/x") == (200, "ok")
+        # wire evidence: first attempt carried the stale bearer, the
+        # replay carried the refreshed one
+        assert s.auth_headers == ["Bearer stale", "Bearer fresh"]
+        # the refreshed token sticks for subsequent requests
+        t.get(f"{s.base_url}/x")
+        assert s.auth_headers[-1] == "Bearer fresh"
+
+    def test_401_without_refresh_flows_to_taxonomy(self, serve):
+        s = serve({"/v1/x": [(401, "expired")]})
+        t = LiveHttpTransport(token="stale")
+        assert t.get(f"{s.base_url}/x")[0] == 401
+        assert s.auth_headers == ["Bearer stale"]  # exactly one attempt
+
+    def test_persistent_401_retries_exactly_once(self, serve):
+        s = serve({"/v1/x": [(401, "no"), (401, "still no")]})
+        calls = []
+
+        def refresh():
+            calls.append(1)
+            return f"tok{len(calls)}"
+
+        t = LiveHttpTransport(token="stale", refresh_token=refresh)
+        status, body = t.get(f"{s.base_url}/x")
+        assert (status, body) == (401, "still no")  # verbatim to taxonomy
+        assert calls == [1]  # single refresh, never a loop
+        assert s.auth_headers == ["Bearer stale", "Bearer tok1"]
+
+    def test_refresh_applies_per_request_on_posts_too(self, serve):
+        s = serve({"/v1/pub": [(401, "expired"), (201, "created")]})
+        t = LiveHttpTransport(token="stale", refresh_token=lambda: "fresh")
+        status, _ = t.post(f"{s.base_url}/pub", [{"a": 1}])
+        assert status == 201
+        assert s.auth_headers == ["Bearer stale", "Bearer fresh"]
+        assert len(s.posts) == 2  # the body was replayed with the new token
+        assert s.posts[0]["payload"] == s.posts[1]["payload"] == [{"a": 1}]
 
 
 class TestTaxonomyParityWithCassette:

@@ -8,6 +8,7 @@ table."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -321,6 +322,59 @@ def test_cluster_balanced_sample_rates_recount(spark, sf_dir):
         for cb, b in sizes.items():
             if a >= 2 * b:
                 assert rates[ca] <= rates[cb], (ca, cb, a, b)
+
+
+def test_vote_pack_guard_fails_loudly_on_out_of_range_label(spark):
+    """ADVICE r6: a label >= _VOTE_PACK silently corrupts the packed
+    argmax (cnt*16 + (15-label) collides across cnt boundaries) and the
+    oracle shares the packing, so the hash compare would still pass.
+    The runtime guard must raise instead of mispredicting."""
+    import pyspark.sql.functions as F
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    from groove_to_helpscout_migration_tool_spark.catalog.mining_ops import _VOTE_PACK
+
+    votes = spark.createDataFrame(
+        [(1, _VOTE_PACK, 3), (1, 2, 1)], "qid long, nlabel long, cnt long"
+    )
+    nlabel_ok = F.when(
+        (F.col("nlabel") >= 0) & (F.col("nlabel") < _VOTE_PACK), F.col("nlabel")
+    ).otherwise(
+        F.raise_error(
+            F.format_string("label %s out of range", F.col("nlabel"))
+        )
+    )
+    bad = votes.groupBy("qid").agg(
+        F.max(F.col("cnt") * _VOTE_PACK + (F.lit(_VOTE_PACK - 1) - nlabel_ok))
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, PythonException)):
+        bad.collect()
+
+
+def test_balanced_sample_rate_arithmetic_is_128bit_exact(spark):
+    """ADVICE r6: the BIGINT form of 1000*(n_total div 2)*sw overflows
+    near n_total*sw ~ 1.8e16. The DECIMAL(38,0) form must produce the
+    exact Python-bigint result at magnitudes where BIGINT wraps."""
+    import duckdb
+
+    n_total, sw, w_total, c = 10**13, 3_162_277, 5 * 10**9, 10**13
+    expect = min(1000, (1000 * (n_total // 2) * sw) // (w_total * c))
+    row = spark.createDataFrame(
+        [(n_total, sw, w_total, c)], "n_total long, sw long, w_total long, c long"
+    )
+    got = row.selectExpr(
+        "least(CAST(1000 AS BIGINT),"
+        " (CAST(1000 AS DECIMAL(38,0)) * (n_total div 2) * sw)"
+        " div (CAST(w_total AS DECIMAL(38,0)) * c)) AS r"
+    ).first()["r"]
+    assert got == expect
+    # the DuckDB oracle's HUGEINT form agrees at the same magnitudes
+    duck = duckdb.sql(
+        f"SELECT least(1000::HUGEINT, (1000::HUGEINT * ({n_total} // 2) *"
+        f" {sw}) // ({w_total}::HUGEINT * {c}))"
+    ).fetchone()[0]
+    assert int(duck) == expect
 
 
 def test_hard_negatives_ivf_recall_floor(spark, sf_dir):
