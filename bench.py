@@ -127,6 +127,54 @@ def _skew_metrics() -> dict | None:
         return {"error": f"{type(exc).__name__}: {exc}"}
 
 
+def _scale_metrics() -> dict | None:
+    """Shuffle-record growth probes as a per-round artifact (VERDICT r6
+    task 8 -- SCALE evidence re-stamps every round like the skew bounds).
+
+    Runs tools/scale_records.py (own subprocess: it needs two sessions
+    with event logging) at sf0.01 -> sf0.1 and folds the growth ratios
+    into the bench detail, ALSO refreshing SCALE_r{N}.json (N = newest
+    official CORRECTNESS round + 1, i.e. the round being recorded) so
+    tests/test_scale_records.py always validates the current round's
+    measurement. Never fails the bench; set SPARK_GRAFT_SCALE_PROBES=0
+    to skip (e.g. quick local iterations)."""
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBES", "1") == "0":
+        return None
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    artifact = os.path.join(here, f"SCALE_r{max(rounds, default=0) + 1}.json")
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(here, "tools", "scale_records.py"),
+                os.environ.get("SPARK_GRAFT_SCALE_SMALL", "/root/testdata/sf0.01"),
+                os.environ.get("SPARK_GRAFT_SCALE_LARGE", "/root/testdata/sf0.1"),
+                artifact,
+            ],
+            capture_output=True, text=True, timeout=420,
+        )
+        last = proc.stdout.strip().splitlines()[-1]
+        report = json.loads(last)
+        return {
+            "artifact": os.path.basename(artifact),
+            "growth_ratio": {
+                name: (p or {}).get("growth_ratio")
+                for name, p in report.get("probes", {}).items()
+            },
+            "violations": report.get("violations", []),
+        }
+    except Exception as exc:  # noqa: BLE001 -- bench must not die on telemetry
+        return {"error": f"{type(exc).__name__}: {exc}"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -218,6 +266,9 @@ def main() -> None:
     skew = _skew_metrics()
     if skew:
         detail["skew"] = skew
+    scale = _scale_metrics()
+    if scale:
+        detail["scale"] = scale
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
