@@ -47,7 +47,6 @@ BUILD_SPLIT = {
     "llm_ann_topk_cosine",
     "llm_neardup_minhash_lsh",
     "llm_neardup_ngram_jaccard",
-    "llm_neardup_simhash",
     "llm_simhash_dedup_assign",
     "llm_dedup_clusters",
     "llm_semantic_dedup_assign",
@@ -61,6 +60,7 @@ BUILD_SPLIT = {
     "llm_importance_weights_dsir",  # persists the hashed feature stream
     "llm_substring_dedup_spans",    # persists the sliding gram table
     "llm_bigram_lm_score",          # persists the positioned bigram stream
+    "llm_bpe_train_merges",         # persists the per-round word tables
 }
 
 # Measurement shape (r6): an explicit BUILD run, then N_WARM timed warm

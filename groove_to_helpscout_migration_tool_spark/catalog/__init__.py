@@ -10,6 +10,8 @@ Submodules:
     mining_ops    - hard negatives, kNN label vote, per-source
                     boilerplate strip, dataset card, token-budget
                     sampling, k-means clustering view + balanced sampling
+    modelprep_ops - hashed linear quality-classifier inference,
+                    data-mixing epoch plans, iterative BPE merge training
 """
 
 from . import relational  # noqa: F401
@@ -20,6 +22,7 @@ from . import llm_ops  # noqa: F401
 from . import curation_ops  # noqa: F401
 from . import corpus_ops  # noqa: F401
 from . import mining_ops  # noqa: F401
+from . import modelprep_ops  # noqa: F401
 
 from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 

@@ -482,7 +482,9 @@ WITH c AS (
   SELECT sum(c) AS n_total, sum(sw) AS w_total FROM s
 ), rates AS (
   SELECT lang,
-         least(1000, (1000 * (n_total // 2) * sw) // (w_total * c)) AS keep_rate
+         least(1000::HUGEINT,
+               (1000::HUGEINT * (n_total // 2) * sw) // (w_total::HUGEINT * c))
+           AS keep_rate
   FROM s, tot
 )
 SELECT d.doc_id, d.lang,
@@ -504,8 +506,10 @@ WHERE {_MIX_KEY_SQL} % 1000 < r.keep_rate
         " shuffle of the corpus, keep decisions reproducible at any"
         " partitioning/retry. At 100 TB the rate table is still"
         " O(languages): the corpus pays one map-side filter."
-        " (Integer-range note: 1000 * (n_total/2) * sw must fit int64 --"
-        " holds to ~10^14 docs; DuckDB computes it in int128.)"
+        " (Integer-range note, r7: the rate numerator is computed in"
+        " DECIMAL(38,0) / HUGEINT on the two engines, so it cannot"
+        " overflow at any corpus size -- same fix as"
+        " llm_cluster_balanced_sample.)"
     ),
 )
 def llm_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,7 +527,10 @@ def llm_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.least(
             F.lit(1000).cast("bigint"),
-            F.expr("(1000 * (n_total div 2) * sw) div (w_total * c)"),
+            F.expr(
+                "(CAST(1000 AS DECIMAL(38,0)) * (n_total div 2) * sw)"
+                " div (CAST(w_total AS DECIMAL(38,0)) * c)"
+            ),
         ).alias("keep_rate"),
     )
     bucket = _LL._doc_key("mix:t0.5") % 1000

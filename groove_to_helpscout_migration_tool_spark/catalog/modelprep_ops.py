@@ -1,0 +1,375 @@
+"""Model-prep operators (round 7): the stages between a curated corpus
+and a training run.
+
+  - llm_quality_classifier_score: hashed linear quality-classifier
+    INFERENCE over the corpus -- the fasttext-style keep/drop scorer
+    production pipelines run over every document, as a map-only plan.
+  - llm_mixture_epochs: data-mixing epoch plan (temperature-weighted
+    source targets with a repeat-epoch cap) materialized to one
+    (doc_id, epoch) row per scheduled traversal -- the sampling plan
+    data-constrained scaling recipes prescribe.
+  - llm_bpe_train_merges: the iterative BPE tokenizer-training loop
+    (N merge rounds), each round one pair-count aggregation + a
+    1-row argmax + an expression-only merge fold. The DuckDB oracle
+    replays all rounds via an INDEPENDENT algorithm (run-parity
+    window merge), so the loop is certified end-to-end.
+
+Reference behavior mirrored: the reference migrates/validates text
+payloads one row at a time (APIHelper.php pagination; no bulk ML
+stages) -- these operators are the Spark-first extensions a 100 TB
+training-data pipeline layers on the same tables, with the same
+oracle-paired correctness contract as the rest of the catalog.
+"""
+
+from __future__ import annotations
+
+import hashlib as _hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import cache
+from ..registry import register
+from ..session import load_tables
+from . import llm_ops as _LL
+
+_TOKENS_SQL = _LL._TOKENS_SQL
+_WORD_HASH_SQL = _LL._WORD_HASH_SQL
+_DOC_KEY_SQL = _LL._DOC_KEY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fasttext-shaped corpus scorer)
+# ---------------------------------------------------------------------------
+QCLF_DIMS = 64  # same hashed feature space as llm_hashing_vectorizer
+
+
+def _qclf_weight(d: int) -> int:
+    """Deterministic milli-weight in [-1000, 1000] from md5('qclf:d') --
+    the md5-literal scheme every salted decision in this catalog uses
+    (the JL matrix, the sample keys), so the 'trained' model is
+    reproducible from the code alone and enters BOTH engines as the
+    same literal."""
+    h = _hashlib.md5(f"qclf:{d}".encode()).hexdigest()
+    return int(h[:15], 16) % 2001 - 1000
+
+
+_QCLF_W = [_qclf_weight(d) for d in range(QCLF_DIMS)]
+_QCLF_BIAS = int(_hashlib.md5(b"qclf:bias").hexdigest()[:15], 16) % 2001 - 1000
+_QCLF_W_SQL = "[" + ", ".join(str(w) for w in _QCLF_W) + "]"
+
+
+@register(
+    "llm_quality_classifier_score",
+    oracle=f"""
+WITH w AS (SELECT {_QCLF_W_SQL} AS wv), scored AS (
+  SELECT doc_id,
+         len({_TOKENS_SQL}) AS n_toks,
+         {_QCLF_BIAS} + coalesce(list_sum(list_transform({_TOKENS_SQL}, t ->
+           (CASE WHEN (({_WORD_HASH_SQL.format(w='t')}) // {QCLF_DIMS}) % 2 = 0
+                 THEN 1 ELSE -1 END)
+           * wv[(({_WORD_HASH_SQL.format(w='t')}) % {QCLF_DIMS}) + 1])), 0)
+           AS score_milli
+  FROM documents, w
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(score_milli AS BIGINT) AS score_milli,
+       score_milli >= 0 AS keep
+FROM scored
+""",
+    doc=(
+        "Hashed linear quality-classifier INFERENCE (the fasttext-shaped"
+        " keep/drop scorer production corpora run on every document):"
+        " each token contributes sign(hash) * weight[hash mod"
+        f" {QCLF_DIMS}] milli-units, plus a bias -- the same signed"
+        " hashing-trick feature space as llm_hashing_vectorizer, so the"
+        " 'model' is a dense weight vector with NO vocabulary table."
+        " Weights are md5-derived milli-integers embedded as the same"
+        " literal in both engines (all-integer score, no float-sum order"
+        " dependence; keep = score >= 0 replaces the sigmoid, which is"
+        " monotone and cross-engine-unsafe in exp()). Plan: MAP-ONLY --"
+        " one pruned scan, the entire classifier runs inside a single"
+        " projection with zero Exchange; at 100 TB inference costs"
+        " exactly one pass at scan speed, embarrassingly parallel, the"
+        " plan shape a broadcast-weights classifier should have."
+    ),
+)
+def llm_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    wv = F.lit(_QCLF_W)  # 64-int literal array: the broadcast-free model
+
+    # per-token contribution: sign from the hash bit just above the dim
+    # bits (shiftright keeps it integer-exact -- a float division of a
+    # 60-bit hash would lose the parity bit), weight by dim lookup
+    def _contrib(tok: F.Column) -> F.Column:
+        hh = TX.word_hash(tok)
+        sgn = F.when(F.shiftright(hh, 6) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+        return sgn * F.element_at(wv, (hh % QCLF_DIMS + 1).cast("int"))
+
+    toks = TX.tokens(F.col("text"))
+    score = F.lit(_QCLF_BIAS) + F.aggregate(
+        F.transform(toks, _contrib),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        score.cast("bigint").alias("score_milli"),
+        (score >= 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixing epoch plan (temperature targets + repeat-epoch cap)
+# ---------------------------------------------------------------------------
+MIX_MAX_EPOCHS = 4  # data-constrained repeat cap (returns decay past ~4)
+_MIXEP_KEY_SQL = _DOC_KEY_SQL.format(salt="mixep")
+
+
+@register(
+    "llm_mixture_epochs",
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, source, len({_TOKENS_SQL}) AS dtok FROM documents
+), s AS (
+  SELECT source, sum(dtok) AS stok,
+         CAST(floor(sqrt(CAST(sum(dtok) AS DOUBLE))) AS BIGINT) AS sw
+  FROM dt GROUP BY source
+), tot AS (
+  SELECT sum(stok) AS n_total, sum(sw) AS w_total FROM s
+), plan AS (
+  SELECT source, stok,
+         (n_total::HUGEINT * sw) // (2::HUGEINT * w_total) AS target
+  FROM s, tot
+), rates AS (
+  SELECT source, stok,
+         least({MIX_MAX_EPOCHS}, target // stok) AS full_epochs,
+         CASE WHEN target // stok >= {MIX_MAX_EPOCHS} THEN 0
+              ELSE (1000::HUGEINT * (target % stok)) // stok END AS part_permille
+  FROM plan
+)
+SELECT d.doc_id, d.source, CAST(e.epoch AS BIGINT) AS epoch
+FROM dt d
+JOIN rates r USING (source)
+CROSS JOIN LATERAL unnest(range(1,
+    CAST(r.full_epochs
+         + CASE WHEN {_MIXEP_KEY_SQL} % 1000 < r.part_permille
+                THEN 1 ELSE 0 END AS BIGINT) + 1)) AS e(epoch)
+""",
+    doc=(
+        "Data-mixing epoch plan (the sampling schedule data-constrained"
+        " scaling recipes prescribe): per-source token targets follow the"
+        " T=2 temperature rule (weight ~ sqrt(source tokens), total"
+        " budget = half the corpus tokens), each source repeats"
+        " floor(target/size) full epochs CAPPED at"
+        f" {MIX_MAX_EPOCHS} (returns decay past ~4 repeats), and the"
+        " fractional remainder epoch keeps a deterministic md5 per-mille"
+        " subset of the source's docs. Output: one (doc_id, source,"
+        " epoch) row per scheduled traversal -- the exact expansion a"
+        " training loader consumes. ALL arithmetic is integer"
+        " (isqrt weights, HUGEINT/DECIMAL(38) numerators, md5 buckets),"
+        " so the plan is bit-identical cross-engine and reproducible at"
+        " any partitioning. Plan shape: one token-count aggregate"
+        " (sources-sized), rates broadcast back onto the scan, explode"
+        " by at most 1+{MIX_MAX_EPOCHS} -- no shuffle of the corpus,"
+        " no rand()."
+    ),
+)
+def llm_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    dt = t.documents.select(
+        "doc_id", "source", TX.token_count_ws(F.col("text")).alias("dtok")
+    )
+    s = dt.groupBy("source").agg(F.sum("dtok").alias("stok")).select(
+        "source",
+        "stok",
+        F.floor(F.sqrt(F.col("stok").cast("double"))).cast("bigint").alias("sw"),
+    )
+    tot = s.agg(F.sum("stok").alias("n_total"), F.sum("sw").alias("w_total"))
+    rates = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "stok",
+        F.expr(
+            "(CAST(n_total AS DECIMAL(38,0)) * sw)"
+            " div (CAST(2 AS DECIMAL(38,0)) * w_total)"
+        ).alias("target"),
+    ).select(
+        "source",
+        F.least(
+            F.lit(MIX_MAX_EPOCHS).cast("bigint"), F.expr("target div stok")
+        ).alias("full_epochs"),
+        F.when(F.expr("target div stok") >= MIX_MAX_EPOCHS, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "(CAST(1000 AS DECIMAL(38,0)) * (target % stok)) div stok"
+            )
+        )
+        .alias("part_permille"),
+    )
+    bucket = _LL._doc_key("mixep") % 1000
+    n_ep = F.col("full_epochs") + F.when(
+        bucket < F.col("part_permille"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        dt.join(F.broadcast(rates), ["source"])
+        .withColumn("n_ep", n_ep)
+        # sequence(1, 0) DESCENDS instead of being empty (same guard as
+        # the segment table): docs scheduled for zero epochs must drop
+        # BEFORE the explode
+        .filter(F.col("n_ep") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_ep"))).alias("e"),
+        )
+        .select("doc_id", "source", F.col("e").cast("bigint").alias("epoch"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the iterative merge loop
+# ---------------------------------------------------------------------------
+BPE_ROUNDS = 6
+
+
+def _bpe_oracle() -> str:
+    """DuckDB replay of the full merge loop via an INDEPENDENT merge
+    algorithm: mark matching pair positions, split runs of consecutive
+    marks (gaps-and-islands), keep odd ordinals within each run (the
+    left-to-right non-overlap rule), drop positions consumed as the
+    right half, and list() the survivors back in order. The Spark side
+    merges with a sequential expression fold instead -- two different
+    formulations certifying the same loop."""
+    parts = [
+        f"""w0 AS (
+  SELECT row_number() OVER (ORDER BY word) AS wid, cnt, syms FROM (
+    SELECT word, count(*) AS cnt, regexp_extract_all(word, '.') AS syms
+    FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+    GROUP BY word)
+)"""
+    ]
+    for k in range(1, BPE_ROUNDS + 1):
+        p = k - 1
+        parts.append(
+            f"""p{k} AS (
+  SELECT syms[i] AS la, syms[i + 1] AS ra, sum(cnt) AS c
+  FROM w{p}, unnest(range(1, len(syms))) AS t(i)
+  GROUP BY la, ra
+), b{k} AS (
+  SELECT la, ra, c FROM p{k} ORDER BY c DESC, la ASC, ra ASC LIMIT 1
+), m{k} AS (
+  SELECT w.wid, w.cnt, t.i, w.syms[t.i] AS s,
+         CASE WHEN t.i < len(w.syms) THEN w.syms[t.i + 1] END AS sn,
+         (t.i < len(w.syms) AND w.syms[t.i] = b.la AND w.syms[t.i + 1] = b.ra)
+           AS mk
+  FROM w{p} w, b{k} b, unnest(range(1, len(w.syms) + 1)) AS t(i)
+), g{k} AS (
+  SELECT *, CASE WHEN mk THEN i - row_number()
+                   OVER (PARTITION BY wid, mk ORDER BY i) END AS grp
+  FROM m{k}
+), tk{k} AS (
+  SELECT *, mk AND (row_number()
+                    OVER (PARTITION BY wid, grp ORDER BY i) % 2 = 1) AS take
+  FROM g{k}
+), w{k} AS (
+  SELECT wid, cnt,
+         list(CASE WHEN take THEN s || sn ELSE s END ORDER BY i) AS syms
+  FROM (SELECT *, coalesce(lag(take) OVER (PARTITION BY wid ORDER BY i),
+                           FALSE) AS consumed
+        FROM tk{k})
+  WHERE NOT consumed GROUP BY wid, cnt
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, la AS left_sym, ra AS right_sym,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY rank"
+
+
+@register(
+    "llm_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc=(
+        "BPE tokenizer TRAINING -- the full iterative merge loop"
+        f" ({BPE_ROUNDS} rounds), not just one pair census"
+        " (llm_bpe_pair_counts is the single-round primitive): each"
+        " round counts weighted adjacent symbol pairs over the distinct-"
+        "word table, picks the argmax pair (count DESC, pair ASC -- the"
+        " min(struct) idiom, deterministic ties), and applies the merge"
+        " LEFT-TO-RIGHT NON-OVERLAPPING to every word. The merge is an"
+        " expression-only fold (aggregate() with an (out, carry)"
+        " accumulator) -- no shuffle, no UDF; each round's word table"
+        " persists so round k+1 starts from materialized state, and the"
+        " only driver traffic is ONE argmax row per round. The DuckDB"
+        " oracle replays the loop with an independent run-parity window"
+        " formulation, so the iteration is value-certified end-to-end."
+        " At 100 TB: the word table is |vocab|-sized (sub-linear in"
+        " corpus), rounds cost one small shuffle each, and the merge"
+        " fold runs at scan speed -- the standard scalable BPE layout"
+        " (word-level counts, not token streams)."
+    ),
+)
+def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    words = (
+        t.documents.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cnt", F.expr("regexp_extract_all(word, '.', 0)").alias("syms"))
+    )
+    words = cache.persist_artifact(words)
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            # single-symbol words carry no pairs -- and sequence(1, 0)
+            # DESCENDS instead of being empty, so filter BEFORE exploding
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS la, syms[i] AS ra))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.la", "p.ra")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        # deterministic argmax: ONE row to the driver per round
+        best = pairs.agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), "la", "ra")).alias("b")
+        ).first()["b"]
+        if best is None or best["la"] is None:
+            break  # corpus exhausted (no adjacent pairs left / empty input)
+        la, ra, cnt = best["la"], best["ra"], -best["nc"]
+        merges.append((k, la, ra, int(cnt)))
+        # expression-only left-to-right merge fold: carry the previous
+        # symbol; (carry=la, s=ra) emits the merged symbol and clears
+        # the carry, so an overlapping second occurrence cannot re-use
+        # the consumed symbol (BPE's non-overlap rule by construction)
+        merged = F.expr(
+            "aggregate(syms,"
+            " named_struct('o', CAST(array() AS ARRAY<STRING>),"
+            "              'c', CAST(NULL AS STRING)),"
+            f" (acc, s) -> IF(acc.c = '{la}' AND s = '{ra}',"
+            f"   named_struct('o', concat(acc.o, array('{la}{ra}')),"
+            "                 'c', CAST(NULL AS STRING)),"
+            "   named_struct('o', IF(acc.c IS NULL, acc.o,"
+            "                        concat(acc.o, array(acc.c))),"
+            "                 'c', s)),"
+            " acc -> IF(acc.c IS NULL, acc.o, concat(acc.o, array(acc.c))))"
+        )
+        words = cache.persist_artifact(words.select("cnt", merged.alias("syms")))
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count bigint"
+    ).select(
+        F.col("rank").cast("int").alias("rank"),
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    )

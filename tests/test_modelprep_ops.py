@@ -1,0 +1,176 @@
+"""Model-prep operators: contracts beyond the value-hash oracle -- the
+classifier score must recount from md5 in pure Python, the epoch plan
+must follow the capped temperature formula per source, and the BPE
+merge table must equal a from-scratch pure-Python BPE run over the same
+corpus (the strongest possible loop certification: two engines + one
+reference implementation, three independent formulations)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from groove_to_helpscout_migration_tool_spark import catalog
+from groove_to_helpscout_migration_tool_spark.catalog.modelprep_ops import (
+    BPE_ROUNDS,
+    MIX_MAX_EPOCHS,
+    QCLF_DIMS,
+    _QCLF_BIAS,
+    _QCLF_W,
+)
+from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_qclf_score_recounts_from_md5(spark, sf_dir):
+    out = {
+        r["doc_id"]: r
+        for r in catalog.QUERIES["llm_quality_classifier_score"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    docs = load_tables(spark, sf_dir, ["documents"]).documents.collect()
+    assert len(out) == len(docs)
+    for d in docs[:25]:
+        toks = [w for w in d["text"].split() if w]
+        z = _QCLF_BIAS
+        for w in toks:
+            h = _h60(w)
+            sgn = 1 if (h >> 6) % 2 == 0 else -1
+            z += sgn * _QCLF_W[h % QCLF_DIMS]
+        r = out[d["doc_id"]]
+        assert r["score_milli"] == z, d["doc_id"]
+        assert r["n_toks"] == len(toks)
+        assert r["keep"] == (z >= 0)
+
+
+def test_qclf_weights_are_md5_derived_and_nondegenerate():
+    """The embedded weight vector must recompute from md5('qclf:d') and
+    actually discriminate (both signs present, no all-zero model)."""
+    for d, w in enumerate(_QCLF_W):
+        assert w == _h60(f"qclf:{d}") % 2001 - 1000
+        assert -1000 <= w <= 1000
+    assert any(w > 0 for w in _QCLF_W) and any(w < 0 for w in _QCLF_W)
+
+
+def test_qclf_plan_is_map_only(spark, sf_dir):
+    """Classifier inference must cost one scan: no Exchange anywhere,
+    scan pruned to (doc_id, text)."""
+    df = catalog.QUERIES["llm_quality_classifier_score"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "doc_id" in plan and "text" in plan
+    assert "n_chars" not in plan  # untouched columns must be pruned
+
+
+def test_mixture_epochs_recounts_per_source(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ["documents"]).documents.collect()
+    dtok = {d["doc_id"]: len([w for w in d["text"].split() if w]) for d in docs}
+    src_of = {d["doc_id"]: d["source"] for d in docs}
+    stok = Counter()
+    for did, s in src_of.items():
+        stok[s] += dtok[did]
+    sw = {s: math.isqrt(c) for s, c in stok.items()}
+    n_total, w_total = sum(stok.values()), sum(sw.values())
+    plan = {}
+    for s in stok:
+        target = (n_total * sw[s]) // (2 * w_total)
+        full = min(MIX_MAX_EPOCHS, target // stok[s])
+        part = 0 if target // stok[s] >= MIX_MAX_EPOCHS else (
+            1000 * (target % stok[s])
+        ) // stok[s]
+        plan[s] = (full, part)
+    out = catalog.QUERIES["llm_mixture_epochs"].fn(spark, sf_dir).collect()
+    per_doc = Counter()
+    for r in out:
+        per_doc[r["doc_id"]] += 1
+        assert 1 <= r["epoch"] <= MIX_MAX_EPOCHS + 1
+        assert r["source"] == src_of[r["doc_id"]]
+    for did, s in src_of.items():
+        full, part = plan[s]
+        bucket = _h60(f"{did}:mixep") % 1000
+        expect = full + (1 if bucket < part else 0)
+        assert per_doc.get(did, 0) == expect, (did, s, full, part, bucket)
+    # the plan must actually repeat something and partial-keep something
+    assert any(f >= 2 for f, _ in plan.values()) or any(
+        p > 0 for _, p in plan.values()
+    )
+
+
+def _python_bpe(words: Counter, rounds: int):
+    """Reference BPE: left-to-right non-overlapping merges, argmax by
+    (count DESC, pair ASC)."""
+    state = {w: tuple(w) for w in words}
+    merges = []
+    for _ in range(rounds):
+        pc = Counter()
+        for w, cnt in words.items():
+            syms = state[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += cnt
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, ra), c = best
+        merges.append((la, ra, c))
+        for w in state:
+            syms = state[w]
+            out, carry = [], None
+            for s in syms:
+                if carry == la and s == ra:
+                    out.append(la + ra)
+                    carry = None
+                else:
+                    if carry is not None:
+                        out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            state[w] = tuple(out)
+    return merges
+
+
+def test_bpe_merge_table_matches_pure_python_reference(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ["documents"]).documents.collect()
+    words = Counter()
+    for d in docs:
+        for w in d["text"].split():
+            if w:
+                words[w] += 1
+    expect = _python_bpe(words, BPE_ROUNDS)
+    got = (
+        catalog.QUERIES["llm_bpe_train_merges"].fn(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    )
+    assert len(got) == len(expect) == BPE_ROUNDS
+    for r, (la, ra, c) in zip(got, expect):
+        assert (r["left_sym"], r["right_sym"], r["pair_count"]) == (la, ra, c)
+
+
+def test_bpe_fold_handles_overlapping_runs(spark):
+    """'aaaa' merging (a,a) must yield [aa, aa], never [aa, aa, aa] --
+    the left-to-right non-overlap rule the fold encodes."""
+    df = spark.createDataFrame([("aaaa",), ("aaa",)], "word string")
+    merged = df.select(
+        F.expr(
+            "aggregate(regexp_extract_all(word, '.', 0),"
+            " named_struct('o', CAST(array() AS ARRAY<STRING>),"
+            "              'c', CAST(NULL AS STRING)),"
+            " (acc, s) -> IF(acc.c = 'a' AND s = 'a',"
+            "   named_struct('o', concat(acc.o, array('aa')),"
+            "                 'c', CAST(NULL AS STRING)),"
+            "   named_struct('o', IF(acc.c IS NULL, acc.o,"
+            "                        concat(acc.o, array(acc.c))),"
+            "                 'c', s)),"
+            " acc -> IF(acc.c IS NULL, acc.o, concat(acc.o, array(acc.c))))"
+        ).alias("m")
+    ).collect()
+    assert merged[0]["m"] == ["aa", "aa"]
+    assert merged[1]["m"] == ["aa", "a"]

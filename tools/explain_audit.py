@@ -168,6 +168,13 @@ AUDIT = {
     # partial_sum/sum pair is what crosses the final exchange, never raw
     # event rows); no sort-merge or cross product anywhere
     "a03_range_join_order_events": (["BroadcastHashJoin", "partial_sum"], ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r7 classifier inference: the entire model runs inside one
+    # projection -- no Exchange, no UDF, scan pruned to (doc_id, text)
+    "llm_quality_classifier_score": (["ReadSchema: struct<doc_id:bigint,text:string"], ["Exchange", "CartesianProduct", "EvalPython"]),
+    # r7 epoch plan: sources-sized rate table broadcast back over the
+    # scan + bounded explode; the one-row totals crossJoin is the
+    # allowed BroadcastNestedLoop (as in the DSIR/temperature plans)
+    "llm_mixture_epochs": (["BroadcastHashJoin", "Generate explode"], ["SortMergeJoin", "CartesianProduct", "Window"]),
     # r7 group-back: aggregate below the orders join -- the orders side
     # participates only as a LeftSemi filter (broadcast at bench scale),
     # and the thread lists aggregate via ObjectHashAggregate, never a

@@ -81,6 +81,12 @@ PROBES = {
     "llm_cluster_balanced_sample": "linear",
     "llm_hard_negatives_ivf": "linear",
     "llm_embedding_jl_project": "linear",
+    # model-prep family (r7): map-only classifier inference, bounded
+    # epoch explode, and the BPE loop (word-table shuffles are
+    # vocab-sized, SUB-linear in the corpus)
+    "llm_quality_classifier_score": "linear",
+    "llm_mixture_epochs": "linear",
+    "llm_bpe_train_merges": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
