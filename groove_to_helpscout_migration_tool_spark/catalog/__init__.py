@@ -98,6 +98,9 @@ _HEAVY = {
     "llm_hard_negatives_ivf",         # cell-join oracle over the same prefix
     "ref_t3_streaming_state_dedup",   # 2.1s: streaming query startup
     "ref_t1_streaming_quota",         # 2.1s: streaming query startup
+    # r7 iterative ops: multi-round driver loops + unrolled-CTE oracles
+    "llm_embedding_pca_power",        # ~12s: 4-round HUGEINT oracle replay
+    "llm_bpe_train_merges",           # ~6s: 6-round window-merge oracle
 }
 
 

@@ -373,3 +373,159 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "right_sym",
         "pair_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via integer-exact power iteration
+# ---------------------------------------------------------------------------
+PCA_ROUNDS = 4
+PCA_Q = 10**6   # embedding quantization: micro-units
+PCA_DIMS = 64
+
+
+def _pca_v0(j: int) -> int:
+    """Deterministic +-1000 milli start vector from md5('pca:j') -- the
+    catalog's md5-literal scheme, embedded identically in both engines."""
+    h = _hashlib.md5(f"pca:{j}".encode()).hexdigest()
+    return 1000 if int(h[:15], 16) % 2 == 0 else -1000
+
+
+_PCA_V0 = [_pca_v0(j) for j in range(PCA_DIMS)]
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration in DuckDB: quantize to micro-ints, center
+    by multiplying through (cx = N*xq - S, exact integers), then per
+    round c_i = cx . v (int64), s_j = sum(c_i * cx_ij) (HUGEINT), and the
+    sign-aware milli rescale v'_j = sign(s_j) * ((1000*|s_j|) // max|s|)
+    -- floor-on-nonnegatives is truncation in every engine, so the whole
+    pipeline is bit-exact with zero floats."""
+    v0 = "[" + ", ".join(str(x) for x in _PCA_V0) + "]"
+    parts = [
+        f"""q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * {PCA_Q}) AS BIGINT)) AS xq
+  FROM embeddings
+), st AS (
+  SELECT count(*) AS n, j, sum(xq[j]) AS sj
+  FROM q, unnest(range(1, {PCA_DIMS} + 1)) AS t(j) GROUP BY j
+), sv AS (
+  SELECT max(n) AS n, list(sj ORDER BY j) AS s FROM st
+), c AS (
+  SELECT vec_id, list_transform(range(1, {PCA_DIMS} + 1),
+                                j -> sv.n * q.xq[j] - sv.s[j]) AS cx
+  FROM q, sv
+), v0 AS (SELECT {v0} AS v)"""
+    ]
+    prev = "v0"
+    for k in range(1, PCA_ROUNDS + 1):
+        parts.append(
+            f"""ci{k} AS (
+  SELECT vec_id, cx,
+         list_sum(list_transform(range(1, {PCA_DIMS} + 1),
+                  j -> cx[j] * {prev}.v[j])) AS ci
+  FROM c, {prev}
+), sj{k} AS (
+  SELECT j, sum(ci::HUGEINT * cx[j]) AS s
+  FROM ci{k}, unnest(range(1, {PCA_DIMS} + 1)) AS t(j) GROUP BY j
+), gm{k} AS (SELECT max(abs(s)) AS gv FROM sj{k}),
+v{k} AS (
+  SELECT list(CAST(CASE WHEN s < 0 THEN -((1000::HUGEINT * (-s)) // gv)
+                        ELSE (1000::HUGEINT * s) // gv END AS BIGINT)
+              ORDER BY j) AS v
+  FROM sj{k}, gm{k}
+)"""
+        )
+        prev = f"v{k}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(t.j - 1 AS BIGINT) AS dim, CAST(v.v[t.j] AS BIGINT) AS loading_milli
+FROM {prev} v, unnest(range(1, {PCA_DIMS} + 1)) AS t(j)
+"""
+    )
+
+
+@register(
+    "llm_embedding_pca_power",
+    oracle=_pca_oracle(),
+    doc=(
+        "PCA top principal component via POWER ITERATION"
+        f" ({PCA_ROUNDS} rounds) with a fully INTEGER-EXACT pipeline:"
+        f" embeddings quantize to micro-ints (x * {PCA_Q}), centering"
+        " multiplies through (cx = N*x - S, no rational mean), each"
+        " round is c_i = cx.v (int64) then s_j = sum(c_i * cx_ij) in"
+        " DECIMAL(38)/HUGEINT, and the between-round normalization is"
+        " the sign-aware milli rescale v' = sign(s)*((1000*|s|) div"
+        " max|s|) -- floor of a nonnegative is truncation in every"
+        " engine, so there is NOT ONE float operation end-to-end and the"
+        " oracle (4 unrolled CTE rounds) is bit-identical. The start"
+        " vector is md5-derived +-1000 milli. Plan: per round ONE"
+        " corpus-scan aggregate (64 map-side-combining sums) with v"
+        " entering as a literal -- the standard distributed power"
+        " iteration; at 100 TB each round costs a scan, driver traffic"
+        f" is one {PCA_DIMS}-int vector per round, and the centering"
+        " stats are a one-pass prelude. Output long-form (dim,"
+        " loading_milli): the direction semantic-dedup / whitening"
+        " stages project onto. Convergence note: the contract certifies"
+        " the 4-round ITERATE exactly (bit-identical at any eigengap);"
+        " on this near-isotropic synthetic corpus (eigengap ~1.02) the"
+        " iterate captures 0.83-0.90 of the true top eigenvalue"
+        " (floor-tested vs numpy); a production corpus with a real"
+        " dominant direction converges geometrically in the gap."
+    ),
+)
+def llm_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    q = t.embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {PCA_Q})"
+            " AS BIGINT))"
+        ).alias("xq"),
+    )
+    q = cache.persist_artifact(q)
+    # centering stats: one pass, 64 integer sums + the count
+    stats = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("xq", j + 1)).alias(f"s{j}")
+            for j in range(PCA_DIMS)
+        ],
+    ).first()
+    n = int(stats["n"])
+    S = [int(stats[f"s{j}"]) for j in range(PCA_DIMS)]
+    cx = q.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(1, {PCA_DIMS}),"
+            f" j -> {n} * xq[j - 1] - element_at(array({', '.join(str(x) for x in S)}), j))"
+        ).alias("cx"),
+    )
+    cx = cache.persist_artifact(cx)
+    v = list(_PCA_V0)
+    for _ in range(PCA_ROUNDS):
+        v_sql = ", ".join(str(x) for x in v)
+        ci = cx.select(
+            "cx",
+            F.expr(
+                f"aggregate(zip_with(cx, array({v_sql}), (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("ci"),
+        )
+        row = ci.agg(
+            *[
+                F.sum(
+                    F.expr(f"CAST(ci AS DECIMAL(38,0)) * cx[{j}]")
+                ).alias(f"s{j}")
+                for j in range(PCA_DIMS)
+            ]
+        ).first()
+        s = [int(row[f"s{j}"]) for j in range(PCA_DIMS)]
+        g = max(abs(x) for x in s)
+        if g == 0:
+            break  # degenerate corpus: keep the current direction
+        v = [(1 if x >= 0 else -1) * ((1000 * abs(x)) // g) for x in s]
+    return spark.createDataFrame(
+        [(j, v[j]) for j in range(PCA_DIMS)], "dim bigint, loading_milli bigint"
+    )

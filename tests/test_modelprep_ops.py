@@ -174,3 +174,49 @@ def test_bpe_fold_handles_overlapping_runs(spark):
     ).collect()
     assert merged[0]["m"] == ["aa", "aa"]
     assert merged[1]["m"] == ["aa", "a"]
+
+
+def test_pca_power_matches_integer_recount_and_beats_start(spark, sf_dir):
+    """The op must equal an exact pure-Python big-int recount of the
+    4-round iterate (three formulations with Duck's HUGEINT replay), and
+    the iterate must capture most of numpy's true top eigenvalue --
+    far more than the md5 start vector does."""
+    import numpy as np
+
+    from groove_to_helpscout_migration_tool_spark.catalog.modelprep_ops import (
+        _PCA_V0,
+        PCA_DIMS,
+        PCA_Q,
+        PCA_ROUNDS,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"]).embeddings.orderBy("vec_id")
+    X = np.stack([np.array(r["embedding"], dtype=np.float64) for r in emb.collect()])
+    # exact integer recount (python bigints -- no overflow, no floats)
+    Xq = [[round(float(x) * PCA_Q) for x in row] for row in X]
+    n = len(Xq)
+    S = [sum(row[j] for row in Xq) for j in range(PCA_DIMS)]
+    CX = [[n * row[j] - S[j] for j in range(PCA_DIMS)] for row in Xq]
+    v = list(_PCA_V0)
+    for _ in range(PCA_ROUNDS):
+        ci = [sum(cx[j] * v[j] for j in range(PCA_DIMS)) for cx in CX]
+        s = [sum(ci[i] * CX[i][j] for i in range(n)) for j in range(PCA_DIMS)]
+        g = max(abs(x) for x in s)
+        v = [(1 if x >= 0 else -1) * ((1000 * abs(x)) // g) for x in s]
+    out = {
+        r["dim"]: r["loading_milli"]
+        for r in catalog.QUERIES["llm_embedding_pca_power"].fn(spark, sf_dir).collect()
+    }
+    assert out == {j: v[j] for j in range(PCA_DIMS)}
+    # quality floor: Rayleigh quotient vs numpy's true top eigenvalue
+    Xc = X - X.mean(0)
+    C = Xc.T @ Xc
+    lam1 = np.linalg.eigvalsh(C)[-1]
+
+    def rayleigh(vec):
+        u = np.array(vec, dtype=np.float64)
+        u = u / np.linalg.norm(u)
+        return float(u @ C @ u)
+
+    assert rayleigh(v) >= 0.75 * lam1  # measured 0.83-0.90 across SFs
+    assert rayleigh(v) > rayleigh(_PCA_V0) * 1.5  # start vector is far off
