@@ -991,65 +991,59 @@ GROUP BY o_orderkey
 """,
     doc=(
         "Range join (equi key + time interval) via DAY-BUCKETING with"
-        " AGGREGATE PUSHDOWN: the order side explodes to the calendar"
-        " days its 3-day window covers; the event side is first"
-        " pre-aggregated to (user, day) partials -- count + value sum --"
-        " because every window here starts at midnight and spans whole"
-        " days, so day-bucket membership IS the range predicate and no"
-        " per-event post-probe filter is needed. The join then probes"
-        " the tiny day-partial table on the COMPOUND key (user, day) and"
-        " the final per-order aggregate folds <= 3 partials per order."
-        " Versus joining raw events on the user key alone this divides"
-        " probe fanout by the window/corpus span ratio, multiplies"
-        " join-key cardinality by the day count (the low-cardinality"
-        " user key is a skew magnet), AND shrinks the probe side from"
-        " |events| rows to |users|x|days| partials -- at 100 TB the"
-        " day-partial table is the only side small enough to broadcast"
-        " (windows NOT aligned to whole days would keep the two boundary"
-        " days row-level and pre-aggregate only the interior days)."
+        " AGGREGATE PUSHDOWN and WINDOW CANONICALIZATION. Two levels:"
+        " (1) the event side pre-aggregates to (user, day) partials --"
+        " legal because every window starts at midnight and spans whole"
+        " days, so day-bucket membership IS the range predicate (windows"
+        " not day-aligned would keep the two boundary days row-level and"
+        " pre-aggregate only the interior). (2) The order side's window"
+        " is a pure function of o_orderkey % 24, so only 24 DISTINCT"
+        " windows exist: the day partials roll up once per (window"
+        " offset, user) -- a |windows| x |users| table -- and orders"
+        " probe it with a broadcast hash join. The probe returns at most"
+        " one row per order, so there is NO per-order aggregate and the"
+        " fact table (orders) is NEVER shuffled: the only exchanges in"
+        " the plan are the two tiny partial-aggregate shuffles on the"
+        " event side. At 100 TB that is the interval-join layout that"
+        " survives: events collapse once, windows canonicalize"
+        " (daily/weekly windows repeat massively in real workloads), and"
+        " the scan-heavy side stays map-only."
     ),
 )
 def a03_range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders", "events"])
-    window = F.expr("INTERVAL 3 DAY")
-    # (user, day) partials: legal below the join because w_start is
-    # always midnight (whole-day offsets from 2024-01-01) and the window
-    # spans exactly 3 whole days, so [w_start, w_start+3d) membership is
-    # decided entirely by to_date(ts). count/sum partials re-aggregate
-    # losslessly in the per-order fold (sum of counts, sum of sums).
+    base = F.lit("2024-01-01").cast("timestamp_ntz")
+    # (user, day) partials: count + value sum re-aggregate losslessly
     day_agg = t.events.groupBy(
         F.col("user_id"), F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
-    anchored = t.orders.select(
-        "o_orderkey",
-        "o_custkey",
-        (
-            F.lit("2024-01-01").cast("timestamp_ntz")
-            + (F.col("o_orderkey") % 24) * F.expr("INTERVAL 1 DAY")
-        ).alias("w_start"),
+    # 24 distinct windows x 3 covered days each -> roll the day partials
+    # up to (offset, user) window totals; rounding here equals rounding
+    # per order because each order owns exactly one window
+    offsets = spark.range(24).select(
+        F.col("id").alias("offset"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("d"),
     )
-    # one row per calendar day the window touches (last microsecond of
-    # the half-open window decides the final bucket)
-    buckets = anchored.withColumn(
-        "day",
-        F.explode(
-            F.sequence(
-                F.to_date("w_start"),
-                F.to_date(F.col("w_start") + window - F.expr("INTERVAL 1 MICROSECOND")),
-            )
-        ),
-    )
-    return (
-        buckets.join(
+    win_agg = (
+        offsets.join(
             F.broadcast(day_agg),
-            (day_agg["user_id"] == buckets["o_custkey"] % 150)
-            & (buckets["day"] == day_agg["day"]),
+            day_agg["day"]
+            == F.to_date(base + (F.col("offset") + F.col("d")) * F.expr("INTERVAL 1 DAY")),
         )
-        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .groupBy("offset", "user_id")
         .agg(
             F.sum("pn").alias("n_events"),
             F.round(F.sum("pv"), 2).alias("event_value"),
         )
+    )
+    return t.orders.select("o_orderkey", "o_custkey").join(
+        F.broadcast(win_agg),
+        (F.col("o_orderkey") % 24 == F.col("offset"))
+        & (F.col("o_custkey") % 150 == F.col("user_id")),
+    ).select(
+        F.col("o_orderkey").alias("orderkey"),
+        "n_events",
+        "event_value",
     )
 
 

@@ -163,11 +163,12 @@ AUDIT = {
     # JL projection: a pure column transform -- the scan must prune to
     # (vec_id, embedding) and the plan must have NO exchange at all
     "llm_embedding_jl_project": (["ReadSchema: struct<vec_id:bigint,embedding"], ["Exchange", "CartesianProduct"]),
-    # r7 interval join with aggregate pushdown: events collapse to
-    # (user, day) partials BELOW the broadcast day-bucket join (the
-    # partial_sum/sum pair is what crosses the final exchange, never raw
-    # event rows); no sort-merge or cross product anywhere
-    "a03_range_join_order_events": (["BroadcastHashJoin", "partial_sum"], ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r7 interval join with aggregate pushdown + window canonicalization:
+    # events collapse to (user, day) partials, the 24 distinct windows
+    # roll up once, and the orders fact table is NEVER shuffled -- no
+    # exchange may hash-partition on o_orderkey, and the only aggregates
+    # are the event-side partial_sums
+    "a03_range_join_order_events": (["BroadcastHashJoin", "partial_sum"], ["SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin", "hashpartitioning\\(o_orderkey"]),
     # r7 classifier inference: the entire model runs inside one
     # projection -- no Exchange, no UDF, scan pruned to (doc_id, text)
     "llm_quality_classifier_score": (["ReadSchema: struct<doc_id:bigint,text:string"], ["Exchange", "CartesianProduct", "EvalPython"]),
