@@ -494,6 +494,8 @@ def llm_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).first()
     n = int(stats["n"])
+    if n == 0:  # empty corpus: PCA undefined -> empty result, not a crash
+        return spark.createDataFrame([], "dim bigint, loading_milli bigint")
     S = [int(stats[f"s{j}"]) for j in range(PCA_DIMS)]
     cx = q.select(
         "vec_id",

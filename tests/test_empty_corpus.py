@@ -53,6 +53,10 @@ EMPTY_TOTAL = [
     "llm_boilerplate_strip",
     "llm_dataset_card",
     "llm_token_budget_sample",
+    # r7 model-prep family
+    "llm_quality_classifier_score",
+    "llm_mixture_epochs",
+    "llm_bpe_train_merges",
 ]
 
 
@@ -79,6 +83,7 @@ EMPTY_TOTAL_EMB = [
     "llm_cluster_balanced_sample",
     "llm_hard_negatives_ivf",
     "llm_embedding_jl_project",
+    "llm_embedding_pca_power",  # r7: n == 0 guard returns empty
 ]
 
 

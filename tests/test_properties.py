@@ -711,3 +711,55 @@ class TestShardedCumsumProperty:
             for r in df.withColumn("cum", F.sum("n").over(naive_w)).collect()
         }
         assert got == want
+
+
+class TestBpeMergeFoldProperty:
+    """The expression-only (out, carry) merge fold must equal the
+    reference left-to-right non-overlapping BPE merge for ARBITRARY
+    symbol sequences and pair choices -- including degenerate pairs
+    (a, a) over runs, where greedy selection parity is the whole
+    difficulty."""
+
+    @settings(**SETTINGS)
+    @given(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6), min_size=5, max_size=40
+        ),
+        st.sampled_from(["a", "b", "aa", "ab"]),
+        st.sampled_from(["a", "b", "bb", "ab"]),
+    )
+    def test_fold_equals_reference_merge(self, spark, words, la, ra):
+        def py_merge(word: str):
+            out, carry = [], None
+            for s in word:  # chars as symbols
+                if carry == la and s == ra:
+                    out.append(la + ra)
+                    carry = None
+                else:
+                    if carry is not None:
+                        out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            return out
+
+        df = spark.createDataFrame([(w,) for w in words], ["word"])
+        got = df.select(
+            "word",
+            F.expr(
+                "aggregate(regexp_extract_all(word, '.', 0),"
+                " named_struct('o', CAST(array() AS ARRAY<STRING>),"
+                "              'c', CAST(NULL AS STRING)),"
+                f" (acc, s) -> IF(acc.c = '{la}' AND s = '{ra}',"
+                f"   named_struct('o', concat(acc.o, array('{la}{ra}')),"
+                "                 'c', CAST(NULL AS STRING)),"
+                "   named_struct('o', IF(acc.c IS NULL, acc.o,"
+                "                        concat(acc.o, array(acc.c))),"
+                "                 'c', s)),"
+                " acc -> IF(acc.c IS NULL, acc.o, concat(acc.o, array(acc.c))))"
+            ).alias("m"),
+        ).collect()
+        for row in got:
+            # multi-char la/ra never matches single-char symbols -- the
+            # reference agrees because py_merge compares the same way
+            assert row["m"] == py_merge(row["word"]), (row["word"], la, ra)
