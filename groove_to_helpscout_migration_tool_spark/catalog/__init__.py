@@ -101,6 +101,7 @@ _HEAVY = {
     # r7 iterative ops: multi-round driver loops + unrolled-CTE oracles
     "llm_embedding_pca_power",        # ~12s: 4-round HUGEINT oracle replay
     "llm_bpe_train_merges",           # ~6s: 6-round window-merge oracle
+    "llm_bpe_tokenize_apply",         # ~13s: full chain replay + doc join
 }
 
 

@@ -242,12 +242,23 @@ def _bpe_oracle() -> str:
     right half, and list() the survivors back in order. The Spark side
     merges with a sequential expression fold instead -- two different
     formulations certifying the same loop."""
+    return "WITH " + ",\n".join(_bpe_ctes()) + "\n" + _bpe_union()
+
+
+def _bpe_union() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, la AS left_sym, ra AS right_sym,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    ) + "\nORDER BY rank"
+
+
+def _bpe_ctes() -> list[str]:
     parts = [
         f"""w0 AS (
-  SELECT row_number() OVER (ORDER BY word) AS wid, cnt, syms FROM (
-    SELECT word, count(*) AS cnt, regexp_extract_all(word, '.') AS syms
-    FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
-    GROUP BY word)
+  SELECT word, count(*) AS cnt, regexp_extract_all(word, '.') AS syms
+  FROM (SELECT unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY word
 )"""
     ]
     for k in range(1, BPE_ROUNDS + 1):
@@ -260,34 +271,29 @@ def _bpe_oracle() -> str:
 ), b{k} AS (
   SELECT la, ra, c FROM p{k} ORDER BY c DESC, la ASC, ra ASC LIMIT 1
 ), m{k} AS (
-  SELECT w.wid, w.cnt, t.i, w.syms[t.i] AS s,
+  SELECT w.word, w.cnt, t.i, w.syms[t.i] AS s,
          CASE WHEN t.i < len(w.syms) THEN w.syms[t.i + 1] END AS sn,
          (t.i < len(w.syms) AND w.syms[t.i] = b.la AND w.syms[t.i + 1] = b.ra)
            AS mk
   FROM w{p} w, b{k} b, unnest(range(1, len(w.syms) + 1)) AS t(i)
 ), g{k} AS (
   SELECT *, CASE WHEN mk THEN i - row_number()
-                   OVER (PARTITION BY wid, mk ORDER BY i) END AS grp
+                   OVER (PARTITION BY word, mk ORDER BY i) END AS grp
   FROM m{k}
 ), tk{k} AS (
   SELECT *, mk AND (row_number()
-                    OVER (PARTITION BY wid, grp ORDER BY i) % 2 = 1) AS take
+                    OVER (PARTITION BY word, grp ORDER BY i) % 2 = 1) AS take
   FROM g{k}
 ), w{k} AS (
-  SELECT wid, cnt,
+  SELECT word, cnt,
          list(CASE WHEN take THEN s || sn ELSE s END ORDER BY i) AS syms
-  FROM (SELECT *, coalesce(lag(take) OVER (PARTITION BY wid ORDER BY i),
+  FROM (SELECT *, coalesce(lag(take) OVER (PARTITION BY word ORDER BY i),
                            FALSE) AS consumed
         FROM tk{k})
-  WHERE NOT consumed GROUP BY wid, cnt
+  WHERE NOT consumed GROUP BY word, cnt
 )"""
         )
-    union = "\nUNION ALL\n".join(
-        f"SELECT {k} AS rank, la AS left_sym, ra AS right_sym,"
-        f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
-        for k in range(1, BPE_ROUNDS + 1)
-    )
-    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY rank"
+    return parts
 
 
 @register(
@@ -314,12 +320,31 @@ def _bpe_oracle() -> str:
     ),
 )
 def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_loop(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count bigint"
+    ).select(
+        F.col("rank").cast("int").alias("rank"),
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    )
+
+
+def _bpe_loop(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge loop; return (merge table rows, final word table
+    (word, cnt, syms)) -- the trained model AND the tokenized
+    vocabulary, shared by the train and apply operators."""
     t = load_tables(spark, sf_dir, ["documents"])
     words = (
         t.documents.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("cnt", F.expr("regexp_extract_all(word, '.', 0)").alias("syms"))
+        .select(
+            "word", "cnt", F.expr("regexp_extract_all(word, '.', 0)").alias("syms")
+        )
     )
     words = cache.persist_artifact(words)
     merges: list[tuple[int, str, str, int]] = []
@@ -364,14 +389,57 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "                 'c', s)),"
             " acc -> IF(acc.c IS NULL, acc.o, concat(acc.o, array(acc.c))))"
         )
-        words = cache.persist_artifact(words.select("cnt", merged.alias("syms")))
-    return spark.createDataFrame(
-        merges, "rank int, left_sym string, right_sym string, pair_count bigint"
-    ).select(
-        F.col("rank").cast("int").alias("rank"),
-        "left_sym",
-        "right_sym",
-        "pair_count",
+        words = cache.persist_artifact(
+            words.select("word", "cnt", merged.alias("syms"))
+        )
+    return merges, words
+
+
+@register(
+    "llm_bpe_tokenize_apply",
+    oracle=(
+        "WITH "
+        + ",\n".join(_bpe_ctes())
+        + f"""
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(w.syms)) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents) d
+JOIN w{BPE_ROUNDS} w USING (word)
+GROUP BY d.doc_id
+"""
+    ),
+    doc=(
+        "BPE tokenizer APPLY -- the inference half of"
+        " llm_bpe_train_merges: the trained merge table tokenizes the"
+        " corpus and reports per-document subword counts (the token"
+        " accounting every budget/packing stage downstream consumes)."
+        " The key scalability idea is WORD-LEVEL tokenization: merges"
+        " apply once per DISTINCT word (the |vocab|-sized table the"
+        " trainer already materialized), and documents join word ->"
+        " subword-count instead of re-merging every token occurrence --"
+        " at 100 TB that turns tokenization from O(corpus tokens x"
+        " rounds) fold work into O(vocab x rounds) + one broadcast-"
+        "joined corpus pass. The DuckDB oracle replays the ENTIRE"
+        " training chain (shared word-keyed CTEs) and joins the final"
+        " vocabulary back to the documents, so train+apply are"
+        " value-certified together end-to-end."
+    ),
+)
+def llm_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, words = _bpe_loop(spark, sf_dir)
+    vocab = words.select("word", F.size("syms").cast("bigint").alias("n_sub"))
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t.documents.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    )
+    return (
+        toks.join(F.broadcast(vocab), ["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
     )
 
 

@@ -57,6 +57,7 @@ EMPTY_TOTAL = [
     "llm_quality_classifier_score",
     "llm_mixture_epochs",
     "llm_bpe_train_merges",
+    "llm_bpe_tokenize_apply",
 ]
 
 

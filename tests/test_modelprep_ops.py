@@ -133,7 +133,7 @@ def _python_bpe(words: Counter, rounds: int):
             if carry is not None:
                 out.append(carry)
             state[w] = tuple(out)
-    return merges
+    return merges, state
 
 
 def test_bpe_merge_table_matches_pure_python_reference(spark, sf_dir):
@@ -143,7 +143,7 @@ def test_bpe_merge_table_matches_pure_python_reference(spark, sf_dir):
         for w in d["text"].split():
             if w:
                 words[w] += 1
-    expect = _python_bpe(words, BPE_ROUNDS)
+    expect, _ = _python_bpe(words, BPE_ROUNDS)
     got = (
         catalog.QUERIES["llm_bpe_train_merges"].fn(spark, sf_dir)
         .orderBy("rank")
@@ -220,3 +220,30 @@ def test_pca_power_matches_integer_recount_and_beats_start(spark, sf_dir):
 
     assert rayleigh(v) >= 0.75 * lam1  # measured 0.83-0.90 across SFs
     assert rayleigh(v) > rayleigh(_PCA_V0) * 1.5  # start vector is far off
+
+
+def test_bpe_tokenize_apply_matches_python_reference(spark, sf_dir):
+    """Per-doc subword counts must equal tokenizing every document with
+    the reference BPE's final word states."""
+    docs = load_tables(spark, sf_dir, ["documents"]).documents.collect()
+    words = Counter()
+    doc_tokens = {}
+    for d in docs:
+        toks = [w for w in d["text"].split() if w]
+        doc_tokens[d["doc_id"]] = toks
+        for w in toks:
+            words[w] += 1
+    _, state = _python_bpe(words, BPE_ROUNDS)
+    out = {
+        r["doc_id"]: r
+        for r in catalog.QUERIES["llm_bpe_tokenize_apply"].fn(spark, sf_dir).collect()
+    }
+    expect_docs = {d: t for d, t in doc_tokens.items() if t}
+    assert set(out) == set(expect_docs)
+    for did, toks in list(expect_docs.items())[:50]:
+        assert out[did]["n_words"] == len(toks)
+        assert out[did]["n_bpe_tokens"] == sum(len(state[w]) for w in toks)
+    # merging must actually compress: strictly fewer subwords than chars
+    total_sub = sum(r["n_bpe_tokens"] for r in out.values())
+    total_chars = sum(len(w) for t in expect_docs.values() for w in t)
+    assert total_sub < total_chars

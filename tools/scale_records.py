@@ -87,6 +87,7 @@ PROBES = {
     "llm_quality_classifier_score": "linear",
     "llm_mixture_epochs": "linear",
     "llm_bpe_train_merges": "linear",
+    "llm_bpe_tokenize_apply": "linear",
     "llm_embedding_pca_power": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
