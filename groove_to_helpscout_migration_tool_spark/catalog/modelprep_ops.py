@@ -173,7 +173,7 @@ CROSS JOIN LATERAL unnest(range(1,
         " so the plan is bit-identical cross-engine and reproducible at"
         " any partitioning. Plan shape: one token-count aggregate"
         " (sources-sized), rates broadcast back onto the scan, explode"
-        " by at most 1+{MIX_MAX_EPOCHS} -- no shuffle of the corpus,"
+        f" by at most 1+{MIX_MAX_EPOCHS} -- no shuffle of the corpus,"
         " no rand()."
     ),
 )
@@ -271,11 +271,15 @@ def _bpe_ctes() -> list[str]:
 ), b{k} AS (
   SELECT la, ra, c FROM p{k} ORDER BY c DESC, la ASC, ra ASC LIMIT 1
 ), m{k} AS (
+  -- LEFT JOIN ON TRUE + coalesce(mk, FALSE): when the corpus exhausts
+  -- its pairs before round {BPE_ROUNDS} (b{k} empty), the round must be
+  -- a NO-OP carrying w{p} through -- a cross join would empty every
+  -- later w table and desync from the Spark side's loop break
   SELECT w.word, w.cnt, t.i, w.syms[t.i] AS s,
          CASE WHEN t.i < len(w.syms) THEN w.syms[t.i + 1] END AS sn,
-         (t.i < len(w.syms) AND w.syms[t.i] = b.la AND w.syms[t.i + 1] = b.ra)
-           AS mk
-  FROM w{p} w, b{k} b, unnest(range(1, len(w.syms) + 1)) AS t(i)
+         coalesce(t.i < len(w.syms) AND w.syms[t.i] = b.la
+                  AND w.syms[t.i + 1] = b.ra, FALSE) AS mk
+  FROM w{p} w LEFT JOIN b{k} b ON TRUE, unnest(range(1, len(w.syms) + 1)) AS t(i)
 ), g{k} AS (
   SELECT *, CASE WHEN mk THEN i - row_number()
                    OVER (PARTITION BY word, mk ORDER BY i) END AS grp
@@ -331,12 +335,23 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MEMO: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
 def _bpe_loop(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run the merge loop; return (merge table rows, final word table
     (word, cnt, syms)) -- the trained model AND the tokenized
-    vocabulary, shared by the train and apply operators."""
+    vocabulary, shared by the train and apply operators. Memoized per
+    (Spark application, sf_dir): training runs once per session and the
+    apply operator reuses the word table instead of re-training (the
+    final words DataFrame stays valid after a cache clear -- its plan
+    simply recomputes)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        return hit
     t = load_tables(spark, sf_dir, ["documents"])
     words = (
         t.documents.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
@@ -373,26 +388,40 @@ def _bpe_loop(
             break  # corpus exhausted (no adjacent pairs left / empty input)
         la, ra, cnt = best["la"], best["ra"], -best["nc"]
         merges.append((k, la, ra, int(cnt)))
-        # expression-only left-to-right merge fold: carry the previous
-        # symbol; (carry=la, s=ra) emits the merged symbol and clears
-        # the carry, so an overlapping second occurrence cannot re-use
-        # the consumed symbol (BPE's non-overlap rule by construction)
-        merged = F.expr(
-            "aggregate(syms,"
-            " named_struct('o', CAST(array() AS ARRAY<STRING>),"
-            "              'c', CAST(NULL AS STRING)),"
-            f" (acc, s) -> IF(acc.c = '{la}' AND s = '{ra}',"
-            f"   named_struct('o', concat(acc.o, array('{la}{ra}')),"
-            "                 'c', CAST(NULL AS STRING)),"
-            "   named_struct('o', IF(acc.c IS NULL, acc.o,"
-            "                        concat(acc.o, array(acc.c))),"
-            "                 'c', s)),"
-            " acc -> IF(acc.c IS NULL, acc.o, concat(acc.o, array(acc.c))))"
-        )
         words = cache.persist_artifact(
-            words.select("word", "cnt", merged.alias("syms"))
+            words.select(
+                "word", "cnt", _bpe_merge_fold("syms", la, ra).alias("syms")
+            )
         )
+    _BPE_MEMO[key] = (merges, words)
     return merges, words
+
+
+def _bpe_merge_fold(syms_col: str, la: str, ra: str) -> F.Column:
+    """Expression-only left-to-right merge fold: carry the previous
+    symbol; (carry=la, s=ra) emits the merged symbol and clears the
+    carry, so an overlapping second occurrence cannot re-use the
+    consumed symbol (BPE's non-overlap rule by construction). Built with
+    the Column API and F.lit -- corpus-derived symbols never enter a SQL
+    string, so quotes/backslashes in real text cannot break parsing."""
+
+    def _acc(out: F.Column, carry: F.Column) -> F.Column:
+        return F.struct(out.alias("o"), carry.alias("c"))
+
+    null_s = F.lit(None).cast("string")
+    empty = F.array().cast("array<string>")
+    flush = lambda acc: F.when(  # noqa: E731 -- emit the pending carry
+        acc["c"].isNull(), acc["o"]
+    ).otherwise(F.concat(acc["o"], F.array(acc["c"])))
+    return F.aggregate(
+        F.col(syms_col),
+        _acc(empty, null_s),
+        lambda acc, s: F.when(
+            (acc["c"] == F.lit(la)) & (s == F.lit(ra)),
+            _acc(F.concat(acc["o"], F.array(F.lit(la + ra))), null_s),
+        ).otherwise(_acc(flush(_acc(acc["o"], acc["c"])), s)),
+        flush,
+    )
 
 
 @register(
@@ -510,6 +539,7 @@ v{k} AS (
         + f"""
 SELECT CAST(t.j - 1 AS BIGINT) AS dim, CAST(v.v[t.j] AS BIGINT) AS loading_milli
 FROM {prev} v, unnest(range(1, {PCA_DIMS} + 1)) AS t(j)
+WHERE (SELECT count(*) FROM embeddings) > 0
 """
     )
 

@@ -210,9 +210,11 @@ def test_no_complex_output_columns_anywhere(spark, sf_dir):
     the driver even when its values are exactly right (round-6
     llm_embedding_jl_project). Sweep every registered query's output
     schema; any complex-typed column is a failure here first."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
     from minidriver import complex_output_cols
 
     offenders = {}
@@ -221,15 +223,24 @@ def test_no_complex_output_columns_anywhere(spark, sf_dir):
         bad = complex_output_cols(schema)
         if bad:
             offenders[name] = bad
+    # the driver-loop ops (BPE, PCA) materialize persisted artifacts just
+    # from fn(); release them so they don't leak into the rest of the suite
+    from groove_to_helpscout_migration_tool_spark.operators.cache import (
+        unpersist_artifacts,
+    )
+
+    unpersist_artifacts()
     assert offenders == {}, f"complex-typed output columns: {offenders}"
 
 
 def test_minidriver_rejects_complex_output_schema():
     """The mirror must flag an array column the same way the official
     driver would die on it (never greener than the driver)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
     from pyspark.sql import types as T
 
     from minidriver import complex_output_cols
@@ -292,7 +303,23 @@ class TestBenchContract:
         mutated = (set(bench.HEADLINE) - {bench.HEADLINE[0]}) | {"made_up_query"}
         d2 = bench._set_delta(mutated)
         assert "made_up_query" in d2["added"]
-        assert bench.HEADLINE[0] in d2["dropped"] or bench.HEADLINE[0] not in d2["added"]
+        # a removed member must be REPORTED as dropped (guard on it being
+        # present in the recorded round, else the drop is undetectable)
+        import glob
+        import json as _json
+        import os
+        import re
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        newest = max(
+            glob.glob(os.path.join(repo, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        )
+        with open(newest) as f:
+            rec = _json.load(f)
+        prev = set((rec.get("parsed") or rec).get("queries", {}))
+        if bench.HEADLINE[0] in prev:
+            assert bench.HEADLINE[0] in d2["dropped"]
 
     def test_compact_line_fits_tail_buffer(self):
         import json

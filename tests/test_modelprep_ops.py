@@ -181,6 +181,8 @@ def test_pca_power_matches_integer_recount_and_beats_start(spark, sf_dir):
     4-round iterate (three formulations with Duck's HUGEINT replay), and
     the iterate must capture most of numpy's true top eigenvalue --
     far more than the md5 start vector does."""
+    import math
+
     import numpy as np
 
     from groove_to_helpscout_migration_tool_spark.catalog.modelprep_ops import (
@@ -193,7 +195,12 @@ def test_pca_power_matches_integer_recount_and_beats_start(spark, sf_dir):
     emb = load_tables(spark, sf_dir, ["embeddings"]).embeddings.orderBy("vec_id")
     X = np.stack([np.array(r["embedding"], dtype=np.float64) for r in emb.collect()])
     # exact integer recount (python bigints -- no overflow, no floats)
-    Xq = [[round(float(x) * PCA_Q) for x in row] for row in X]
+    def _round_away(v: float) -> int:
+        # Spark round() and DuckDB round() both round halves AWAY from
+        # zero; Python round() is banker's -- recount with the engines' rule
+        return (1 if v >= 0 else -1) * math.floor(abs(v) * PCA_Q + 0.5)
+
+    Xq = [[_round_away(float(x)) for x in row] for row in X]
     n = len(Xq)
     S = [sum(row[j] for row in Xq) for j in range(PCA_DIMS)]
     CX = [[n * row[j] - S[j] for j in range(PCA_DIMS)] for row in Xq]
@@ -247,3 +254,71 @@ def test_bpe_tokenize_apply_matches_python_reference(spark, sf_dir):
     total_sub = sum(r["n_bpe_tokens"] for r in out.values())
     total_chars = sum(len(w) for t in expect_docs.values() for w in t)
     assert total_sub < total_chars
+
+
+def test_bpe_oracle_noop_rounds_on_pair_exhausted_corpus(spark, tmp_path):
+    """A corpus whose pairs run out before BPE_ROUNDS must agree across
+    engines: the Spark loop breaks early, and the oracle's LEFT JOIN
+    no-op rounds must carry the word table through instead of emptying
+    it (the pre-fix cross join zeroed w2..w6 and the apply oracle)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["ab ab cd", "ab"],
+            "lang": ["en", "en"],
+            "source": ["s0", "s0"],
+            "n_chars": [8, 2],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    try:
+        for name in ("llm_bpe_train_merges", "llm_bpe_tokenize_apply"):
+            spec = catalog.QUERIES[name]
+            srows = sorted(
+                tuple(r) for r in spec.fn(spark, str(tmp_path)).collect()
+            )
+            orows = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+            assert srows == orows, (name, srows, orows)
+        # and the early break really happened: fewer merges than rounds
+        got = catalog.QUERIES["llm_bpe_train_merges"].fn(spark, str(tmp_path))
+        assert 0 < got.count() < BPE_ROUNDS
+    finally:
+        from groove_to_helpscout_migration_tool_spark.operators.cache import (
+            unpersist_artifacts,
+        )
+
+        unpersist_artifacts()
+
+
+def test_pca_oracle_empty_corpus_gate(tmp_path):
+    """The PCA oracle must emit ZERO rows on an empty embeddings table
+    (matching the Spark n == 0 guard) -- ungated, its no-GROUP-BY
+    aggregate CTEs still produce one all-NULL vector row."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(schema.empty_table(), str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    rows = con.execute(
+        catalog.QUERIES["llm_embedding_pca_power"].oracle
+    ).fetchall()
+    assert rows == []

@@ -743,21 +743,15 @@ class TestBpeMergeFoldProperty:
                 out.append(carry)
             return out
 
-        df = spark.createDataFrame([(w,) for w in words], ["word"])
+        from groove_to_helpscout_migration_tool_spark.catalog.modelprep_ops import (
+            _bpe_merge_fold,
+        )
+
+        df = spark.createDataFrame([(w,) for w in words], ["word"]).select(
+            "word", F.expr("regexp_extract_all(word, '.', 0)").alias("syms")
+        )
         got = df.select(
-            "word",
-            F.expr(
-                "aggregate(regexp_extract_all(word, '.', 0),"
-                " named_struct('o', CAST(array() AS ARRAY<STRING>),"
-                "              'c', CAST(NULL AS STRING)),"
-                f" (acc, s) -> IF(acc.c = '{la}' AND s = '{ra}',"
-                f"   named_struct('o', concat(acc.o, array('{la}{ra}')),"
-                "                 'c', CAST(NULL AS STRING)),"
-                "   named_struct('o', IF(acc.c IS NULL, acc.o,"
-                "                        concat(acc.o, array(acc.c))),"
-                "                 'c', s)),"
-                " acc -> IF(acc.c IS NULL, acc.o, concat(acc.o, array(acc.c))))"
-            ).alias("m"),
+            "word", _bpe_merge_fold("syms", la, ra).alias("m")
         ).collect()
         for row in got:
             # multi-char la/ra never matches single-char symbols -- the
