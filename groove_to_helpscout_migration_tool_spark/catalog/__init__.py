@@ -23,6 +23,7 @@ from . import curation_ops  # noqa: F401
 from . import corpus_ops  # noqa: F401
 from . import mining_ops  # noqa: F401
 from . import modelprep_ops  # noqa: F401
+from . import audit_ops  # noqa: F401
 
 from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 
@@ -102,6 +103,9 @@ _HEAVY = {
     "llm_embedding_pca_power",        # ~12s: 4-round HUGEINT oracle replay
     "llm_bpe_train_merges",           # ~6s: 6-round window-merge oracle
     "llm_bpe_tokenize_apply",         # ~13s: full chain replay + doc join
+    # r7 audit family: gram-keyed source-set aggregation + HOF pair
+    # expansion (the Spark side; the DuckDB oracle self-join is 0.2s)
+    "llm_cross_source_overlap",       # ~8s
 }
 
 

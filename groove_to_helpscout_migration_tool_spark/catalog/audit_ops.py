@@ -1,0 +1,379 @@
+"""Corpus-audit and release-assembly operators (round 7): the
+cross-cutting reports and deterministic partitions a dataset RELEASE
+needs once curation is done.
+
+  - llm_cross_source_overlap : source x source shared-shingle matrix --
+        the inter-source contamination/duplication audit a dataset card
+        links to (which crawls copied which, where the mixture
+        double-counts).
+  - llm_train_val_test_split : deterministic hash split into
+        train/val/test per-mille buckets plus a write-layout shard --
+        the one split every training run downstream assumes is stable
+        across reruns and engines.
+  - llm_dedup_keep_best      : exact-duplicate groups keep their
+        highest-QUALITY copy (classifier-scored representative
+        selection), not the arbitrary first -- the policy production
+        dedup actually wants when duplicates differ in extraction
+        quality.
+  - llm_ngram_novelty        : per-document fraction of corpus-novel
+        3-gram shingles (first-owner = lowest doc_id) -- the
+        data-valuation signal curriculum/selection recipes rank
+        documents by.
+
+Reference parity note: the reference tool (a one-tenant ticket
+migrator, app/Console/Commands/ -- e.g. TicketProcessor.php processes
+rows one at a time) has no corpus-release stage; these extend the
+engine for the LLM-data workload with the same oracle-paired
+correctness contract as the rest of the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import cache
+from ..operators import dedup as DD
+from ..registry import register
+from ..session import load_tables
+from . import llm_ops as _LL
+from . import modelprep_ops as _MP
+
+_TOKENS_SQL = _LL._TOKENS_SQL
+_DOC_KEY_SQL = _LL._DOC_KEY_SQL
+_SHINGLE_CTES = _LL._SHINGLE_CTES
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix (inter-source duplication audit)
+# ---------------------------------------------------------------------------
+@register(
+    "llm_cross_source_overlap",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+sg AS (
+  SELECT DISTINCT dd.source, u.g
+  FROM docs JOIN documents dd USING (doc_id), unnest(docs.xs) AS u(g)
+), tot AS (
+  SELECT source, count(*) AS n FROM sg GROUP BY source
+), mat AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_grams
+  FROM sg a JOIN sg b USING (g)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT m.src_a, m.src_b,
+       CAST(m.n_shared_grams AS BIGINT) AS n_shared_grams,
+       CAST(ta.n AS BIGINT) AS n_grams_a,
+       CAST(tb.n AS BIGINT) AS n_grams_b,
+       CAST((1000 * m.n_shared_grams) // least(ta.n, tb.n) AS BIGINT)
+         AS containment_milli
+FROM mat m
+JOIN tot ta ON m.src_a = ta.source
+JOIN tot tb ON m.src_b = tb.source
+""",
+    doc=(
+        "Cross-source overlap matrix: for every unordered SOURCE pair,"
+        " the count of distinct word-3-gram shingles (the llm_ops shingle"
+        " space) present in BOTH, with per-source distinct-shingle totals"
+        " and an integer containment ratio (shared / smaller side, per"
+        " mille) -- the inter-source duplication audit that tells a"
+        " mixture designer which crawls copied which before weights are"
+        " chosen (exact-duplicate DOCS never cross sources here; shingle"
+        " granularity is what actually overlaps). Plan: one shingle scan"
+        " with source carried on the explode (NO corpus-sized join-back),"
+        " one (gram)-keyed hash aggregation collapsing to the per-gram"
+        " sorted source-set, then pair EXPANSION as a map-side array"
+        " expression bounded by C(|sources|,2) per gram -- never a"
+        " self-join of the exploded shingle table, whose hot grams would"
+        " square. Output rows = source pairs (tiny); the per-source"
+        " totals re-use the same aggregated frame and broadcast back."
+        " At 100 TB: linear in corpus shingles, bounded by the source"
+        " count everywhere else."
+    ),
+)
+def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    # shingles with source carried on the scan itself (carry= rides the
+    # persisted artifact): joining source back over (doc_id) would
+    # shuffle the corpus a second time for a column the scan already had
+    # (the boilerplate-strip lesson), and rebuilding the shingles
+    # UNPERSISTED would let projection collapse re-inline the md5-heavy
+    # hash expressions into the explode (measured 3x slower)
+    sh = DD.shingled_docs(t.documents, carry=("source",))
+    # one gram-keyed aggregation: collect_set dedups (source, gram)
+    # pairs map-side; the sorted source-set is bounded by |sources|
+    bys = cache.persist_artifact(
+        sh.select(F.explode("xs").alias("g"), "source")
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    )
+    ss = F.col("ss")
+    # unordered pairs as a pure array expression: for element i, pair it
+    # with every LATER element (ss is sorted, so src_a < src_b holds by
+    # construction and matches the oracle's a.source < b.source)
+    pairs = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + F.lit(2), F.size(ss)),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    mat = (
+        bys.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+    # per-source distinct-shingle totals from the SAME aggregated frame
+    # (one corpus-scale shuffle total); 20-ish rows -> broadcast twice
+    tot = (
+        bys.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_grams_a")))
+    tb = F.broadcast(tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_grams_b")))
+    return (
+        mat.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared_grams",
+            "n_grams_a",
+            "n_grams_b",
+            F.expr(
+                "CAST((1000 * n_shared_grams) DIV least(n_grams_a, n_grams_b)"
+                " AS BIGINT)"
+            ).alias("containment_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (release partition)
+# ---------------------------------------------------------------------------
+_TVT_KEY_SQL = _DOC_KEY_SQL.format(salt="tvt")
+TVT_SHARDS = 16  # output-file layout shards within each split
+
+
+@register(
+    "llm_train_val_test_split",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, source, {_TVT_KEY_SQL} AS key FROM documents
+)
+SELECT doc_id, source,
+       CAST(key % 1000 AS BIGINT) AS bucket,
+       CASE WHEN key % 1000 < 900 THEN 'train'
+            WHEN key % 1000 < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST((key // 1000) % {TVT_SHARDS} AS BIGINT) AS shard
+FROM k
+""",
+    doc=(
+        "Deterministic train/val/test split (90/5/5): every document"
+        " lands in a per-mille bucket from its salted md5 key -- the"
+        " rand()-free split that is REPRODUCIBLE across reruns, engines,"
+        " and corpus growth (a document's split never changes when"
+        " neighbors are added/removed, unlike any percentile- or"
+        " row_number-based split), plus an independent write-layout"
+        f" shard ({TVT_SHARDS}-way, from disjoint key bits) for output"
+        " file assignment. Plan: MAP-ONLY, zero Exchange -- the split of"
+        " a 100 TB corpus costs one scan and is embarrassingly parallel;"
+        " writers partitionBy(split, shard) without any pre-shuffle"
+        " because the key is already uniform."
+    ),
+)
+def llm_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    bucket = F.col("_key") % 1000
+    return (
+        t.documents.withColumn("_key", _LL._doc_key("tvt"))
+        .select(
+            "doc_id",
+            "source",
+            bucket.cast("bigint").alias("bucket"),
+            F.when(bucket < 900, F.lit("train"))
+            .when(bucket < 950, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            # integer DIV, never `/`: the 60-bit key exceeds double
+            # precision, so a float divide would corrupt the shard bits
+            F.expr(f"CAST((_key DIV 1000) % {TVT_SHARDS} AS BIGINT)").alias(
+                "shard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best exact dedup (quality-scored representative selection)
+# ---------------------------------------------------------------------------
+# argmax bit-packing base: packed = score * KB + (KB - 1 - doc_id), so a
+# plain BIGINT max orders by (score DESC, doc_id ASC) and the aggregation
+# stays in HashAggregate (a max over a STRUCT falls back to the
+# SortAggregate path -- the llm_segment_dedup_keep_first lesson). Range
+# guards raise loudly (the _VOTE_PACK policy): doc_id must fit the 40
+# packing bits (~1.1e12 docs) and |score| must stay under 2^22 milli
+# (a ~4M-token document) so packed never leaves int64.
+KB = 1 << 40
+_KB_SCORE_CAP = 1 << 22
+
+
+@register(
+    "llm_dedup_keep_best",
+    oracle=f"""
+WITH {_MP.QCLF_W_CTE_SQL},
+scored AS (
+  SELECT doc_id, md5(text) AS th,
+         {_MP.QCLF_SCORE_SQL} AS score_milli
+  FROM documents, w
+), g AS (
+  SELECT th,
+         max(score_milli * {KB} + ({KB} - 1 - doc_id)) AS packed,
+         count(*) AS c
+  FROM scored GROUP BY th
+), u AS (
+  -- unpack with explicit non-negative remainder: packed can be negative
+  -- (negative scores), and truncating division is only safe on the
+  -- exact multiple (packed - r)
+  SELECT th, c, ((packed % {KB}) + {KB}) % {KB} AS r, packed FROM g
+)
+SELECT CAST({KB} - 1 - r AS BIGINT) AS doc_id, th,
+       CAST((packed - r) // {KB} AS BIGINT) AS score_milli,
+       CAST(c AS BIGINT) AS n_copies,
+       c > 1 AS had_duplicates
+FROM u
+""",
+    doc=(
+        "Exact dedup keeping the BEST copy: within each exact-duplicate"
+        " group (md5(text)), the survivor is the copy with the highest"
+        " quality-classifier score (modelprep_ops.qclf_score -- the same"
+        " md5-literal linear model as llm_quality_classifier_score, so"
+        " selection is all-integer), ties broken by LOWEST doc_id via"
+        " max(struct(score, -doc_id)). llm_dedup_exact keeps the"
+        " arbitrary-canonical first; this is the policy production dedup"
+        " wants when duplicate extractions differ in quality (same text"
+        " here implies same score, but the same operator applies"
+        " unchanged to normalized-text grouping where they differ)."
+        " Plan: the score is a map-only projection; the argmax is ONE"
+        " hash aggregation on the text hash -- partial max(struct)"
+        " combines map-side, no window, no sort, no self-join. At 100 TB"
+        " this is exactly the shape of llm_dedup_exact plus a free"
+        " scan-side expression."
+    ),
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    scored = t.documents.select(
+        "doc_id",
+        F.md5("text").alias("th"),
+        _MP.qclf_score(TX.tokens(F.col("text"))).cast("bigint").alias("score_milli"),
+    )
+    # out-of-range inputs would SILENTLY corrupt the packed argmax (and
+    # the oracle shares the packing, so the hash compare could not catch
+    # the drift) -- fail loudly instead, the _VOTE_PACK policy
+    doc_ok = F.when(
+        (F.col("doc_id") >= 0) & (F.col("doc_id") < KB), F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "llm_dedup_keep_best: doc_id %%s outside [0, 2^40) breaks"
+                " the packed argmax -- raise KB",
+                F.col("doc_id"),
+            )
+        )
+    )
+    score_ok = F.when(
+        F.abs(F.col("score_milli")) < _KB_SCORE_CAP, F.col("score_milli")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "llm_dedup_keep_best: |score_milli| %%s >= 2^22 would"
+                " overflow the packed argmax",
+                F.col("score_milli"),
+            )
+        )
+    )
+    g = scored.groupBy("th").agg(
+        F.max(score_ok * KB + (F.lit(KB - 1) - doc_ok)).alias("packed"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    u = g.withColumn("r", F.pmod(F.col("packed"), F.lit(KB)))
+    return u.select(
+        (F.lit(KB - 1) - F.col("r")).cast("bigint").alias("doc_id"),
+        "th",
+        # exact multiple after subtracting the remainder, so truncating
+        # integer DIV is exact even for negative packed values; `/`
+        # would route through double and lose bits above 2^53
+        F.expr(f"CAST((packed - r) DIV {KB} AS BIGINT)").alias("score_milli"),
+        F.col("c").cast("bigint").alias("n_copies"),
+        (F.col("c") > 1).alias("had_duplicates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty (data-valuation signal)
+# ---------------------------------------------------------------------------
+@register(
+    "llm_ngram_novelty",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+ex AS (
+  SELECT doc_id, len(xs) AS n_grams, u.g
+  FROM docs, unnest(docs.xs) AS u(g)
+), fo AS (
+  SELECT g, min(doc_id) AS fd FROM ex GROUP BY g
+)
+SELECT e.doc_id,
+       CAST(e.n_grams AS BIGINT) AS n_grams,
+       CAST(count(CASE WHEN f.fd = e.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+       CAST((1000 * count(CASE WHEN f.fd = e.doc_id THEN 1 END)) // e.n_grams
+            AS BIGINT) AS novelty_milli
+FROM ex e JOIN fo f USING (g)
+GROUP BY e.doc_id, e.n_grams
+""",
+    doc=(
+        "Per-document n-gram NOVELTY: the fraction (per mille, integer"
+        " division) of a document's distinct word-3-gram shingles whose"
+        " corpus-wide first owner (minimum doc_id -- the deterministic"
+        " stand-in for earliest-crawled) is the document itself. The"
+        " data-valuation signal selection/curriculum recipes rank by: a"
+        " novelty near 0 means everything in the document was already"
+        " contributed by earlier documents. Differs from"
+        " llm_segment_dedup_keep_first in granularity (overlapping"
+        " 3-gram shingles vs disjoint 12-token segments) and in OUTPUT"
+        " (a per-doc scalar score, not a rewritten corpus). Plan: reuses"
+        " the persisted shingle artifact shared by the near-dup family;"
+        " first-owner is one (gram)-keyed hash aggregation (partial min"
+        " combines map-side); the join back is gram-keyed with a UNIQUE"
+        " right side, so output rows == exploded rows (no fanout) and"
+        " the final per-doc rollup combines map-side. Linear at 100 TB;"
+        " hot grams cost max(docs-per-gram) join rows, never a square."
+    ),
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = DD.shingled_docs(t.documents)
+    ex = docs.select(
+        "doc_id", F.size("xs").alias("n_grams"), F.explode("xs").alias("g")
+    )
+    first = ex.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    novel = F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        ex.join(first, "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(novel.cast("bigint").alias("n_novel"))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            "n_novel",
+            F.expr("CAST((1000 * n_novel) DIV n_grams AS BIGINT)").alias(
+                "novelty_milli"
+            ),
+        )
+    )

@@ -59,17 +59,44 @@ _QCLF_W = [_qclf_weight(d) for d in range(QCLF_DIMS)]
 _QCLF_BIAS = int(_hashlib.md5(b"qclf:bias").hexdigest()[:15], 16) % 2001 - 1000
 _QCLF_W_SQL = "[" + ", ".join(str(w) for w in _QCLF_W) + "]"
 
+# Reusable oracle fragments (llm_dedup_keep_best in audit_ops scores
+# duplicates with the SAME model -- one literal, never two drifting
+# copies): the weight-vector CTE and the per-document score expression,
+# which expects `wv` in scope via `..., w` cross join.
+QCLF_W_CTE_SQL = f"w AS (SELECT {_QCLF_W_SQL} AS wv)"
+QCLF_SCORE_SQL = f"""{_QCLF_BIAS} + coalesce(list_sum(list_transform({_TOKENS_SQL}, t ->
+           (CASE WHEN (({_WORD_HASH_SQL.format(w='t')}) // {QCLF_DIMS}) % 2 = 0
+                 THEN 1 ELSE -1 END)
+           * wv[(({_WORD_HASH_SQL.format(w='t')}) % {QCLF_DIMS}) + 1])), 0)"""
+
+
+def qclf_score(toks: F.Column) -> F.Column:
+    """bigint milli-score of a token array under the md5-derived linear
+    model -- the Spark twin of QCLF_SCORE_SQL. Per-token contribution:
+    sign from the hash bit just above the dim bits (shiftright keeps it
+    integer-exact -- a float division of a 60-bit hash would lose the
+    parity bit), weight by dim lookup into the literal array."""
+    wv = F.lit(_QCLF_W)  # 64-int literal array: the broadcast-free model
+
+    def _contrib(tok: F.Column) -> F.Column:
+        hh = TX.word_hash(tok)
+        sgn = F.when(F.shiftright(hh, 6) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+        return sgn * F.element_at(wv, (hh % QCLF_DIMS + 1).cast("int"))
+
+    return F.lit(_QCLF_BIAS) + F.aggregate(
+        F.transform(toks, _contrib),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
 
 @register(
     "llm_quality_classifier_score",
     oracle=f"""
-WITH w AS (SELECT {_QCLF_W_SQL} AS wv), scored AS (
+WITH {QCLF_W_CTE_SQL}, scored AS (
   SELECT doc_id,
          len({_TOKENS_SQL}) AS n_toks,
-         {_QCLF_BIAS} + coalesce(list_sum(list_transform({_TOKENS_SQL}, t ->
-           (CASE WHEN (({_WORD_HASH_SQL.format(w='t')}) // {QCLF_DIMS}) % 2 = 0
-                 THEN 1 ELSE -1 END)
-           * wv[(({_WORD_HASH_SQL.format(w='t')}) % {QCLF_DIMS}) + 1])), 0)
+         {QCLF_SCORE_SQL}
            AS score_milli
   FROM documents, w
 )
@@ -97,22 +124,8 @@ FROM scored
 )
 def llm_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    wv = F.lit(_QCLF_W)  # 64-int literal array: the broadcast-free model
-
-    # per-token contribution: sign from the hash bit just above the dim
-    # bits (shiftright keeps it integer-exact -- a float division of a
-    # 60-bit hash would lose the parity bit), weight by dim lookup
-    def _contrib(tok: F.Column) -> F.Column:
-        hh = TX.word_hash(tok)
-        sgn = F.when(F.shiftright(hh, 6) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
-        return sgn * F.element_at(wv, (hh % QCLF_DIMS + 1).cast("int"))
-
     toks = TX.tokens(F.col("text"))
-    score = F.lit(_QCLF_BIAS) + F.aggregate(
-        F.transform(toks, _contrib),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    score = qclf_score(toks)
     return t.documents.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_toks"),

@@ -106,8 +106,8 @@ def gram_hashes(hs) -> "F.Column":
     return F.array_distinct(grams)
 
 
-def shingled_docs(documents: DataFrame) -> DataFrame:
-    """(doc_id, xs) with the expensive shingle+hash stage computed ONCE:
+def shingled_docs(documents: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *carry, xs) with the expensive shingle+hash stage computed ONCE:
     repartitioned off the raw file layout (a small parquet arrives as one
     input split -- without this the md5-heavy shingle compute runs on a
     single core) and persisted, because every near-dup operator references
@@ -126,8 +126,8 @@ def shingled_docs(documents: DataFrame) -> DataFrame:
         spread_off_file_layout(
             documents.filter(F.size(TX.tokens(F.col("text"))) >= 3), "doc_id"
         )
-        .select("doc_id", token_hashes(F.col("text")).alias("hs"))
-        .select("doc_id", gram_hashes(F.col("hs")).alias("xs"))
+        .select("doc_id", *carry, token_hashes(F.col("text")).alias("hs"))
+        .select("doc_id", *carry, gram_hashes(F.col("hs")).alias("xs"))
     )
     return persist_artifact(docs)
 

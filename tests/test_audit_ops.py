@@ -1,0 +1,175 @@
+"""Audit/assembly operators: contracts beyond the value-hash oracle --
+the overlap matrix must recount from a pure-Python shingle set build,
+the split must follow the salted-md5 bucket formula document by
+document (and be independent of corpus membership), keep-best must pick
+the true per-group score argmax, and novelty must recount from a
+first-owner dict."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from groove_to_helpscout_migration_tool_spark import catalog
+from groove_to_helpscout_migration_tool_spark.catalog.audit_ops import (
+    KB,
+    TVT_SHARDS,
+)
+from groove_to_helpscout_migration_tool_spark.operators.dedup import (
+    GRAM_A,
+    GRAM_B,
+    XFOLD,
+)
+from groove_to_helpscout_migration_tool_spark.session import load_tables
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles(text: str) -> set[int]:
+    hs = [_h60(w) % XFOLD for w in text.split() if w]
+    return {
+        (hs[i] * GRAM_A + hs[i + 1] * GRAM_B + hs[i + 2]) % XFOLD
+        for i in range(len(hs) - 2)
+    }
+
+
+def test_cross_source_overlap_recounts(spark, sf_dir):
+    per: dict[str, set[int]] = defaultdict(set)
+    docs = load_tables(spark, sf_dir, ["documents"]).documents.collect()
+    for d in docs:
+        per[d["source"]] |= _shingles(d["text"])
+    rows = catalog.QUERIES["llm_cross_source_overlap"].fn(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        a, b = r["src_a"], r["src_b"]
+        assert a < b  # unordered pairs, canonical order
+        assert (a, b) not in seen
+        seen.add((a, b))
+        shared = len(per[a] & per[b])
+        assert r["n_shared_grams"] == shared
+        assert r["n_grams_a"] == len(per[a])
+        assert r["n_grams_b"] == len(per[b])
+        assert r["containment_milli"] == (1000 * shared) // min(
+            len(per[a]), len(per[b])
+        )
+    # every pair with nonzero overlap must be present
+    srcs = sorted(per)
+    expect = {
+        (a, b)
+        for i, a in enumerate(srcs)
+        for b in srcs[i + 1 :]
+        if per[a] & per[b]
+    }
+    assert seen == expect
+
+
+def test_train_val_test_split_formula_and_stability(spark, sf_dir):
+    rows = catalog.QUERIES["llm_train_val_test_split"].fn(spark, sf_dir).collect()
+    docs = load_tables(spark, sf_dir, ["documents"]).documents.collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        key = _h60(f"{r['doc_id']}:tvt")
+        assert r["bucket"] == key % 1000
+        assert r["shard"] == (key // 1000) % TVT_SHARDS
+        expect = (
+            "train" if key % 1000 < 900 else "val" if key % 1000 < 950 else "test"
+        )
+        assert r["split"] == expect
+    # split is a pure function of doc_id: corpus membership cannot move
+    # a document between splits (the property row_number splits lack)
+    by_split = defaultdict(int)
+    for r in rows:
+        by_split[r["split"]] += 1
+    assert set(by_split) == {"train", "val", "test"}
+    n = len(rows)
+    assert 0.8 * n <= by_split["train"] <= 0.97 * n
+
+
+def test_dedup_keep_best_argmax(spark, sf_dir):
+    score = {
+        r["doc_id"]: r["score_milli"]
+        for r in catalog.QUERIES["llm_quality_classifier_score"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    docs = load_tables(spark, sf_dir, ["documents"]).documents.collect()
+    groups: dict[str, list[int]] = defaultdict(list)
+    for d in docs:
+        groups[hashlib.md5(d["text"].encode()).hexdigest()].append(d["doc_id"])
+    rows = catalog.QUERIES["llm_dedup_keep_best"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(groups)
+    # (sf0.001 has no exact-dup groups -- the multi-copy argmax path is
+    # exercised by test_dedup_keep_best_synthetic_dups below)
+    for r in rows:
+        members = groups[r["th"]]
+        best = max(members, key=lambda d: (score[d], -d))
+        assert r["doc_id"] == best
+        assert r["score_milli"] == score[best]
+        assert r["n_copies"] == len(members)
+        assert r["had_duplicates"] == (len(members) > 1)
+        assert 0 <= best < KB
+
+
+def test_dedup_keep_best_synthetic_dups(spark, tmp_path):
+    """Multi-copy groups with distinct qualities: the survivor must be
+    the highest-scoring copy, ties to the LOWEST doc_id -- exercised on
+    a synthetic corpus because sf0.001 has no exact duplicates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 'good good good' scores differently from 'zzz' under the hashed
+    # classifier; identical texts share a group regardless of doc_id
+    texts = {
+        10: "alpha beta gamma delta",
+        11: "alpha beta gamma delta",  # dup of 10 (tie -> keep 10)
+        20: "one two three",
+        21: "one two three",
+        22: "one two three",
+        30: "solo document",
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": pa.array(list(texts.values()), type=pa.string()),
+            "lang": pa.array(["en"] * len(texts), type=pa.string()),
+            "source": pa.array(["s"] * len(texts), type=pa.string()),
+            "n_chars": pa.array(
+                [len(v) for v in texts.values()], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in catalog.QUERIES["llm_dedup_keep_best"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # identical text => identical score => tie broken by lowest doc_id
+    assert set(rows) == {10, 20, 30}
+    assert rows[10]["n_copies"] == 2 and rows[10]["had_duplicates"]
+    assert rows[20]["n_copies"] == 3 and rows[20]["had_duplicates"]
+    assert rows[30]["n_copies"] == 1 and not rows[30]["had_duplicates"]
+
+
+def test_ngram_novelty_recounts(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ["documents"]).documents.collect()
+    sh = {d["doc_id"]: _shingles(d["text"]) for d in docs}
+    first: dict[int, int] = {}
+    for did in sorted(sh):
+        for g in sh[did]:
+            first.setdefault(g, did)
+    rows = catalog.QUERIES["llm_ngram_novelty"].fn(spark, sf_dir).collect()
+    assert len(rows) == sum(1 for s in sh.values() if s)
+    for r in rows:
+        grams = sh[r["doc_id"]]
+        novel = sum(1 for g in grams if first[g] == r["doc_id"])
+        assert r["n_grams"] == len(grams)
+        assert r["n_novel"] == novel
+        assert r["novelty_milli"] == (1000 * novel) // len(grams)
+    # the lowest doc_id with shingles owns everything it has
+    lead = min(d for d, s in sh.items() if s)
+    lead_row = next(r for r in rows if r["doc_id"] == lead)
+    assert lead_row["novelty_milli"] == 1000

@@ -58,6 +58,11 @@ EMPTY_TOTAL = [
     "llm_mixture_epochs",
     "llm_bpe_train_merges",
     "llm_bpe_tokenize_apply",
+    # r7 audit/assembly family
+    "llm_cross_source_overlap",
+    "llm_train_val_test_split",
+    "llm_dedup_keep_best",
+    "llm_ngram_novelty",
 ]
 
 

@@ -181,6 +181,23 @@ AUDIT = {
     # and the thread lists aggregate via ObjectHashAggregate, never a
     # per-group window or sort-based aggregate
     "ref_groupback_threads": (["LeftSemi", "ObjectHashAggregate"], ["SortMergeJoin", "CartesianProduct", "Window"]),
+    # r7 audit family: the overlap matrix collapses to per-gram source-
+    # sets in ONE hash aggregation and expands pairs as an array
+    # expression -- a self-join of the exploded shingles (SortMergeJoin
+    # on g) or any cartesian shape would square on hot grams; totals
+    # join back via broadcast
+    "llm_cross_source_overlap": (["HashAggregate", "BroadcastHashJoin", "Generate explode"], ["SortMergeJoin", "CartesianProduct", "Window"]),
+    # r7 split: map-only -- zero Exchange, scan pruned to the two
+    # carried columns (the key derives from doc_id alone)
+    "llm_train_val_test_split": (["ReadSchema: struct<doc_id:bigint,source:string>"], ["Exchange", "CartesianProduct", "EvalPython"]),
+    # r7 keep-best dedup: score fused into the scan projection, argmax
+    # as max(struct) in hash aggregation -- never a per-group window or
+    # sort-based aggregate
+    "llm_dedup_keep_best": (["HashAggregate"], ["Window", "CartesianProduct", "SortAggregate", "SortMergeJoin", "EvalPython"]),
+    # r7 novelty: first-owner min is a hash agg; the join-back is
+    # gram-keyed against a UNIQUE side (no fanout); per-doc rollup is a
+    # hash agg -- never a window over the exploded grams
+    "llm_ngram_novelty": (["HashAggregate", "Generate explode"], ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
