@@ -36,3 +36,36 @@ def write_compacted(
     n = max(1, math.ceil(estimated_bytes(df) / (target_mb * 1024 * 1024)))
     df.repartition(n).write.mode(mode).format(fmt).save(path)
     return n
+
+
+def write_release(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned release writer (the sink side of
+    ``llm_train_val_test_split``): ``partitionBy(*partition_cols)`` for
+    the directory layout, but REPARTITIONED on those columns first so
+    each output partition is written by the task(s) that own it. The
+    naive ``df.write.partitionBy(...)`` has every upstream task open a
+    writer for every partition value it sees -- at 100 TB with a
+    32-way (split, shard) layout that is tasks x partitions small
+    files plus as many open writer buffers; the pre-shuffle makes file
+    count ~``files_per_partition`` per leaf and writer memory O(1) per
+    task. ``files_per_partition > 1`` salts the repartition key with a
+    deterministic row hash so large leaves still parallelize."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        rep = df.repartition(*(cols + [salt]))
+    else:
+        rep = df.repartition(*cols)
+    rep.write.mode(mode).format(fmt).partitionBy(*partition_cols).save(path)

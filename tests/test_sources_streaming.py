@@ -341,6 +341,37 @@ class TestCompaction:
             spark.read.parquet(str(tmp_path / "small")).count() == df.count()
         )
 
+    def test_write_release_partition_layout(self, spark, sf_dir, tmp_path):
+        """The release writer must produce the Hive layout of the split
+        op with ~one file per leaf (the pre-shuffle contract), and read
+        back losslessly including the partition columns."""
+        import glob
+        import os
+
+        from groove_to_helpscout_migration_tool_spark import catalog
+        from groove_to_helpscout_migration_tool_spark.sources.compact import (
+            write_release,
+        )
+
+        df = catalog.QUERIES["llm_train_val_test_split"].fn(spark, sf_dir)
+        out = str(tmp_path / "release")
+        write_release(df, out, ["split", "shard"])
+        # layout: split=train|val|test / shard=N
+        splits = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(out, "split=*"))
+        }
+        assert splits == {"split=train", "split=val", "split=test"}
+        leaves = glob.glob(os.path.join(out, "split=*", "shard=*"))
+        assert leaves
+        for leaf in leaves:
+            files = glob.glob(os.path.join(leaf, "*.parquet"))
+            assert len(files) == 1, leaf  # one task owns each leaf
+        back = spark.read.parquet(out)
+        a = {tuple(sorted(r.asDict().items())) for r in back.collect()}
+        b = {tuple(sorted(r.asDict().items())) for r in df.collect()}
+        assert a == b
+
 
 class TestParseImageHeader:
     """Pure-byte header parsing -- real dimensions, no codec library."""

@@ -89,6 +89,13 @@ PROBES = {
     "llm_bpe_train_merges": "linear",
     "llm_bpe_tokenize_apply": "linear",
     "llm_embedding_pca_power": "linear",
+    # audit/assembly family (r7): gram-keyed source-set aggregation
+    # (pairs bounded by C(|sources|,2) per gram), map-only split,
+    # hash-agg argmax dedup, first-owner novelty join
+    "llm_cross_source_overlap": "linear",
+    "llm_train_val_test_split": "linear",
+    "llm_dedup_keep_best": "linear",
+    "llm_ngram_novelty": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
