@@ -81,6 +81,21 @@ _MAGIC = [
     (1, b"Delivered-To:", "message/rfc822"),
     (1, b"MIME-Version:", "message/rfc822"),
     (1, b"Message-ID:", "message/rfc822"),
+    # r7 tail widening toward file(1)'s table: archive/compression,
+    # database/columnar, font, legacy-image, and executable families a
+    # helpdesk export or data drop still contains
+    (1, b"\xfd7zXZ\x00", "application/x-xz"),
+    (1, b"BZh", "application/x-bzip2"),
+    (1, b"\x28\xb5\x2f\xfd", "application/zstd"),
+    (1, b"SQLite format 3\x00", "application/vnd.sqlite3"),
+    (1, b"PAR1", "application/vnd.apache.parquet"),
+    (1, b"MThd", "audio/midi"),
+    (1, b"8BPS", "image/vnd.adobe.photoshop"),
+    (1, b"wOFF", "font/woff"),
+    (1, b"wOF2", "font/woff2"),
+    (1, b"MZ", "application/x-dosexec"),
+    # POSIX tar: the magic lives at offset 257 (0-based) in the header
+    (258, b"ustar", "application/x-tar"),
 ]
 
 
@@ -110,6 +125,13 @@ def sniff_mime(data: "F.Column") -> "F.Column":
         F.when(_slice_eq(data, 9, b"WAVE"), F.lit("audio/wav"))
         .when(_slice_eq(data, 9, b"AVI "), F.lit("video/x-msvideo"))
         .when(_slice_eq(data, 9, b"WEBP"), F.lit("image/webp"))
+        .otherwise(F.lit("application/octet-stream")),
+    )
+    # IFF container (RIFF's big-endian ancestor): AIFF/AIFC audio
+    expr = expr.when(
+        _slice_eq(data, 1, b"FORM"),
+        F.when(_slice_eq(data, 9, b"AIFF"), F.lit("audio/aiff"))
+        .when(_slice_eq(data, 9, b"AIFC"), F.lit("audio/aiff"))
         .otherwise(F.lit("application/octet-stream")),
     )
     # ISO base media (mp4 family): size box then 'ftyp', subtype by brand

@@ -185,6 +185,21 @@ class TestMultimodal:
         (b"\x00\x00\x00\x18ftypmsf1\x00\x00\x00\x00", "image/heif"),
         (b"\x00\x00\x00\x1cftypavif\x00\x00\x00\x00", "image/avif"),
         (b"\x00\x00\x00\x14ftypqt  \x00\x00\x00\x00", "video/quicktime"),
+        # r7: archive/db/font/exe tail + tar-at-257 + IFF audio
+        (b"\xfd7zXZ\x00\x00\x04", "application/x-xz"),
+        (b"BZh91AY&SY", "application/x-bzip2"),
+        (b"\x28\xb5\x2f\xfd\x04\x00", "application/zstd"),
+        (b"SQLite format 3\x00\x10\x00", "application/vnd.sqlite3"),
+        (b"PAR1\x15\x04", "application/vnd.apache.parquet"),
+        (b"MThd\x00\x00\x00\x06", "audio/midi"),
+        (b"8BPS\x00\x01", "image/vnd.adobe.photoshop"),
+        (b"wOFF\x00\x01\x00\x00", "font/woff"),
+        (b"wOF2\x00\x01\x00\x00", "font/woff2"),
+        (b"MZ\x90\x00\x03\x00", "application/x-dosexec"),
+        (b"\x00" * 257 + b"ustar\x0000", "application/x-tar"),
+        (b"FORM\x00\x00\x00\x24AIFFCOMM", "audio/aiff"),
+        (b"FORM\x00\x00\x00\x24AIFCCOMM", "audio/aiff"),
+        (b"FORM\x00\x00\x00\x248SVXVHDR", "application/octet-stream"),
         (b"Hello world, plain text", "application/octet-stream"),
         (b"", "application/octet-stream"),
     ]
