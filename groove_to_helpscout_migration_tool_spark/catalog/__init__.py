@@ -106,6 +106,8 @@ _HEAVY = {
     # r7 audit family: gram-keyed source-set aggregation + HOF pair
     # expansion (the Spark side; the DuckDB oracle self-join is 0.2s)
     "llm_cross_source_overlap",       # ~8s
+    # shares the clusters' label-propagation build + recursive-CTE oracle
+    "llm_neardup_keep_best",          # ~8s
 }
 
 

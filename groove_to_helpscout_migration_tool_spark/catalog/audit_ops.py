@@ -224,6 +224,33 @@ KB = 1 << 40
 _KB_SCORE_CAP = 1 << 22
 
 
+def _packed_argmax(score: F.Column, doc: F.Column, op: str) -> F.Column:
+    """score * KB + (KB - 1 - doc_id) with loud range guards -- shared by
+    llm_dedup_keep_best and llm_neardup_keep_best so the two packings can
+    never drift. Out-of-range inputs would SILENTLY corrupt the argmax
+    (and the oracles share the packing, so the hash compare could not
+    catch the drift) -- fail loudly instead, the _VOTE_PACK policy."""
+    doc_ok = F.when((doc >= 0) & (doc < KB), doc).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"{op}: doc_id %%s outside [0, 2^40) breaks the packed"
+                " argmax -- raise KB",
+                doc,
+            )
+        )
+    )
+    score_ok = F.when(F.abs(score) < _KB_SCORE_CAP, score).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"{op}: |score_milli| %%s >= 2^22 would overflow the"
+                " packed argmax",
+                score,
+            )
+        )
+    )
+    return score_ok * KB + (F.lit(KB - 1) - doc_ok)
+
+
 @register(
     "llm_dedup_keep_best",
     oracle=f"""
@@ -274,33 +301,12 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("th"),
         _MP.qclf_score(TX.tokens(F.col("text"))).cast("bigint").alias("score_milli"),
     )
-    # out-of-range inputs would SILENTLY corrupt the packed argmax (and
-    # the oracle shares the packing, so the hash compare could not catch
-    # the drift) -- fail loudly instead, the _VOTE_PACK policy
-    doc_ok = F.when(
-        (F.col("doc_id") >= 0) & (F.col("doc_id") < KB), F.col("doc_id")
-    ).otherwise(
-        F.raise_error(
-            F.format_string(
-                "llm_dedup_keep_best: doc_id %%s outside [0, 2^40) breaks"
-                " the packed argmax -- raise KB",
-                F.col("doc_id"),
-            )
-        )
-    )
-    score_ok = F.when(
-        F.abs(F.col("score_milli")) < _KB_SCORE_CAP, F.col("score_milli")
-    ).otherwise(
-        F.raise_error(
-            F.format_string(
-                "llm_dedup_keep_best: |score_milli| %%s >= 2^22 would"
-                " overflow the packed argmax",
-                F.col("score_milli"),
-            )
-        )
-    )
     g = scored.groupBy("th").agg(
-        F.max(score_ok * KB + (F.lit(KB - 1) - doc_ok)).alias("packed"),
+        F.max(
+            _packed_argmax(
+                F.col("score_milli"), F.col("doc_id"), "llm_dedup_keep_best"
+            )
+        ).alias("packed"),
         F.count(F.lit(1)).alias("c"),
     )
     u = g.withColumn("r", F.pmod(F.col("packed"), F.lit(KB)))
@@ -375,5 +381,90 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000 * n_novel) DIV n_grams AS BIGINT)").alias(
                 "novelty_milli"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best NEAR-dup dedup (quality argmax per LSH connected component)
+# ---------------------------------------------------------------------------
+_KEEPBEST_PACK_SQL = f"(score_milli * {KB} + ({KB} - 1 - doc_id))"
+
+
+@register(
+    "llm_neardup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_LL._SHINGLE_CTES}, {_LL._MINHASH_SIG_SQL}, {_LL._PAIRS_05_CTES},
+edges AS (
+  SELECT doc_i AS s, doc_j AS d FROM goodpairs
+  UNION ALL
+  SELECT doc_j, doc_i FROM goodpairs
+), nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+), comp AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+), {_MP.QCLF_W_CTE_SQL}, scored AS (
+  SELECT doc_id, {_MP.QCLF_SCORE_SQL} AS score_milli
+  FROM documents, w
+), lab AS (
+  SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id,
+         s.score_milli
+  FROM scored s LEFT JOIN comp c USING (doc_id)
+), best AS (
+  SELECT cluster_id, max({_KEEPBEST_PACK_SQL}) AS bp
+  FROM lab GROUP BY cluster_id
+)
+SELECT l.doc_id, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+       CAST(l.score_milli AS BIGINT) AS score_milli,
+       {_KEEPBEST_PACK_SQL.replace('score_milli', 'l.score_milli').replace('doc_id', 'l.doc_id')} = b.bp AS keep
+FROM lab l JOIN best b USING (cluster_id)
+""",
+    doc=(
+        "NEAR-dup dedup keeping the BEST copy: every document joins its"
+        " MinHash-LSH connected component (dedup.neardup_clusters --"
+        " docs outside the pair graph are their own singleton cluster),"
+        " and the survivor per cluster is the highest quality-classifier"
+        " score, ties to the LOWEST doc_id -- the production fuzzy-dedup"
+        " DECISION (llm_dedup_clusters keeps the arbitrary min-id; this"
+        " keeps the best extraction). One row per document with its"
+        " cluster, score, and keep flag, so downstream filters are one"
+        " predicate. Plan: the component labels come from the certified"
+        " capped-LSH + checkpointed label-propagation machinery; scoring"
+        " is a map-only projection; the per-cluster argmax is ONE hash"
+        " aggregation on the shared bit-packed BIGINT (same _packed_"
+        "argmax expression and guards as llm_dedup_keep_best -- packings"
+        " can never drift), joined back cluster-keyed with a unique"
+        " right side (no fanout). Corpus-linear at 100 TB; the oracle"
+        " replays the components with a recursive CTE and the SAME"
+        " packed max."
+    ),
+)
+def llm_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    labels = DD.neardup_clusters(t.documents, jaccard_threshold=0.5).select(
+        "doc_id", "cluster_id"
+    )
+    scored = t.documents.select(
+        "doc_id",
+        _MP.qclf_score(TX.tokens(F.col("text"))).cast("bigint").alias("score_milli"),
+    )
+    lab = (
+        scored.join(labels, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    packed = _packed_argmax(
+        F.col("score_milli"), F.col("doc_id"), "llm_neardup_keep_best"
+    )
+    best = lab.groupBy("cluster_id").agg(F.max(packed).alias("bp"))
+    return (
+        lab.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "score_milli",
+            (packed == F.col("bp")).alias("keep"),
         )
     )

@@ -1626,3 +1626,78 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "a05_retention_cohorts",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, c.cohort_day, e.day - c.cohort_day AS offset_days
+  FROM e JOIN cohort c USING (user_id)
+), csize AS (
+  SELECT cohort_day, count(*) AS n_cohort FROM cohort GROUP BY cohort_day
+)
+SELECT a.cohort_day, a.offset_days,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(s.n_cohort AS BIGINT) AS n_cohort,
+       CAST((1000 * count(*)) // s.n_cohort AS BIGINT) AS retention_milli
+FROM act a JOIN csize s USING (cohort_day)
+GROUP BY a.cohort_day, a.offset_days, s.n_cohort
+""",
+    doc=(
+        "Retention cohort matrix (the other half of product analytics"
+        " next to a04's conversion funnel): users cohorted by FIRST-seen"
+        " epoch day; for every (cohort_day, day-offset) cell, the count"
+        " of distinct cohort members active that day and the per-mille"
+        " retention vs the cohort size (integer division -- cross-engine"
+        " float-free). Day 0 retention is 1000 by construction. Plan:"
+        " per-user first-touch is one hash aggregation; the join back to"
+        " the event stream is user-keyed (the first-touch side is one"
+        " row per user -- no fanout); per-cell distinct collapses"
+        " (user, cohort, offset) map-side before the cell count; cohort"
+        " sizes (rows = number of days) broadcast back. Every stage is a"
+        " hash agg or a user-keyed shuffle join -- corpus-linear; no"
+        " window, no global sort. At 100 TB the user-keyed join is the"
+        " only real shuffle and AQE handles hot users."
+    ),
+)
+def a05_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    day = (
+        F.floor(F.col("ts").cast("timestamp").cast("double") / F.lit(86400.0))
+        .cast("bigint")
+        .alias("day")
+    )
+    e = t.events.select("user_id", day)
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("offset_days"),
+        )
+        .distinct()
+    )
+    csize = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        act.groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(F.broadcast(csize), "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_days",
+            "n_active",
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.expr("CAST((1000 * n_active) DIV n_cohort AS BIGINT)").alias(
+                "retention_milli"
+            ),
+        )
+    )

@@ -173,3 +173,61 @@ def test_ngram_novelty_recounts(spark, sf_dir):
     lead = min(d for d, s in sh.items() if s)
     lead_row = next(r for r in rows if r["doc_id"] == lead)
     assert lead_row["novelty_milli"] == 1000
+
+
+def test_retention_cohorts_recounts(spark, sf_dir):
+    from collections import defaultdict as dd
+
+    ev = load_tables(spark, sf_dir, ["events"]).events.collect()
+    day = lambda ts: int(ts.timestamp() // 86400)  # noqa: E731
+    first: dict[int, int] = {}
+    for e in ev:
+        d = day(e["ts"])
+        u = e["user_id"]
+        first[u] = min(first.get(u, d), d)
+    cells = dd(set)
+    for e in ev:
+        u = e["user_id"]
+        cells[(first[u], day(e["ts"]) - first[u])].add(u)
+    csize = dd(int)
+    for u, c in first.items():
+        csize[c] += 1
+    rows = catalog.QUERIES["a05_retention_cohorts"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(cells)
+    for r in rows:
+        key = (r["cohort_day"], r["offset_days"])
+        assert r["n_active"] == len(cells[key])
+        assert r["n_cohort"] == csize[r["cohort_day"]]
+        assert r["retention_milli"] == (1000 * len(cells[key])) // csize[
+            r["cohort_day"]
+        ]
+        if r["offset_days"] == 0:
+            assert r["retention_milli"] == 1000  # everyone active on day 0
+
+
+def test_neardup_keep_best_one_keeper_per_cluster(spark, sf_dir):
+    from collections import defaultdict as dd
+
+    rows = catalog.QUERIES["llm_neardup_keep_best"].fn(spark, sf_dir).collect()
+    docs = load_tables(spark, sf_dir, ["documents"]).documents.collect()
+    assert len(rows) == len(docs)  # one decision row per document
+    clusters = dd(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    for cid, members in clusters.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1, cid
+        k = keepers[0]
+        # the keeper is the (score DESC, doc_id ASC) argmax
+        best = max(members, key=lambda m: (m["score_milli"], -m["doc_id"]))
+        assert (k["doc_id"], k["score_milli"]) == (
+            best["doc_id"],
+            best["score_milli"],
+        )
+    # cluster membership must agree with the certified clusters op
+    lab = {
+        r["doc_id"]: r["cluster_id"]
+        for r in catalog.QUERIES["llm_dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["cluster_id"] == lab.get(r["doc_id"], r["doc_id"])

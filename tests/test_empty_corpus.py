@@ -63,6 +63,7 @@ EMPTY_TOTAL = [
     "llm_train_val_test_split",
     "llm_dedup_keep_best",
     "llm_ngram_novelty",
+    "llm_neardup_keep_best",
 ]
 
 

@@ -198,6 +198,14 @@ AUDIT = {
     # gram-keyed against a UNIQUE side (no fanout); per-doc rollup is a
     # hash agg -- never a window over the exploded grams
     "llm_ngram_novelty": (["HashAggregate", "Generate explode"], ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r7 retention cohorts: first-touch agg + user-keyed join back +
+    # map-side distinct collapse + broadcast cohort sizes -- no window,
+    # no range partition (the oracle's formulation is identical)
+    "a05_retention_cohorts": (["HashAggregate", "BroadcastHashJoin"], ["Window", "CartesianProduct", "Exchange rangepartitioning"]),
+    # r7 near-dup keep-best: per-cluster bit-packed argmax in hash
+    # aggregation over the label-propagation output -- never a window
+    # or sort-based aggregate; the scoring is a scan-side projection
+    "llm_neardup_keep_best": (["HashAggregate"], ["Window", "CartesianProduct", "SortAggregate"]),
 }
 
 
