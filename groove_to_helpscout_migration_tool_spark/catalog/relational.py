@@ -1701,3 +1701,248 @@ def a05_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "d01_scd2_customer_merge",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+), upd AS (
+  SELECT c_custkey, 'MOVED-' || c_mktsegment AS c_mktsegment,
+         c_acctbal + 100.0 AS c_acctbal
+  FROM dim WHERE c_custkey % 7 = 3
+), ins AS (
+  SELECT c_custkey + 1000000 AS c_custkey, 'NEW' AS c_mktsegment,
+         0.0 AS c_acctbal
+  FROM dim WHERE c_custkey % 13 = 1
+), unchanged AS (
+  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+         CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+         true AS is_current
+  FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM upd)
+), closed AS (
+  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+         CAST(0 AS BIGINT), CAST(1 AS BIGINT), false
+  FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM upd)
+), fresh AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true
+  FROM upd
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true
+  FROM ins
+)
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+       valid_from, valid_to, is_current
+FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM closed
+      UNION ALL SELECT * FROM fresh)
+""",
+    doc=(
+        "SCD Type-2 dimension merge (the warehouse MERGE the reference's"
+        " one-row-at-a-time upsert loop approximates -- APIHelper.php"
+        " create-or-update): apply a deterministic update batch (segment"
+        " moves, balance adjustments) plus an insert batch to the"
+        " customer dimension, producing validity-interval history rows --"
+        " changed keys close their old row (valid_to = batch day) and"
+        " open a current one, unchanged keys pass through, inserts open"
+        " at the batch day. Plan: the update-key set is tiny next to the"
+        " dimension, so change detection is a BROADCAST semi/anti join"
+        " pair against the one dim scan + a unionByName of the three"
+        " legs -- zero shuffles of the dimension itself. At 100 TB this"
+        " is exactly how a Delta/Iceberg MERGE plans its matched/"
+        "not-matched branches; the engine expresses it in pure"
+        " DataFrame ops with the history contract oracle-checked."
+    ),
+)
+def d01_scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    dim = t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    upd = dim.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey",
+        F.concat(F.lit("MOVED-"), F.col("c_mktsegment")).alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+    )
+    ins = dim.filter(F.col("c_custkey") % 13 == 1).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    ukeys = F.broadcast(upd.select("c_custkey"))
+    vf0 = F.lit(0).cast("bigint").alias("valid_from")
+    vnull = F.lit(None).cast("bigint").alias("valid_to")
+    unchanged = dim.join(ukeys, "c_custkey", "left_anti").select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        vf0, vnull, F.lit(True).alias("is_current"),
+    )
+    closed = dim.join(ukeys, "c_custkey", "left_semi").select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        vf0, F.lit(1).cast("bigint").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = upd.unionByName(ins).select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit(1).cast("bigint").alias("valid_from"), vnull,
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        unchanged.unionByName(closed)
+        .unionByName(fresh)
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "valid_from", "valid_to", "is_current",
+        )
+    )
+
+
+_PROF_NUM = ["l_quantity", "l_extendedprice", "l_discount"]
+_PROF_STR = ["l_returnflag", "l_linestatus"]
+
+
+def _prof_leg_sql(col: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = f"round(min({col}), 6)", f"round(max({col}), 6)"
+        ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    elif kind == "day":
+        mn = f"CAST(floor(epoch(min({col})) / 86400) AS DOUBLE)"
+        mx = f"CAST(floor(epoch(max({col})) / 86400) AS DOUBLE)"
+        ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    else:
+        mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        ms, xs = f"min({col})", f"max({col})"
+    return f"""
+  SELECT '{col}' AS col_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {ms} AS min_str, {xs} AS max_str
+  FROM lineitem"""
+
+
+@register(
+    "p03_profile_lineitem",
+    oracle=" UNION ALL ".join(
+        [_prof_leg_sql(c, "num") for c in _PROF_NUM]
+        + [_prof_leg_sql(c, "str") for c in _PROF_STR]
+        + [_prof_leg_sql("l_shipdate", "day")]
+    ),
+    doc=(
+        "One-row-per-column data profile of the fact table (the Deequ/"
+        "dbt-style quality gate a pipeline runs before trusting a"
+        " snapshot): row count, null count, EXACT distinct count, and"
+        " type-appropriate min/max (numerics rounded, strings"
+        " lexicographic, timestamps as epoch day). Plan: one leg per"
+        " column, each a column-PRUNED scan feeding groupBy(col) then a"
+        " 1-row rollup -- the two-hash-agg exact-distinct shape, NEVER"
+        " the Expand-based multi-count(DISTINCT) single pass (the r1"
+        " TF-IDF trap: Expand multiplies the scan by the column count in"
+        " one shuffle). Legs union to a 6-row frame. At 100 TB each leg"
+        " is an independent column-linear pass over one column's pages"
+        " -- parquet column pruning makes the whole profile cost ~one"
+        " full-table scan; the HLL-sketch variant is the cheaper"
+        " scale path but is engine-specific, so the certified profile"
+        " is exact."
+    ),
+)
+def p03_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+
+    def leg(col: str, kind: str) -> DataFrame:
+        src = t.lineitem
+        if kind == "day":
+            src = src.select(
+                F.floor(
+                    F.col(col).cast("timestamp").cast("double") / F.lit(86400.0)
+                ).alias(col)
+            )
+        g = src.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        isnum = kind in ("num", "day")
+        rounded = (
+            F.round(F.min(col), 6) if kind == "num" else F.min(col).cast("double")
+        )
+        rounded_max = (
+            F.round(F.max(col), 6) if kind == "num" else F.max(col).cast("double")
+        )
+        return g.agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col(col).isNull(), F.col("cnt"))), F.lit(0)
+            ).cast("bigint").alias("n_null"),
+            F.count(F.when(F.col(col).isNotNull(), 1)).cast("bigint").alias(
+                "n_distinct"
+            ),
+            (rounded if isnum else F.lit(None).cast("double")).alias("min_num"),
+            (rounded_max if isnum else F.lit(None).cast("double")).alias("max_num"),
+            (F.min(col) if not isnum else F.lit(None).cast("string")).alias(
+                "min_str"
+            ),
+            (F.max(col) if not isnum else F.lit(None).cast("string")).alias(
+                "max_str"
+            ),
+        ).select(F.lit(col).alias("col_name"), "*")
+
+    legs = (
+        [leg(c, "num") for c in _PROF_NUM]
+        + [leg(c, "str") for c in _PROF_STR]
+        + [leg("l_shipdate", "day")]
+    )
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+@register(
+    "p03_profile_approx_check",
+    oracle=" UNION ALL ".join(
+        f"""
+  SELECT '{c}' AS col_name,
+         CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct_exact,
+         CAST(0 AS BIGINT) AS err_over_bound,
+         TRUE AS within_bounds
+  FROM lineitem"""
+        for c in _PROF_NUM + _PROF_STR
+    ),
+    doc=(
+        "Epsilon-check twin of p03_profile_lineitem's scale path: per"
+        " column, HLL++ approx_count_distinct (rsd=0.02) next to the"
+        " exact distinct, certified within the 8% envelope (4x rsd, the"
+        " q_distinct_users_approx_check tolerance). The profiler a 100 TB"
+        " snapshot actually runs swaps the exact two-hash-agg legs for"
+        " these mergeable sketches -- this entry exists to keep that swap"
+        " falsifiable. err_over_bound derives from the SAME <= comparison"
+        " as within_bounds, so a boundary-exact error cannot split the"
+        " pair. Per-column pruned legs as in the exact profile; NOT"
+        " benched (the exact twin's distinct shuffle is what the sketch"
+        " removes at scale)."
+    ),
+)
+def p03_profile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+
+    def leg(col: str) -> DataFrame:
+        agg = t.lineitem.agg(
+            F.countDistinct(col).alias("n_distinct_exact"),
+            F.approx_count_distinct(col, rsd=0.02).alias("_n_ap"),
+        )
+        rel_err = F.abs(F.col("_n_ap") - F.col("n_distinct_exact")) / F.col(
+            "n_distinct_exact"
+        )
+        return agg.select(
+            F.lit(col).alias("col_name"),
+            F.col("n_distinct_exact").cast("bigint").alias("n_distinct_exact"),
+            F.when(rel_err <= 0.08, F.lit(0))
+            .otherwise(F.floor(rel_err / 0.08))
+            .cast("bigint")
+            .alias("err_over_bound"),
+            (rel_err <= 0.08).alias("within_bounds"),
+        )
+
+    legs = [leg(c) for c in _PROF_NUM + _PROF_STR]
+    out = legs[0]
+    for other in legs[1:]:
+        out = out.unionByName(other)
+    return out

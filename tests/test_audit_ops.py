@@ -231,3 +231,62 @@ def test_neardup_keep_best_one_keeper_per_cluster(spark, sf_dir):
     }
     for r in rows:
         assert r["cluster_id"] == lab.get(r["doc_id"], r["doc_id"])
+
+
+def test_scd2_merge_contract(spark, sf_dir):
+    """History invariants: every key has EXACTLY one current row;
+    changed keys carry a closed row whose interval abuts the open one;
+    inserts exist only as current rows at day 1."""
+    from collections import defaultdict as dd
+
+    dim = {
+        r["c_custkey"]: r
+        for r in load_tables(spark, sf_dir, ["customer"]).customer.collect()
+    }
+    rows = catalog.QUERIES["d01_scd2_customer_merge"].fn(spark, sf_dir).collect()
+    by_key = dd(list)
+    for r in rows:
+        by_key[r["c_custkey"]].append(r)
+    for key, hist in by_key.items():
+        current = [h for h in hist if h["is_current"]]
+        assert len(current) == 1, key
+        assert current[0]["valid_to"] is None
+        if key in dim:
+            if key % 7 == 3:  # updated: closed [0,1) + open [1, inf)
+                closed = [h for h in hist if not h["is_current"]]
+                assert len(closed) == 1 and closed[0]["valid_to"] == 1
+                assert current[0]["valid_from"] == 1
+                assert current[0]["c_mktsegment"].startswith("MOVED-")
+            else:
+                assert len(hist) == 1 and current[0]["valid_from"] == 0
+        else:  # insert (synthetic key)
+            assert key - 1000000 in dim and (key - 1000000) % 13 == 1
+            assert current[0]["c_mktsegment"] == "NEW"
+            assert current[0]["valid_from"] == 1
+
+
+def test_profile_lineitem_recounts(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"]).lineitem.collect()
+    rows = {
+        r["col_name"]: r
+        for r in catalog.QUERIES["p03_profile_lineitem"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    for c in ("l_quantity", "l_returnflag"):
+        vals = [r[c] for r in li]
+        assert rows[c]["n_rows"] == len(vals)
+        assert rows[c]["n_null"] == sum(1 for v in vals if v is None)
+        assert rows[c]["n_distinct"] == len({v for v in vals if v is not None})
+    q = rows["l_quantity"]
+    assert q["min_num"] == min(r["l_quantity"] for r in li)
+    assert q["max_num"] == max(r["l_quantity"] for r in li)
+    assert q["min_str"] is None
+    rf = rows["l_returnflag"]
+    assert rf["min_str"] == min(r["l_returnflag"] for r in li)
+    assert rf["min_num"] is None
+    sd = rows["l_shipdate"]
+    days = [int(r["l_shipdate"].timestamp() // 86400) for r in li]
+    assert sd["min_num"] == float(min(days)) and sd["max_num"] == float(max(days))

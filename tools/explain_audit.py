@@ -206,6 +206,13 @@ AUDIT = {
     # aggregation over the label-propagation output -- never a window
     # or sort-based aggregate; the scoring is a scan-side projection
     "llm_neardup_keep_best": (["HashAggregate"], ["Window", "CartesianProduct", "SortAggregate"]),
+    # r7 SCD2 merge: change detection is a broadcast semi/anti pair --
+    # the dimension itself must never shuffle or sort-merge
+    "d01_scd2_customer_merge": (["LeftSemi", "LeftAnti", "BroadcastHashJoin", "Union"], ["SortMergeJoin", "CartesianProduct", "Window"]),
+    # r7 profiler: per-column pruned legs, each the two-hash-agg exact
+    # distinct -- the Expand-based multi-count(DISTINCT) single pass is
+    # the forbidden formulation
+    "p03_profile_lineitem": (["HashAggregate", "Union"], ["Expand", "Window", "CartesianProduct"]),
 }
 
 
