@@ -108,6 +108,8 @@ _HEAVY = {
     "llm_cross_source_overlap",       # ~8s
     # shares the clusters' label-propagation build + recursive-CTE oracle
     "llm_neardup_keep_best",          # ~8s
+    # 3 unrolled PageRank rounds over the pair graph + unrolled oracle
+    "llm_neardup_pagerank",           # ~14s
 }
 
 

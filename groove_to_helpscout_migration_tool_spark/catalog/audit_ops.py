@@ -19,6 +19,12 @@ needs once curation is done.
         3-gram shingles (first-owner = lowest doc_id) -- the
         data-valuation signal curriculum/selection recipes rank
         documents by.
+  - llm_neardup_keep_best    : the fuzzy-dedup DECISION -- one row per
+        document with its MinHash-LSH connected component and a keep
+        flag on the per-cluster quality argmax.
+  - llm_neardup_pagerank     : integer-exact PageRank over the near-dup
+        pair graph -- hub/template detection (the graph-centrality
+        curation signal).
 
 Reference parity note: the reference tool (a one-tenant ticket
 migrator, app/Console/Commands/ -- e.g. TicketProcessor.php processes
@@ -466,5 +472,102 @@ def llm_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_id").cast("bigint").alias("cluster_id"),
             "score_milli",
             (packed == F.col("bp")).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup graph (hub/template detection)
+# ---------------------------------------------------------------------------
+PR_ROUNDS = 3
+_PR_EDGES_SQL = """
+edges AS (
+  SELECT doc_i AS s, doc_j AS d FROM goodpairs
+  UNION ALL
+  SELECT doc_j, doc_i FROM goodpairs
+), deg AS (
+  SELECT s AS node, count(*) AS deg FROM edges GROUP BY s
+)"""
+
+
+def _pr_round_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT e.d AS node,
+         150 + (850 * sum({prev}.r // dg.deg)) // 1000 AS r
+  FROM edges e
+  JOIN {prev} ON {prev}.node = e.s
+  JOIN deg dg ON dg.node = e.s
+  GROUP BY e.d
+)"""
+
+
+@register(
+    "llm_neardup_pagerank",
+    oracle=f"""
+WITH {_LL._SHINGLE_CTES}, {_LL._MINHASH_SIG_SQL}, {_LL._PAIRS_05_CTES},
+{_PR_EDGES_SQL},
+r0 AS (SELECT node, CAST(1000 AS BIGINT) AS r FROM deg),
+{", ".join(_pr_round_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ROUNDS))}
+SELECT dg.node AS doc_id,
+       CAST(dg.deg AS BIGINT) AS degree,
+       CAST(r{PR_ROUNDS}.r AS BIGINT) AS rank_milli
+FROM deg dg JOIN r{PR_ROUNDS} ON r{PR_ROUNDS}.node = dg.node
+""",
+    doc=(
+        "Integer-exact PageRank over the MinHash-LSH near-dup graph"
+        f" ({PR_ROUNDS} rounds, damping 0.85 in milli units): a high"
+        " rank marks HUB documents -- templates/boilerplate whose text"
+        " near-duplicates into many others -- the graph-centrality"
+        " curation signal that complements per-pair dedup (drop or"
+        " down-weight the hub, not its leaves). Per round: rank flows as"
+        " r DIV degree along each edge (integer division, truncation"
+        " identical in both engines; all values non-negative), partial-"
+        "summed per destination, then 150 + (850 * inflow) DIV 1000."
+        " The fourth certified iterative loop in the catalog (after CC,"
+        " PCA power iteration, BPE merges): the driver unrolls"
+        f" {PR_ROUNDS} join+hash-agg rounds over the persisted"
+        " edge+degree frame -- no window, no cartesian -- and the DuckDB"
+        " oracle replays the SAME recurrence as unrolled CTEs over the"
+        " shared pair-graph prefix. Edges come from the capped-LSH"
+        " candidate machinery, so the graph build is the certified"
+        " bucketed path; each round's shuffle carries one record per"
+        " edge -- corpus-linear at 100 TB for the bounded near-dup"
+        " degree this graph has by construction."
+    ),
+)
+def llm_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = DD.minhash_lsh_pairs(t.documents, jaccard_threshold=0.5).select(
+        "doc_i", "doc_j"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_j").alias("doc_i"), F.col("doc_i").alias("doc_j"))
+    ).toDF("s", "d")
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # edge list with the source degree attached ONCE (reused every
+    # round), persisted like the other iterative loops' round state
+    ed = cache.persist_artifact(
+        edges.join(deg.withColumnRenamed("s", "node"), edges.s == F.col("node"))
+        .select("s", "d", "deg")
+    )
+    ranks = deg.select(F.col("s").alias("node"), F.lit(1000).cast("bigint").alias("r"))
+    for _ in range(PR_ROUNDS):
+        inflow = (
+            ed.join(ranks, ed.s == ranks.node)
+            .select("d", F.expr("r DIV deg").alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = inflow.select(
+            F.col("d").alias("node"),
+            (F.lit(150) + F.expr("(850 * inflow) DIV 1000")).cast("bigint").alias("r"),
+        )
+    return (
+        deg.withColumnRenamed("s", "node")
+        .join(ranks, "node")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.col("r").cast("bigint").alias("rank_milli"),
         )
     )

@@ -290,3 +290,40 @@ def test_profile_lineitem_recounts(spark, sf_dir):
     sd = rows["l_shipdate"]
     days = [int(r["l_shipdate"].timestamp() // 86400) for r in li]
     assert sd["min_num"] == float(min(days)) and sd["max_num"] == float(max(days))
+
+
+def test_neardup_pagerank_recounts(spark, sf_dir):
+    """Pure-Python replay of the integer PageRank recurrence from the
+    certified pair list -- a third formulation next to the Spark loop
+    and the unrolled-CTE oracle."""
+    from groove_to_helpscout_migration_tool_spark.catalog.audit_ops import (
+        PR_ROUNDS,
+    )
+
+    pairs = [
+        (r["doc_i"], r["doc_j"])
+        for r in catalog.QUERIES["llm_neardup_minhash_lsh"].fn(
+            spark, sf_dir
+        ).collect()
+    ]
+    out_edges = defaultdict(list)
+    for i, j in pairs:
+        out_edges[i].append(j)
+        out_edges[j].append(i)
+    deg = {n: len(vs) for n, vs in out_edges.items()}
+    rank = {n: 1000 for n in deg}
+    for _ in range(PR_ROUNDS):
+        inflow = defaultdict(int)
+        for s, targets in out_edges.items():
+            c = rank[s] // deg[s]
+            for d in targets:
+                inflow[d] += c
+        rank = {n: 150 + (850 * v) // 1000 for n, v in inflow.items()}
+    rows = catalog.QUERIES["llm_neardup_pagerank"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(deg) > 0
+    for r in rows:
+        assert r["degree"] == deg[r["doc_id"]]
+        assert r["rank_milli"] == rank[r["doc_id"]], r["doc_id"]
+    # every rank stays in the damped band: >= the floor 150, and no
+    # node can exceed 150 + 0.85 * (sum of neighbor ranks)
+    assert all(150 <= r["rank_milli"] for r in rows)

@@ -64,6 +64,7 @@ EMPTY_TOTAL = [
     "llm_dedup_keep_best",
     "llm_ngram_novelty",
     "llm_neardup_keep_best",
+    "llm_neardup_pagerank",
 ]
 
 

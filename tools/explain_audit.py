@@ -213,6 +213,9 @@ AUDIT = {
     # distinct -- the Expand-based multi-count(DISTINCT) single pass is
     # the forbidden formulation
     "p03_profile_lineitem": (["HashAggregate", "Union"], ["Expand", "Window", "CartesianProduct"]),
+    # r7 PageRank: per-round edge join + hash-agg inflow -- no window,
+    # no cartesian, no sort-based aggregate anywhere in the loop
+    "llm_neardup_pagerank": (["HashAggregate"], ["Window", "CartesianProduct", "SortAggregate"]),
 }
 
 
