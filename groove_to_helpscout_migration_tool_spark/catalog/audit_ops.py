@@ -571,3 +571,116 @@ def llm_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("bigint").alias("rank_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier scoring (distance-to-centroid curation gate)
+# ---------------------------------------------------------------------------
+EMB_Q = 10**6   # micro-unit quantization, as in the PCA loop
+EMB_DIMS = 64
+
+
+@register(
+    "llm_embedding_outlier",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x::DOUBLE * {EMB_Q}) AS BIGINT)) AS xq
+  FROM embeddings
+), st AS (
+  SELECT j, sum(q.xq[j]) AS sj, count(*) AS n
+  FROM q, unnest(range(1, {EMB_DIMS} + 1)) AS t(j) GROUP BY j
+), mv AS (
+  -- sign-aware truncating mean (floor vs trunc differ on negatives
+  -- across engines; |s| // n is truncation in both)
+  SELECT max(n) AS n,
+         list(CASE WHEN sj < 0 THEN -((-sj) // n) ELSE sj // n END
+              ORDER BY j) AS m
+  FROM st
+), d AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, {EMB_DIMS} + 1),
+                  j -> (q.xq[j] - mv.m[j]) * (q.xq[j] - mv.m[j]))) AS d2
+  FROM q, mv
+), tot AS (
+  SELECT sum(d2::HUGEINT) AS s2, count(*) AS n FROM d
+)
+SELECT d.vec_id, CAST(d.d2 AS BIGINT) AS d2_micro2,
+       CAST((1000 * d.d2) // nullif(CAST(tot.s2 // tot.n AS BIGINT), 0)
+            AS BIGINT) AS ratio_permille,
+       d.d2 > CAST((2::HUGEINT * tot.s2) // tot.n AS BIGINT) AS is_outlier
+FROM d, tot
+""",
+    doc=(
+        "Embedding OUTLIER scoring (the distance-to-centroid curation"
+        " gate that drops mis-embedded / off-distribution vectors before"
+        " clustering or ANN indexing): squared distance to the corpus"
+        " centroid in micro-unit integers, flagged when above 2x the"
+        " mean squared distance. Integer-exact the int64-SAFE way: the"
+        " centroid is the sign-aware TRUNCATING per-dim mean (|sum| DIV"
+        " n -- identical truncation in both engines; the PCA loop's"
+        " multiply-through centering would square n into every term and"
+        " overflow at corpus scale), so each squared diff is <="
+        f" (2*{EMB_Q})^2 * {EMB_DIMS} ~ 2.6e14 regardless of corpus"
+        " size; only the corpus-wide total runs in DECIMAL(38)/HUGEINT."
+        " The 2x-mean threshold compares d2 > (2*total) DIV n -- same"
+        " truncation convention on both sides. Plan: one 1-row stats"
+        " aggregate broadcast back over the scan (the allowed one-row"
+        " BroadcastNestedLoop, as in DSIR/temperature), then a map-only"
+        " scoring pass + one 1-row total -- two corpus scans, zero"
+        " corpus shuffles, linear at 100 TB."
+    ),
+)
+def llm_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    q = cache.persist_artifact(
+        t.embeddings.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * EMB_Q).cast("bigint"),
+            ).alias("xq"),
+        )
+    )
+    # per-dim sums -> 1-row (n, m[]) frame with the truncating mean
+    st = (
+        q.select(F.posexplode("xq").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.sum("x").alias("sj"), F.count(F.lit(1)).alias("n"))
+    )
+    mj = F.when(
+        F.col("sj") < 0, -F.expr("(-sj) DIV n")
+    ).otherwise(F.expr("sj DIV n"))
+    mv = st.select(F.struct("j", mj.alias("m")).alias("jm"), "n").agg(
+        F.max("n").alias("n"),
+        F.transform(
+            F.sort_array(F.collect_list("jm")), lambda s: s.getField("m")
+        ).alias("m"),
+    )
+    d = q.crossJoin(F.broadcast(mv)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("xq", "m", lambda x, mm: (x - mm) * (x - mm)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    tot = d.agg(
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("s2"),
+        F.count(F.lit(1)).alias("nn"),
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        F.col("d2").cast("bigint").alias("d2_micro2"),
+        # per-row distance ratio vs the mean (per mille): the column the
+        # hash check certifies varies row to row even when the 2x gate
+        # is (correctly) all-false on a concentrated corpus
+        F.expr(
+            "CAST((1000 * d2) DIV nullif(CAST(s2 DIV nn AS BIGINT), 0)"
+            " AS BIGINT)"
+        ).alias("ratio_permille"),
+        (
+            F.col("d2").cast("decimal(38,0)")
+            > F.expr("CAST((2 * s2) DIV nn AS DECIMAL(38,0))")
+        ).alias("is_outlier"),
+    )

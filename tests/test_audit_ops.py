@@ -327,3 +327,46 @@ def test_neardup_pagerank_recounts(spark, sf_dir):
     # every rank stays in the damped band: >= the floor 150, and no
     # node can exceed 150 + 0.85 * (sum of neighbor ranks)
     assert all(150 <= r["rank_milli"] for r in rows)
+
+
+def test_embedding_outlier_flags_synthetic_bignorm(spark, tmp_path):
+    """A vector with 10x the typical norm must trip the 2x-mean gate;
+    the uniform bulk must not (on this corpus the gate is all-false --
+    concentration of measure in 64 dims -- so the discriminating path
+    needs a synthetic outlier)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import hashlib
+
+    def vec(seed: int, scale: float) -> list[float]:
+        return [
+            scale
+            * (
+                int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:8], 16)
+                / 0xFFFFFFFF
+                - 0.5
+            )
+            for j in range(64)
+        ]
+
+    vecs = [vec(i, 1.0) for i in range(40)] + [vec(99, 10.0)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(41)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([0] * 41, type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = {
+        r["vec_id"]: r
+        for r in catalog.QUERIES["llm_embedding_outlier"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[40]["is_outlier"]
+    assert sum(1 for r in rows.values() if r["is_outlier"]) == 1
+    assert rows[40]["ratio_permille"] > 2000
+    bulk = [r["ratio_permille"] for v, r in rows.items() if v != 40]
+    assert all(b < 2000 for b in bulk)

@@ -92,6 +92,7 @@ EMPTY_TOTAL_EMB = [
     "llm_hard_negatives_ivf",
     "llm_embedding_jl_project",
     "llm_embedding_pca_power",  # r7: n == 0 guard returns empty
+    "llm_embedding_outlier",
 ]
 
 

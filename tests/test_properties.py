@@ -757,3 +757,47 @@ class TestBpeMergeFoldProperty:
             # multi-char la/ra never matches single-char symbols -- the
             # reference agrees because py_merge compares the same way
             assert row["m"] == py_merge(row["word"]), (row["word"], la, ra)
+
+
+class TestPackedArgmax:
+    """The bit-packed (score DESC, doc_id ASC) argmax used by
+    llm_dedup_keep_best / llm_neardup_pagerank-family ops: a plain
+    integer max over packed values must agree with the tuple order, and
+    the unpack must round-trip, including NEGATIVE scores (where naive
+    truncating division would mis-unpack)."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(1 << 22) + 1, max_value=(1 << 22) - 1),
+                st.integers(min_value=0, max_value=(1 << 40) - 1),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    @settings(deadline=None, max_examples=200)
+    def test_packed_max_equals_tuple_argmax(self, pairs):
+        from groove_to_helpscout_migration_tool_spark.catalog.audit_ops import KB
+
+        packed = [s * KB + (KB - 1 - d) for s, d in pairs]
+        best = max(packed)
+        # unpack with the pmod + exact-multiple-division scheme
+        r = ((best % KB) + KB) % KB
+        doc = KB - 1 - r
+        score = (best - r) // KB
+        want_score, want_doc = max(pairs, key=lambda p: (p[0], -p[1]))
+        assert (score, doc) == (want_score, want_doc)
+
+    @given(
+        st.integers(min_value=-(1 << 22) + 1, max_value=(1 << 22) - 1),
+        st.integers(min_value=0, max_value=(1 << 40) - 1),
+    )
+    @settings(deadline=None, max_examples=300)
+    def test_pack_roundtrip_int64(self, s, d):
+        from groove_to_helpscout_migration_tool_spark.catalog.audit_ops import KB
+
+        p = s * KB + (KB - 1 - d)
+        assert -(1 << 63) <= p < (1 << 63)  # int64-safe by the guards
+        r = ((p % KB) + KB) % KB
+        assert (KB - 1 - r, (p - r) // KB) == (d, s)

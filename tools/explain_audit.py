@@ -216,6 +216,10 @@ AUDIT = {
     # r7 PageRank: per-round edge join + hash-agg inflow -- no window,
     # no cartesian, no sort-based aggregate anywhere in the loop
     "llm_neardup_pagerank": (["HashAggregate"], ["Window", "CartesianProduct", "SortAggregate"]),
+    # r7 outlier gate: 1-row stats frames broadcast back over the scan
+    # (the allowed one-row BroadcastNestedLoop) -- the vectors must
+    # never shuffle, window, or real-cartesian
+    "llm_embedding_outlier": (["BroadcastNestedLoopJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
 }
 
 
