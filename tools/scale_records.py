@@ -96,6 +96,14 @@ PROBES = {
     "llm_train_val_test_split": "linear",
     "llm_dedup_keep_best": "linear",
     "llm_ngram_novelty": "linear",
+    # r7 session-2 additions: graph/centrality, outlier gate, cohort
+    # matrix, SCD2 merge, per-column profiler -- all hash-agg/broadcast
+    # shapes that must stay ~linear
+    "llm_neardup_pagerank": "linear",
+    "llm_embedding_outlier": "linear",
+    "a05_retention_cohorts": "linear",
+    "d01_scd2_customer_merge": "linear",
+    "p03_profile_lineitem": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
