@@ -110,6 +110,8 @@ _HEAVY = {
     "llm_neardup_keep_best",          # ~8s
     # 3 unrolled PageRank rounds over the pair graph + unrolled oracle
     "llm_neardup_pagerank",           # ~14s
+    # base/delta IVF split: two cell-ranking windows in the oracle
+    "llm_ann_incremental_ivf",        # ~10s
 }
 
 

@@ -871,3 +871,80 @@ def llm_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("importance"),
         (F.col("score_raw") >= F.lit(DSIR_SCALE) * F.col("n_tokens")).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN: delta batch probes the standing IVF index
+# ---------------------------------------------------------------------------
+def _ivf_delta_oracle(nprobe: int = 3, k: int = 5) -> str:
+    cos9 = _LL._cos_sql("x.v", "c.cv", 9)
+    cos6 = _LL._cos_sql("qv", "nv", 6)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), base AS (
+  SELECT * FROM e WHERE vec_id % {DELTA_MOD} <> 0
+), delta AS (
+  SELECT * FROM e WHERE vec_id % {DELTA_MOD} = 0
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  WHERE vec_id IN (SELECT min(vec_id) FROM embeddings
+                   WHERE vec_id % {DELTA_MOD} <> 0 GROUP BY label)
+), bass AS (
+  SELECT vec_id, cell FROM (
+    SELECT x.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {cos9} DESC, c.cid) AS crank
+    FROM base x CROSS JOIN cents c
+  ) WHERE crank = 1
+), probes AS (
+  SELECT qid, cell FROM (
+    SELECT x.vec_id AS qid, c.cid AS cell,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY {cos9} DESC, c.cid) AS crank
+    FROM delta x CROSS JOIN cents c
+  ) WHERE crank <= {nprobe}
+), cand AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM probes p JOIN bass a ON p.cell = a.cell
+), scored AS (
+  SELECT c.qid, c.nid, {cos6} AS cosine
+  FROM cand c
+  JOIN e q ON q.vec_id = c.qid
+  JOIN e n ON n.vec_id = c.nid,
+  LATERAL (SELECT q.v AS qv, n.v AS nv) t
+)
+SELECT qid AS query_id, nid AS neighbor_id, cosine,
+       CAST(rn AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, nid) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+@register(
+    "llm_ann_incremental_ivf",
+    oracle=_ivf_delta_oracle(),
+    doc=(
+        "Incremental ANN (the embeddings twin of"
+        " llm_neardup_incremental_lsh): the newly-arrived delta batch"
+        f" (vec_id %% {DELTA_MOD} == 0) probes the STANDING IVF index"
+        " built from the base corpus only -- per-batch cost scales with"
+        " the delta, not the corpus, which is how a living dataset"
+        " absorbs daily embedding drops without re-indexing. The base"
+        " cell assignment is the build-once artifact (at 100 TB, a"
+        " bucketed-by-cell table written per snapshot); delta vectors"
+        " rank cells MAP-SIDE against the in-closure codebook (the same"
+        " zero-N-x-C shape as llm_ann_ivf_topk), probe nprobe=3 cells,"
+        " and exact-re-rank. No self-hit filter is needed -- the delta"
+        " is disjoint from the base by construction. The oracle replays"
+        " the base/delta split with the shared deterministic quantizer"
+        " (min base vec_id per label)."
+    ),
+)
+def llm_ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return SIM.ivf_probe_delta(t.embeddings, k=5, delta_mod=DELTA_MOD, nprobe=3)

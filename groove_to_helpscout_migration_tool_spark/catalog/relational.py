@@ -1946,3 +1946,72 @@ def p03_profile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for other in legs[1:]:
         out = out.unionByName(other)
     return out
+
+
+@register(
+    "s04_full_outer_ship_reconciliation",
+    oracle="""
+WITH o AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS day,
+         count(*) AS n_ship_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(o.day, l.day) AS day,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(l.n_ship_lines, 0) AS BIGINT) AS n_ship_lines,
+       CASE WHEN o.day IS NOT NULL AND l.day IS NOT NULL THEN 'both'
+            WHEN o.day IS NOT NULL THEN 'orders_only'
+            ELSE 'ship_only' END AS status
+FROM o FULL OUTER JOIN l ON o.day = l.day
+""",
+    doc=(
+        "FULL OUTER reconciliation (the join type the rest of the"
+        " catalog's inner/left/semi/anti surface lacks): per epoch-day"
+        " order intake vs shipped lines, keeping days present on EITHER"
+        " side with zero-coalesced counts and a both/orders_only/"
+        "ship_only status -- the daily ops-reconciliation report shape."
+        " Plan: BOTH sides collapse to per-day partials BEFORE the join"
+        " (agg-then-join -- the scale form: a full outer of two raw fact"
+        " tables would shuffle both in full; aggregated sides are"
+        " day-cardinality), then one full-outer hash join on the day"
+        " key. At 100 TB each side is one map-side-combining pass and"
+        " the join input is rows-per-day, not rows-per-fact."
+    ),
+)
+def s04_full_outer_ship_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+
+    def day(col: str) -> F.Column:
+        return (
+            F.floor(F.col(col).cast("timestamp").cast("double") / F.lit(86400.0))
+            .cast("bigint")
+        )
+
+    o = (
+        t.orders.select(day("o_orderdate").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumnRenamed("day", "o_day")
+    )
+    l = (
+        t.lineitem.select(day("l_shipdate").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_ship_lines"))
+        .withColumnRenamed("day", "l_day")
+    )
+    j = o.join(l, o.o_day == l.l_day, "full_outer")
+    return j.select(
+        F.coalesce("o_day", "l_day").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("n_ship_lines", F.lit(0)).cast("bigint").alias("n_ship_lines"),
+        F.when(
+            F.col("o_day").isNotNull() & F.col("l_day").isNotNull(), F.lit("both")
+        )
+        .when(F.col("o_day").isNotNull(), F.lit("orders_only"))
+        .otherwise(F.lit("ship_only"))
+        .alias("status"),
+    )

@@ -664,3 +664,59 @@ def sq8_topk(
     )
     return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)
 
+
+
+def ivf_probe_delta(
+    embeddings: DataFrame,
+    k: int = 5,
+    delta_mod: int = 20,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Incremental ANN: a newly-arrived DELTA batch (vec_id % delta_mod
+    == 0, the corpus_ops DELTA_MOD convention) probes the STANDING IVF
+    index built from the base corpus only -- the living-dataset path
+    where per-batch cost scales with the delta, not the corpus. The
+    base assignment (cell per base vector) is the build-once artifact a
+    snapshot pipeline materializes; centroids are the deterministic
+    min-base-vec_id-per-label codebook so the oracle mirrors the
+    quantizer exactly. Delta vectors rank cells map-side against the
+    in-closure codebook (same zero-N-x-C shape as ivf_topk), probe
+    nprobe cells, and exact-re-rank the candidates. No self-hit filter
+    is needed: the delta is disjoint from the base by construction."""
+    emb = prepared(embeddings)
+    is_delta = F.col("vec_id") % delta_mod == 0
+    base = emb.filter(~is_delta)
+    dq = emb.filter(is_delta)
+    reps = (
+        embeddings.filter(~is_delta)
+        .groupBy("label")
+        .agg(F.min("vec_id").alias("rep_id"))
+    )
+    cents = base.join(
+        F.broadcast(reps.select(F.col("rep_id").alias("vec_id"))), "vec_id"
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    book = _codebook(cents)
+    assigned = persist_artifact(
+        _with_cell_ranking(base, book).select(
+            "vec_id",
+            (-F.element_at(F.col("_csims"), 1)["ncid"]).alias("cell"),
+        )
+    )
+    probes = (
+        _with_cell_ranking(dq, book)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(F.slice(F.col("_csims"), 1, nprobe)).alias("_s"),
+        )
+        .select("qid", (-F.col("_s")["ncid"]).alias("cell"))
+    )
+    cand = (
+        probes.join(assigned, ["cell"])
+        .select("qid", F.col("vec_id").alias("nid"))
+        .distinct()
+    )
+    return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)

@@ -370,3 +370,25 @@ def test_embedding_outlier_flags_synthetic_bignorm(spark, tmp_path):
     assert rows[40]["ratio_permille"] > 2000
     bulk = [r["ratio_permille"] for v, r in rows.items() if v != 40]
     assert all(b < 2000 for b in bulk)
+
+
+def test_ann_incremental_ivf_contract(spark, sf_dir):
+    """Delta/base disjointness: every query is a delta vector, every
+    neighbor a base vector; ranks are 1..k dense per query and ordered
+    by (cosine DESC, nid ASC)."""
+    from groove_to_helpscout_migration_tool_spark.catalog.corpus_ops import (
+        DELTA_MOD,
+    )
+
+    rows = catalog.QUERIES["llm_ann_incremental_ivf"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r["query_id"] % DELTA_MOD == 0
+        assert r["neighbor_id"] % DELTA_MOD != 0
+        by_q[r["query_id"]].append(r)
+    for q, nbrs in by_q.items():
+        nbrs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in nbrs] == list(range(1, len(nbrs) + 1))
+        keys = [(-r["cosine"], r["neighbor_id"]) for r in nbrs]
+        assert keys == sorted(keys), q

@@ -93,6 +93,7 @@ EMPTY_TOTAL_EMB = [
     "llm_embedding_jl_project",
     "llm_embedding_pca_power",  # r7: n == 0 guard returns empty
     "llm_embedding_outlier",
+    "llm_ann_incremental_ivf",
 ]
 
 

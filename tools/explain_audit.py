@@ -220,6 +220,14 @@ AUDIT = {
     # (the allowed one-row BroadcastNestedLoop) -- the vectors must
     # never shuffle, window, or real-cartesian
     "llm_embedding_outlier": (["BroadcastNestedLoopJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # r7 incremental IVF: delta ranks cells map-side against the
+    # in-closure codebook -- the N x C crossJoin and a per-corpus-vector
+    # window must never appear (same contract as llm_ann_ivf_topk; the
+    # surviving Window is the per-delta-query top-k)
+    "llm_ann_incremental_ivf": (["ArrowEvalPython|EvalPython"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # r7 full-outer reconciliation: both sides aggregate BEFORE the
+    # join (agg-then-join); FullOuter on the day partials, no window
+    "s04_full_outer_ship_reconciliation": (["FullOuter", "HashAggregate"], ["Window", "CartesianProduct", "Exchange rangepartitioning"]),
 }
 
 

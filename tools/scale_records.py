@@ -104,6 +104,10 @@ PROBES = {
     "a05_retention_cohorts": "linear",
     "d01_scd2_customer_merge": "linear",
     "p03_profile_lineitem": "linear",
+    # delta probes the standing index: cost scales with the delta slice
+    "llm_ann_incremental_ivf": "linear",
+    # agg-then-join: the full-outer input is day-partials, not facts
+    "s04_full_outer_ship_reconciliation": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
