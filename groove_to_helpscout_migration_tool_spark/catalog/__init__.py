@@ -12,6 +12,10 @@ Submodules:
                     sampling, k-means clustering view + balanced sampling
     modelprep_ops - hashed linear quality-classifier inference,
                     data-mixing epoch plans, iterative BPE merge training
+    audit_ops     - corpus-audit/assembly: cross-source overlap matrix,
+                    train/val/test split, keep-best exact + near-dup
+                    dedup, n-gram novelty, near-dup PageRank,
+                    embedding outlier gate
 """
 
 from . import relational  # noqa: F401
