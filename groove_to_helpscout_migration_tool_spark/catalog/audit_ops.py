@@ -684,3 +684,82 @@ def llm_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.expr("CAST((2 * s2) DIV nn AS DECIMAL(38,0))")
         ).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup (quote / subset detection)
+# ---------------------------------------------------------------------------
+CONT_MILLI = 800  # flag pairs where the smaller side is >= 80% contained
+
+
+@register(
+    "llm_neardup_containment",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+anchored AS (SELECT doc_id, xs, list_min(xs) AS anchor FROM docs),
+pairs AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         CAST(len(list_intersect(a.xs, b.xs)) AS BIGINT) AS n_common,
+         CAST(len(a.xs) AS BIGINT) AS n_i,
+         CAST(len(b.xs) AS BIGINT) AS n_j
+  FROM anchored a JOIN anchored b
+    ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+)
+SELECT doc_i, doc_j, n_common, n_i, n_j,
+       CAST((1000 * n_common) // n_i AS BIGINT) AS cont_i_in_j_milli,
+       CAST((1000 * n_common) // n_j AS BIGINT) AS cont_j_in_i_milli
+FROM pairs
+WHERE greatest((1000 * n_common) // n_i, (1000 * n_common) // n_j)
+      >= {CONT_MILLI}
+""",
+    doc=(
+        "Asymmetric CONTAINMENT near-dup (quote/subset detection --"
+        " what Jaccard misses by construction: a short document fully"
+        " quoted inside a long one has low Jaccard but containment"
+        " ~1000): candidate pairs share their minimum 3-gram shingle"
+        " hash (the bottom-1 anchor -- a contained document shares ALL"
+        " its shingles, so its anchor always collides with the"
+        " container's shingle set whenever the container's minimum is"
+        " inside the quoted span, and candidates are cheap either way),"
+        " verified by the DIRECTIONAL integer ratios |A&B| per mille of"
+        f" |A| and of |B|, flagged at >= {CONT_MILLI} on the larger"
+        " direction. Plan: reuses the persisted shingle artifact; the"
+        " anchor equi-join shuffles (anchor, doc_id) pairs only; the"
+        " verify is an in-row array_intersect -- same bucketed shape as"
+        " llm_neardup_ngram_jaccard (hot anchors cap/salt identically"
+        " at scale). Output rows are the flagged pairs."
+    ),
+)
+def llm_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = DD.shingled_docs(t.documents)
+    anch = docs.withColumn("anchor", F.array_min("xs"))
+    a = anch.select(
+        F.col("doc_id").alias("doc_i"), F.col("xs").alias("xs_i"), "anchor"
+    )
+    b = anch.select(
+        F.col("doc_id").alias("doc_j"), F.col("xs").alias("xs_j"), "anchor"
+    )
+    pairs = a.join(b, "anchor").filter(F.col("doc_i") < F.col("doc_j"))
+    scored = pairs.select(
+        "doc_i",
+        "doc_j",
+        F.size(F.array_intersect("xs_i", "xs_j")).cast("bigint").alias("n_common"),
+        F.size("xs_i").cast("bigint").alias("n_i"),
+        F.size("xs_j").cast("bigint").alias("n_j"),
+    ).select(
+        "doc_i",
+        "doc_j",
+        "n_common",
+        "n_i",
+        "n_j",
+        F.expr("CAST((1000 * n_common) DIV n_i AS BIGINT)").alias(
+            "cont_i_in_j_milli"
+        ),
+        F.expr("CAST((1000 * n_common) DIV n_j AS BIGINT)").alias(
+            "cont_j_in_i_milli"
+        ),
+    )
+    return scored.filter(
+        F.greatest("cont_i_in_j_milli", "cont_j_in_i_milli") >= CONT_MILLI
+    )

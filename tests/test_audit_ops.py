@@ -392,3 +392,22 @@ def test_ann_incremental_ivf_contract(spark, sf_dir):
         assert [r["rank"] for r in nbrs] == list(range(1, len(nbrs) + 1))
         keys = [(-r["cosine"], r["neighbor_id"]) for r in nbrs]
         assert keys == sorted(keys), q
+
+
+def test_neardup_containment_recounts(spark, sf_dir):
+    """Directional ratios recomputed from pure-Python shingle sets; a
+    flagged pair's smaller side must be >= 80% inside the other."""
+    docs = load_tables(spark, sf_dir, ["documents"]).documents.collect()
+    sh = {d["doc_id"]: _shingles(d["text"]) for d in docs}
+    rows = catalog.QUERIES["llm_neardup_containment"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a, b = sh[r["doc_i"]], sh[r["doc_j"]]
+        c = len(a & b)
+        assert r["n_common"] == c
+        assert r["n_i"] == len(a) and r["n_j"] == len(b)
+        assert r["cont_i_in_j_milli"] == (1000 * c) // len(a)
+        assert r["cont_j_in_i_milli"] == (1000 * c) // len(b)
+        assert max(r["cont_i_in_j_milli"], r["cont_j_in_i_milli"]) >= 800
+        # candidates must share their minimum shingle (the anchor)
+        assert min(a) == min(b)

@@ -65,6 +65,7 @@ EMPTY_TOTAL = [
     "llm_ngram_novelty",
     "llm_neardup_keep_best",
     "llm_neardup_pagerank",
+    "llm_neardup_containment",
 ]
 
 

@@ -228,6 +228,9 @@ AUDIT = {
     # r7 full-outer reconciliation: both sides aggregate BEFORE the
     # join (agg-then-join); FullOuter on the day partials, no window
     "s04_full_outer_ship_reconciliation": (["FullOuter", "HashAggregate"], ["Window", "CartesianProduct", "Exchange rangepartitioning"]),
+    # r7 containment: anchor equi-join + in-row array_intersect verify
+    # (same bucketed shape as ngram_jaccard) -- never cartesian/window
+    "llm_neardup_containment": ([], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
 }
 
 

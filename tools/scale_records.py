@@ -108,6 +108,9 @@ PROBES = {
     "llm_ann_incremental_ivf": "linear",
     # agg-then-join: the full-outer input is day-partials, not facts
     "s04_full_outer_ship_reconciliation": "linear",
+    # containment shares the jaccard anchor shape (uncapped enumerator
+    # at fixture scale; cap/salt identically in production)
+    "llm_neardup_containment": "control",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
