@@ -3,6 +3,7 @@
 from .events import (
     run_to_memory,
     streaming_event_counts,
+    streaming_hopping_counts,
     streaming_session_counts,
     streaming_user_quota,
 )
@@ -10,6 +11,7 @@ from .events import (
 __all__ = [
     "run_to_memory",
     "streaming_event_counts",
+    "streaming_hopping_counts",
     "streaming_session_counts",
     "streaming_user_quota",
 ]

@@ -78,6 +78,27 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 15 minutes with a 2-hour watermark --
+    the streaming twin of t03_hopping_window_events (each event lands in
+    4 overlapping windows; state is bounded by watermark x slide)."""
+    return (
+        _read_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user -- the streaming twin of
     a02_sessionize_events, via Spark's built-in session_window."""

@@ -113,6 +113,21 @@ class TestStreaming:
              for r in batch.collect()}
         assert s == b
 
+    def test_streaming_matches_batch_hopping_agg(self, spark, sf_dir):
+        from groove_to_helpscout_migration_tool_spark.streaming.events import (
+            run_to_memory,
+            streaming_hopping_counts,
+        )
+        from groove_to_helpscout_migration_tool_spark import catalog
+
+        got = run_to_memory(streaming_hopping_counts(spark, sf_dir), "ev_hops")
+        batch = catalog.QUERIES["t03_hopping_window_events"].fn(spark, sf_dir)
+        s = {(str(r["window_start"]), r["event_type"], r["n_events"], r["total_value"])
+             for r in got.collect()}
+        b = {(str(r["window_start"]), r["event_type"], r["n_events"], r["total_value"])
+             for r in batch.collect()}
+        assert s == b
+
     def test_streaming_session_window_runs(self, spark, sf_dir):
         from groove_to_helpscout_migration_tool_spark.streaming import streaming_session_counts
         from groove_to_helpscout_migration_tool_spark.streaming.events import run_to_memory

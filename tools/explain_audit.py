@@ -231,6 +231,9 @@ AUDIT = {
     # r7 containment: anchor equi-join + in-row array_intersect verify
     # (same bucketed shape as ngram_jaccard) -- never cartesian/window
     "llm_neardup_containment": ([], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    # r7 hopping window: the factor-4 Expand IS the mechanism (bounded
+    # by duration/slide, not by data) feeding one hash aggregation
+    "t03_hopping_window_events": (["Expand", "HashAggregate"], ["Window", "CartesianProduct", "Exchange rangepartitioning"]),
 }
 
 
