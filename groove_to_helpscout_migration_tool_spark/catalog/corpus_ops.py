@@ -948,3 +948,132 @@ def llm_ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["embeddings"])
     return SIM.ivf_probe_delta(t.embeddings, k=5, delta_mod=DELTA_MOD, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# Per-source drift report: delta batch vs standing corpus (ingestion QA)
+# ---------------------------------------------------------------------------
+@register(
+    "llm_source_drift_report",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+flagged AS (
+  SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tok,
+         doc_id % {DELTA_MOD} = 0 AS isd
+  FROM documents
+), stats AS (
+  SELECT source,
+         CAST(count(*) FILTER (NOT isd) AS BIGINT) AS n_base,
+         CAST(count(*) FILTER (isd) AS BIGINT) AS n_delta,
+         CASE WHEN count(*) FILTER (NOT isd) > 0
+              THEN (1000 * sum(n_tok) FILTER (NOT isd))
+                   // count(*) FILTER (NOT isd) END AS avg_tok_base_milli,
+         CASE WHEN count(*) FILTER (isd) > 0
+              THEN (1000 * sum(n_tok) FILTER (isd))
+                   // count(*) FILTER (isd) END AS avg_tok_delta_milli
+  FROM flagged GROUP BY source
+), ex AS (
+  SELECT dd.source, u.g, d.doc_id % {DELTA_MOD} = 0 AS isd
+  FROM docs d JOIN documents dd USING (doc_id), unnest(d.xs) AS u(g)
+), per_g AS (
+  SELECT source, g,
+         max(CASE WHEN NOT isd THEN 1 ELSE 0 END) AS hb,
+         max(CASE WHEN isd THEN 1 ELSE 0 END) AS hd
+  FROM ex GROUP BY source, g
+), nov AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_delta_grams,
+         CAST(sum(CASE WHEN hb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel_grams
+  FROM per_g WHERE hd = 1 GROUP BY source
+)
+SELECT s.source, s.n_base, s.n_delta,
+       CAST(s.avg_tok_base_milli AS BIGINT) AS avg_tok_base_milli,
+       CAST(s.avg_tok_delta_milli AS BIGINT) AS avg_tok_delta_milli,
+       n.n_delta_grams, n.n_novel_grams,
+       CAST((1000 * n.n_novel_grams) // nullif(n.n_delta_grams, 0) AS BIGINT)
+         AS novelty_milli
+FROM stats s LEFT JOIN nov n USING (source)
+""",
+    doc=(
+        "Per-source DRIFT report (the ingestion QA gate a living corpus"
+        f" runs on every delta batch, doc_id %% {DELTA_MOD} == 0 playing"
+        " the batch as in the incremental probes): base vs delta doc"
+        " counts, integer milli mean token lengths on both sides, and"
+        " the delta's shingle-vocabulary NOVELTY per source (fraction of"
+        " the delta's distinct 3-gram shingles unseen in that source's"
+        " base) -- a length-mean shift or a novelty spike is the"
+        " earliest signal of a scraper change, encoding bug, or topic"
+        " drift, caught BEFORE the batch pollutes the release. Plan: the"
+        " count/mean stats are one conditional hash aggregation on a"
+        " pruned scan; the novelty side reuses the source-carrying"
+        " persisted shingle artifact, collapses (source, gram, side)"
+        " presence map-side in one gram-keyed aggregation, and rolls up"
+        " per source -- corpus-linear, output rows = sources. At 100 TB"
+        " the report costs ~one shingle pass over base+delta; the oracle"
+        " replays both sides with shared CTEs."
+    ),
+)
+def llm_source_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    isd = F.col("doc_id") % DELTA_MOD == 0
+    flagged = t.documents.select(
+        "source", TX.token_count_ws(F.col("text")).alias("n_tok"), isd.alias("isd")
+    )
+    base_n = F.sum(F.when(~F.col("isd"), 1).otherwise(0))
+    delta_n = F.sum(F.when(F.col("isd"), 1).otherwise(0))
+    base_tok = F.sum(F.when(~F.col("isd"), F.col("n_tok")).otherwise(0))
+    delta_tok = F.sum(F.when(F.col("isd"), F.col("n_tok")).otherwise(0))
+    stats = (
+        flagged.groupBy("source")
+        .agg(
+            base_n.cast("bigint").alias("n_base"),
+            delta_n.cast("bigint").alias("n_delta"),
+            base_tok.alias("_bt"),
+            delta_tok.alias("_dt"),
+        )
+        .select(
+            "source",
+            "n_base",
+            "n_delta",
+            F.expr(
+                "CASE WHEN n_base > 0 THEN CAST((1000 * _bt) DIV n_base"
+                " AS BIGINT) END"
+            ).alias("avg_tok_base_milli"),
+            F.expr(
+                "CASE WHEN n_delta > 0 THEN CAST((1000 * _dt) DIV n_delta"
+                " AS BIGINT) END"
+            ).alias("avg_tok_delta_milli"),
+        )
+    )
+    sh = DD.shingled_docs(t.documents, carry=("source",))
+    ex = sh.select(
+        "source", F.explode("xs").alias("g"), isd.alias("isd")
+    )
+    per_g = ex.groupBy("source", "g").agg(
+        F.max(F.when(~F.col("isd"), 1).otherwise(0)).alias("hb"),
+        F.max(F.when(F.col("isd"), 1).otherwise(0)).alias("hd"),
+    )
+    nov = (
+        per_g.filter(F.col("hd") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_delta_grams"),
+            F.sum(F.when(F.col("hb") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel_grams"),
+        )
+    )
+    return stats.join(nov, "source", "left").select(
+        "source",
+        "n_base",
+        "n_delta",
+        "avg_tok_base_milli",
+        "avg_tok_delta_milli",
+        "n_delta_grams",
+        "n_novel_grams",
+        F.expr(
+            "CAST((1000 * n_novel_grams) DIV nullif(n_delta_grams, 0)"
+            " AS BIGINT)"
+        ).alias("novelty_milli"),
+    )

@@ -66,6 +66,7 @@ EMPTY_TOTAL = [
     "llm_neardup_keep_best",
     "llm_neardup_pagerank",
     "llm_neardup_containment",
+    "llm_source_drift_report",
 ]
 
 

@@ -234,6 +234,9 @@ AUDIT = {
     # r7 hopping window: the factor-4 Expand IS the mechanism (bounded
     # by duration/slide, not by data) feeding one hash aggregation
     "t03_hopping_window_events": (["Expand", "HashAggregate"], ["Window", "CartesianProduct", "Exchange rangepartitioning"]),
+    # r7 drift report: conditional hash aggs + gram-keyed presence
+    # collapse + source rollup -- no window, no cartesian anywhere
+    "llm_source_drift_report": (["HashAggregate", "Generate explode"], ["Window", "CartesianProduct", "SortMergeJoin"]),
 }
 
 

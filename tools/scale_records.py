@@ -108,6 +108,8 @@ PROBES = {
     "llm_ann_incremental_ivf": "linear",
     # agg-then-join: the full-outer input is day-partials, not facts
     "s04_full_outer_ship_reconciliation": "linear",
+    # conditional stats + gram-presence collapse: one shingle pass
+    "llm_source_drift_report": "linear",
     # containment shares the jaccard anchor shape (uncapped enumerator
     # at fixture scale; cap/salt identically in production)
     "llm_neardup_containment": "control",
