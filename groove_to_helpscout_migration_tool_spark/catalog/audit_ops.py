@@ -236,10 +236,14 @@ def _packed_argmax(score: F.Column, doc: F.Column, op: str) -> F.Column:
     never drift. Out-of-range inputs would SILENTLY corrupt the argmax
     (and the oracles share the packing, so the hash compare could not
     catch the drift) -- fail loudly instead, the _VOTE_PACK policy."""
+    # NOTE: a single %s -- f-strings do not consume %, so '%%s' would
+    # reach format_string literally, print '%s', and drop the value
+    # (ADVICE r7). The mining_ops _VOTE_PACK twin formats with Python %
+    # first; here the value is a Column, so format_string must carry it.
     doc_ok = F.when((doc >= 0) & (doc < KB), doc).otherwise(
         F.raise_error(
             F.format_string(
-                f"{op}: doc_id %%s outside [0, 2^40) breaks the packed"
+                f"{op}: doc_id %s outside [0, 2^40) breaks the packed"
                 " argmax -- raise KB",
                 doc,
             )
@@ -248,7 +252,7 @@ def _packed_argmax(score: F.Column, doc: F.Column, op: str) -> F.Column:
     score_ok = F.when(F.abs(score) < _KB_SCORE_CAP, score).otherwise(
         F.raise_error(
             F.format_string(
-                f"{op}: |score_milli| %%s >= 2^22 would overflow the"
+                f"{op}: |score_milli| %s >= 2^22 would overflow the"
                 " packed argmax",
                 score,
             )

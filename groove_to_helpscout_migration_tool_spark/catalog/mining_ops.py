@@ -903,7 +903,7 @@ WITH s AS (SELECT {_JL_SQL_MATRIX} AS m), e AS (
          list_transform(range(1, {JL_OUT} + 1), j ->
            round(list_sum(list_transform(range(1, {JL_IN} + 1),
                           i -> v[i] * m[i][j]))
-                 / sqrt({JL_OUT}.0), 6)) AS proj
+                 / sqrt({JL_OUT}.0), 6) + 0.0) AS proj
   FROM e, s
 )
 SELECT vec_id,
@@ -941,7 +941,12 @@ def llm_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cols.append(F.round(dot / rt, 6))
+        # + 0.0 normalizes IEEE negative zero: DuckDB's round(-4e-7, 6)
+        # yields -0.0 (printf '-0.000000') while Spark's Round (BigDecimal
+        # HALF_UP) yields +0.0 -- any component in (-5e-7, 0) would hash-
+        # mismatch without this. -0.0 + 0.0 = +0.0 in round-to-nearest,
+        # identity for every other value; mirrored in the oracle's p CTE.
+        cols.append(F.round(dot / rt, 6) + F.lit(0.0))
     proj = F.array(*cols)
     ssq = lambda a: F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)  # noqa: E731
     out = t.embeddings.select("vec_id", v.alias("v"), proj.alias("proj"))

@@ -348,7 +348,41 @@ def llm_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_MEMO: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+_BPE_MEMO: dict[tuple, tuple[list, DataFrame]] = {}
+
+
+def _dataset_fingerprint(path: str) -> tuple:
+    """(size, mtime_ns) over the file -- or every file under a parquet
+    directory -- so the BPE memo invalidates when the data under sf_dir
+    is REWRITTEN inside one Spark application (fixture regeneration,
+    notebook reruns): without this the memo silently returns the model
+    trained on the old bytes (ADVICE r7). Remote URIs (s3://, hdfs://)
+    can't be stat'd from the driver; they fall back to the path string,
+    keeping the pre-fix behavior for at-scale immutable snapshots."""
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return (path,)
+    local = path[len("file://"):] if path.startswith("file://") else path
+    try:
+        if os.path.isdir(local):
+            parts = []
+            for root, _, files in sorted(os.walk(local)):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append((f, st.st_size, st.st_mtime_ns))
+            return tuple(parts)
+        st = os.stat(local)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (path,)
+
+
+def clear_bpe_memo() -> None:
+    """Drop every memoized BPE model -- the explicit invalidation hook,
+    for callers who clear Spark caches and want retraining regardless of
+    the fingerprint check."""
+    _BPE_MEMO.clear()
 
 
 def _bpe_loop(
@@ -357,11 +391,18 @@ def _bpe_loop(
     """Run the merge loop; return (merge table rows, final word table
     (word, cnt, syms)) -- the trained model AND the tokenized
     vocabulary, shared by the train and apply operators. Memoized per
-    (Spark application, sf_dir): training runs once per session and the
-    apply operator reuses the word table instead of re-training (the
-    final words DataFrame stays valid after a cache clear -- its plan
-    simply recomputes)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    (Spark application, sf_dir, dataset fingerprint): training runs once
+    per session and the apply operator reuses the word table instead of
+    re-training (the final words DataFrame stays valid after a cache
+    clear -- its plan simply recomputes); rewriting the parquet under
+    sf_dir changes the fingerprint and forces retraining."""
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _dataset_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+    )
     hit = _BPE_MEMO.get(key)
     if hit is not None:
         return hit
