@@ -404,7 +404,7 @@ _KEEPBEST_PACK_SQL = f"(score_milli * {KB} + ({KB} - 1 - doc_id))"
 @register(
     "llm_neardup_keep_best",
     oracle=f"""
-WITH RECURSIVE {_LL._SHINGLE_CTES}, {_LL._MINHASH_SIG_SQL}, {_LL._PAIRS_05_CTES},
+WITH RECURSIVE {_LL._SHINGLE_CTES}, {_LL._MINHASH_SIG_SQL}, {_LL._PAIRS_05_CAPPED_CTES},
 edges AS (
   SELECT doc_i AS s, doc_j AS d FROM goodpairs
   UNION ALL
@@ -441,22 +441,25 @@ FROM lab l JOIN best b USING (cluster_id)
         " DECISION (llm_dedup_clusters keeps the arbitrary min-id; this"
         " keeps the best extraction). One row per document with its"
         " cluster, score, and keep flag, so downstream filters are one"
-        " predicate. Plan: the component labels come from the certified"
-        " capped-LSH + checkpointed label-propagation machinery; scoring"
+        " predicate. Plan: the component labels come from the CAPPED-LSH"
+        f" pair graph (bucket_cap={_LL._LSH_CAP} threaded through"
+        " dedup.neardup_clusters -> minhash_lsh_pairs -> cap_bucket, so"
+        " one boilerplate band bucket is bounded at cap*(cap-1)/2 pairs)"
+        " + the checkpointed label-propagation machinery; scoring"
         " is a map-only projection; the per-cluster argmax is ONE hash"
         " aggregation on the shared bit-packed BIGINT (same _packed_"
         "argmax expression and guards as llm_dedup_keep_best -- packings"
         " can never drift), joined back cluster-keyed with a unique"
         " right side (no fanout). Corpus-linear at 100 TB; the oracle"
-        " replays the components with a recursive CTE and the SAME"
-        " packed max."
+        " replays the components with a recursive CTE over the"
+        " identically-capped pair prefix and the SAME packed max."
     ),
 )
 def llm_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    labels = DD.neardup_clusters(t.documents, jaccard_threshold=0.5).select(
-        "doc_id", "cluster_id"
-    )
+    labels = DD.neardup_clusters(
+        t.documents, jaccard_threshold=0.5, bucket_cap=_LL._LSH_CAP
+    ).select("doc_id", "cluster_id")
     scored = t.documents.select(
         "doc_id",
         _MP.qclf_score(TX.tokens(F.col("text"))).cast("bigint").alias("score_milli"),
@@ -508,7 +511,7 @@ def _pr_round_sql(prev: str, cur: str) -> str:
 @register(
     "llm_neardup_pagerank",
     oracle=f"""
-WITH {_LL._SHINGLE_CTES}, {_LL._MINHASH_SIG_SQL}, {_LL._PAIRS_05_CTES},
+WITH {_LL._SHINGLE_CTES}, {_LL._MINHASH_SIG_SQL}, {_LL._PAIRS_05_CAPPED_CTES},
 {_PR_EDGES_SQL},
 r0 AS (SELECT node, CAST(1000 AS BIGINT) AS r FROM deg),
 {", ".join(_pr_round_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ROUNDS))}
@@ -532,18 +535,20 @@ FROM deg dg JOIN r{PR_ROUNDS} ON r{PR_ROUNDS}.node = dg.node
         f" {PR_ROUNDS} join+hash-agg rounds over the persisted"
         " edge+degree frame -- no window, no cartesian -- and the DuckDB"
         " oracle replays the SAME recurrence as unrolled CTEs over the"
-        " shared pair-graph prefix. Edges come from the capped-LSH"
-        " candidate machinery, so the graph build is the certified"
-        " bucketed path; each round's shuffle carries one record per"
-        " edge -- corpus-linear at 100 TB for the bounded near-dup"
-        " degree this graph has by construction."
+        " shared pair-graph prefix. Edges come from the CAPPED-LSH"
+        f" candidate build (bucket_cap={_LL._LSH_CAP} ->"
+        " dedup.cap_bucket), which both bounds every band bucket at"
+        " cap*(cap-1)/2 candidate pairs AND bounds node degree (a node"
+        " appears in 4 buckets of <= cap members, so degree <="
+        f" 4*({_LL._LSH_CAP}-1)); each round's shuffle carries one"
+        " record per edge -- corpus-linear at 100 TB."
     ),
 )
 def llm_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    pairs = DD.minhash_lsh_pairs(t.documents, jaccard_threshold=0.5).select(
-        "doc_i", "doc_j"
-    )
+    pairs = DD.minhash_lsh_pairs(
+        t.documents, jaccard_threshold=0.5, bucket_cap=_LL._LSH_CAP
+    ).select("doc_i", "doc_j")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_j").alias("doc_i"), F.col("doc_i").alias("doc_j"))
     ).toDF("s", "d")
@@ -694,13 +699,18 @@ def llm_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Asymmetric containment near-dup (quote / subset detection)
 # ---------------------------------------------------------------------------
 CONT_MILLI = 800  # flag pairs where the smaller side is >= 80% contained
+CONT_ANCHOR_CAP = _LL._LSH_CAP  # hot-anchor guard, same cap as the LSH twins
 
 
 @register(
     "llm_neardup_containment",
     oracle=f"""
 WITH {_SHINGLE_CTES},
-anchored AS (SELECT doc_id, xs, list_min(xs) AS anchor FROM docs),
+anchored_all AS (SELECT doc_id, xs, list_min(xs) AS anchor FROM docs),
+anchored AS (
+  SELECT doc_id, xs, anchor FROM anchored_all
+  QUALIFY row_number() OVER (PARTITION BY anchor ORDER BY doc_id) <= {CONT_ANCHOR_CAP}
+),
 pairs AS (
   SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
          CAST(len(list_intersect(a.xs, b.xs)) AS BIGINT) AS n_common,
@@ -728,16 +738,25 @@ WHERE greatest((1000 * n_common) // n_i, (1000 * n_common) // n_j)
         " verified by the DIRECTIONAL integer ratios |A&B| per mille of"
         f" |A| and of |B|, flagged at >= {CONT_MILLI} on the larger"
         " direction. Plan: reuses the persisted shingle artifact; the"
-        " anchor equi-join shuffles (anchor, doc_id) pairs only; the"
-        " verify is an in-row array_intersect -- same bucketed shape as"
-        " llm_neardup_ngram_jaccard (hot anchors cap/salt identically"
-        " at scale). Output rows are the flagged pairs."
+        " anchor equi-join shuffles (anchor, doc_id) pairs only, and"
+        f" every anchor bucket is CAPPED at its {CONT_ANCHOR_CAP} lowest"
+        " doc_ids before the self-join (dedup.cap_bucket on a payload-"
+        "free (anchor, doc_id) frame, semi-joined back -- the window"
+        " never sorts rows carrying shingle arrays), so a hot anchor (a"
+        " very common minimum shingle) is bounded at cap*(cap-1)/2"
+        " candidate pairs instead of going quadratic; the verify is an"
+        " in-row array_intersect. The oracle mirrors the cap with a"
+        " row_number() QUALIFY. Output rows are the flagged pairs."
     ),
 )
 def llm_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = DD.shingled_docs(t.documents)
     anch = docs.withColumn("anchor", F.array_min("xs"))
+    keep = DD.cap_bucket(
+        anch.select("doc_id", "anchor"), "anchor", "doc_id", CONT_ANCHOR_CAP
+    )
+    anch = anch.join(keep, ["doc_id", "anchor"], "semi")
     a = anch.select(
         F.col("doc_id").alias("doc_i"), F.col("xs").alias("xs_i"), "anchor"
     )

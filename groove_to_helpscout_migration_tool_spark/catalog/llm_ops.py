@@ -383,7 +383,13 @@ WHERE round(len(list_intersect(a.xs, b.xs))::DOUBLE
     doc=(
         "MinHash LSH near-dup pairs: 4 bands x 4 rows bucket join, exact "
         "shingle-Jaccard >= 0.5 verify. Candidate join shuffles (band_key, "
-        "doc_id) only -- never text (operators/dedup.py scale notes)."
+        "doc_id) only -- never text (operators/dedup.py scale notes). "
+        "UNCAPPED ORACLE/BASELINE, not the production path: one "
+        "boilerplate-heavy band bucket makes the self-join quadratic in "
+        "its width (the same failure the r6 scale probe measured at "
+        "100.7x pair growth on the uncapped simhash path). At scale run "
+        "llm_neardup_minhash_lsh_capped; keep this entry for recall "
+        "certification of the capped twin on bounded samples."
     ),
 )
 def llm_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,7 +857,13 @@ SELECT DISTINCT doc_i, doc_j, jaccard FROM pairs WHERE jaccard >= 0.4
         "n-gram Jaccard near-dup: candidates share their MINIMUM 3-gram "
         "shingle hash (bottom-1 sketch: P(candidate) = true Jaccard), then "
         "exact set Jaccard verifies. Cheaper candidate stage than the banded "
-        "MinHash variant; shuffle carries (anchor, doc_id) only."
+        "MinHash variant; shuffle carries (anchor, doc_id) only. "
+        "UNCAPPED ORACLE/BASELINE, not the production path: a hot anchor "
+        "(a very common minimum shingle) makes the candidate join "
+        "quadratic in that anchor's width. At scale pass anchor_cap "
+        "(dedup.ngram_jaccard_pairs threads it through cap_bucket, the "
+        "same guard the capped LSH twins use); keep this entry for "
+        "recall certification on bounded samples."
     ),
 )
 def llm_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,11 +1067,35 @@ bands AS (
 )
 """
 
+# CAPPED pair-graph prefix: same goodpairs contract, but every band
+# bucket keeps only its _LSH_CAP lowest doc_ids before the self-join
+# (the QUALIFY mirror of operators/dedup.cap_bucket). The graph-level
+# ops (clusters, keep-best, PageRank) build their edges from THIS
+# prefix so one boilerplate bucket cannot go quadratic at 100 TB.
+_PAIRS_05_CAPPED_CTES = f"""
+bands_all AS (
+  SELECT doc_id, b.b AS b,
+    b.b::VARCHAR || '-' || array_to_string(list_slice(sig, b.b*4 + 1, b.b*4 + 4), '-') AS band_key
+  FROM sig, (SELECT unnest(range({DD.N_BANDS})) AS b) b
+), bands AS (
+  SELECT doc_id, band_key FROM bands_all
+  QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= {_LSH_CAP}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+), goodpairs AS (
+  SELECT c.i AS doc_i, c.j AS doc_j
+  FROM cand c JOIN docs a ON a.doc_id = c.i JOIN docs b ON b.doc_id = c.j
+  WHERE round(len(list_intersect(a.xs, b.xs))::DOUBLE
+              / len(list_distinct(list_concat(a.xs, b.xs))), 6) >= 0.5
+)
+"""
+
 
 @register(
     "llm_dedup_clusters",
     oracle=f"""
-WITH RECURSIVE {_SHINGLE_CTES}, {_MINHASH_SIG_SQL}, {_PAIRS_05_CTES},
+WITH RECURSIVE {_SHINGLE_CTES}, {_MINHASH_SIG_SQL}, {_PAIRS_05_CAPPED_CTES},
 edges AS (
   SELECT doc_i AS s, doc_j AS d FROM goodpairs
   UNION ALL
@@ -1075,16 +1111,25 @@ SELECT node AS doc_id, min(lab) AS cluster_id,
 FROM reach GROUP BY node
 """,
     doc=(
-        "Near-dup CLUSTERING: connected components over the MinHash-LSH "
-        "pair graph via iterative min-label propagation (driver loop, "
-        "storage-backed checkpoint per round -- dedup.neardup_clusters). "
-        "Turns pairs into the dedup decision: keep min doc_id per cluster. "
-        "The oracle computes the same components with a recursive CTE."
+        "Near-dup CLUSTERING: connected components over the CAPPED "
+        "MinHash-LSH pair graph via iterative min-label propagation "
+        "(driver loop, storage-backed checkpoint per round -- "
+        "dedup.neardup_clusters). Turns pairs into the dedup decision: "
+        f"keep min doc_id per cluster. Edges use bucket_cap={_LSH_CAP} "
+        "(dedup.cap_bucket), so a boilerplate-heavy band bucket emits at "
+        "most cap*(cap-1)/2 candidate pairs instead of going quadratic "
+        "in its width -- the graph build stays corpus-linear at 100 TB; "
+        "cluster recall within a capped hot bucket is confined to its "
+        "cap lowest doc_ids' core plus whatever the other 3 bands "
+        "reconnect. The oracle computes the same components with a "
+        "recursive CTE over the identically-capped pair prefix."
     ),
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    return DD.neardup_clusters(t.documents, jaccard_threshold=0.5)
+    return DD.neardup_clusters(
+        t.documents, jaccard_threshold=0.5, bucket_cap=_LSH_CAP
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -362,12 +362,25 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def neardup_clusters(
-    documents: DataFrame, jaccard_threshold: float = 0.5, max_iter: int = 20
+    documents: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_iter: int = 20,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """-> (doc_id, cluster_id, is_keeper): connected components over the
     MinHash-LSH near-dup pair graph -- the step that turns PAIRS into a
-    dedup DECISION (keep cluster min, drop the rest)."""
-    pairs = minhash_lsh_pairs(documents, jaccard_threshold).select("doc_i", "doc_j")
+    dedup DECISION (keep cluster min, drop the rest).
+
+    ``bucket_cap`` threads straight to minhash_lsh_pairs: without it the
+    edge build is the UNCAPPED band self-join, quadratic in the width of
+    one boilerplate-heavy bucket (see cap_bucket). Every production
+    caller should pass a cap; for component labeling the recall loss is
+    benign -- a capped hot bucket still emits a connected core among its
+    cap lowest doc_ids, and members dropped from one bucket usually
+    reconnect through their other 3 bands."""
+    pairs = minhash_lsh_pairs(
+        documents, jaccard_threshold, bucket_cap=bucket_cap
+    ).select("doc_i", "doc_j")
     edges = persist_artifact(
         pairs.unionByName(
             pairs.select(F.col("doc_j").alias("doc_i"), F.col("doc_i").alias("doc_j"))

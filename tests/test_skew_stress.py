@@ -48,3 +48,12 @@ def test_skew_bounds_hold():
     ]
     for name in ("join_salted", "minhash_capped", "simhash_capped"):
         assert scen[name]["n_tasks"] >= 4, (name, scen[name])
+    # pair-count boundedness on the hot-bucket corpus: the uncapped
+    # control is exactly quadratic, the capped paths (the edge builders
+    # of clusters/keep-best/PageRank/containment) hold the one-bucket
+    # pair ceiling
+    probe = result["pair_probe"]
+    assert probe["hot_pairs_uncapped"] == probe["hot_pairs_uncapped_expected"]
+    assert probe["hot_pairs_capped"] <= probe["cap_pair_ceiling"]
+    assert probe["hot_pairs_anchor_capped"] <= probe["cap_pair_ceiling"]
+    assert probe["hot_pairs_uncapped"] > 10 * probe["cap_pair_ceiling"]

@@ -43,6 +43,8 @@ SALT_BOUND = 3.0     # salted join: max/median shuffle-read records per task
 CAP_BOUND = 4.0      # capped dedup candidate joins
 CONTROL_MIN = 4.0    # unsalted control must be at least this skewed
 MIN_TASKS = 4        # ignore stages too small to have a distribution
+PAIR_CAP = 8         # mirrors catalog.llm_ops._LSH_CAP (the graph family's cap)
+PAIR_CAP_MAX = PAIR_CAP * (PAIR_CAP - 1) // 2  # 28: per-bucket pair ceiling
 
 
 def _build_session(event_dir: str):
@@ -137,6 +139,71 @@ def _scenarios(spark, sf_dir: str):
     }
 
 
+def _pair_probe(spark, sf_dir: str) -> tuple[dict, list[str]]:
+    """Hot-bucket PAIR-COUNT boundedness for the capped near-dup paths
+    the graph family (clusters / keep-best / PageRank / containment)
+    builds on (VERDICT r7 task 1 evidence). The 10%-boilerplate corpus
+    puts every hot doc in ONE band bucket (identical text -> identical
+    signature), so:
+
+      uncapped  hot-hot pairs == C(n_hot, 2)      -- the quadratic control
+      capped    hot-hot pairs <= C(PAIR_CAP, 2)   -- every band keeps the
+                same PAIR_CAP lowest doc_ids, so the hot contribution is
+                bounded by ONE bucket's ceiling no matter how wide the
+                bucket gets (28 at cap=8, vs 1225 at 50 hot docs, vs
+                ~5e9 at 100k hot docs in a 100 TB corpus)
+      anchor-capped containment candidates: same ceiling on the bottom-1
+                anchor join (all hot docs share their minimum shingle).
+
+    Counts, not task records: the quadratic pathology here is OUTPUT
+    size, which task-level shuffle metrics only see once it is far
+    gone."""
+    from pyspark.sql import functions as F
+
+    from groove_to_helpscout_migration_tool_spark.operators import cache, dedup
+
+    hot = _hot_docs(spark, sf_dir)
+    hot_pred = (F.col("doc_i") % 10 == 0) & (F.col("doc_j") % 10 == 0)
+    n_hot = hot.filter(F.col("doc_id") % 10 == 0).count()
+
+    unc = dedup.minhash_lsh_pairs(hot, jaccard_threshold=0.5)
+    unc_hot = unc.filter(hot_pred).count()
+    cache.unpersist_artifacts()
+    cap = dedup.minhash_lsh_pairs(hot, jaccard_threshold=0.5, bucket_cap=PAIR_CAP)
+    cap_hot = cap.filter(hot_pred).count()
+    cache.unpersist_artifacts()
+    cont = dedup.ngram_jaccard_pairs(hot, jaccard_threshold=0.4, anchor_cap=PAIR_CAP)
+    cont_hot = cont.filter(hot_pred).count()
+    cache.unpersist_artifacts()
+
+    expect_unc = n_hot * (n_hot - 1) // 2
+    probe = {
+        "n_hot_docs": n_hot,
+        "hot_pairs_uncapped": unc_hot,
+        "hot_pairs_uncapped_expected": expect_unc,
+        "hot_pairs_capped": cap_hot,
+        "hot_pairs_anchor_capped": cont_hot,
+        "cap": PAIR_CAP,
+        "cap_pair_ceiling": PAIR_CAP_MAX,
+    }
+    violations = []
+    if unc_hot != expect_unc:
+        violations.append(
+            f"pair_probe control: uncapped hot-hot pairs {unc_hot} != "
+            f"C({n_hot},2)={expect_unc} -- hot bucket not quadratic, "
+            "probe would not detect a cap regression"
+        )
+    if cap_hot > PAIR_CAP_MAX:
+        violations.append(
+            f"pair_probe: capped hot-hot pairs {cap_hot} > {PAIR_CAP_MAX}"
+        )
+    if cont_hot > PAIR_CAP_MAX:
+        violations.append(
+            f"pair_probe: anchor-capped hot-hot pairs {cont_hot} > {PAIR_CAP_MAX}"
+        )
+    return probe, violations
+
+
 def _parse_event_log(event_dir: str) -> dict[str, dict]:
     """event log -> {job_group: {(stage_id, attempt): [per-task records]}}.
 
@@ -223,6 +290,7 @@ def main() -> None:
         run()
         cache.unpersist_artifacts()
         sc.setJobGroup("idle", "idle")
+    pair_probe, pair_violations = _pair_probe(spark, sf_dir)
     spark.stop()  # flush + finalize the event log
 
     groups = _parse_event_log(event_dir)
@@ -258,7 +326,13 @@ def main() -> None:
                 f"control ratio {control} <= salted ratio {salted}"
             )
 
-    result = {"sf_dir": sf_dir, "scenarios": report, "violations": violations}
+    violations.extend(pair_violations)
+    result = {
+        "sf_dir": sf_dir,
+        "scenarios": report,
+        "pair_probe": pair_probe,
+        "violations": violations,
+    }
     line = json.dumps(result, sort_keys=True)
     print(line)
     if out_path:
