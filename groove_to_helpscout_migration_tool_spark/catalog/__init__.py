@@ -51,30 +51,35 @@ from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 # Keeping them ahead of the untouched-green block guarantees the sweep
 # re-verifies everything this round's diff could have regressed.
 _CHANGED_THIS_ROUND = {
-    # round 7: output reshaped to scalar columns (proj -> proj_csv via
-    # %.6f serialization) so the official pandas canonicalizer can hash
-    # it -- the r6 red row; it is ALSO block-1 (red) until re-certified
+    # round 8: the near-dup graph family now builds its edges on the
+    # CAPPED LSH path (bucket_cap=8 / anchor cap, oracles mirrored with
+    # QUALIFY) -- the VERDICT r7 headline fix; results change, so these
+    # four MUST re-certify this round
+    "llm_dedup_clusters",
+    "llm_neardup_keep_best",
+    "llm_neardup_pagerank",
+    "llm_neardup_containment",
+    # round 8: IEEE negative-zero normalization (+ 0.0 after round on
+    # both engines) in the projected components
     "llm_embedding_jl_project",
-    # round 7: aggregate pushed below the join in both (VERDICT r6 task 3
-    # perf regressions) -- a03 pre-aggregates events to (user, day)
-    # partials before the day-bucket join; groupback aggregates lineitem
-    # first and keeps orders as a broadcast LeftSemi filter
-    "a03_range_join_order_events",
-    "ref_groupback_threads",
+    # round 8: packed-argmax guard message fix (shared expression --
+    # error path only, but the expression text changed)
+    "llm_dedup_keep_best",
 }
 
 # Queries the round's VERDICT.md explicitly directs into the front-50
-# (task 5, round 7): stale-green entries whose last official row is old
-# enough that the judge wants a fresh certification this round. They
-# rank with block 2 regardless of the heavy sink -- a judge-directed
-# re-certification outranks budget friction for one round.
+# (task 2, round 8): the six HEAVY stale entries the block-3 heavy sink
+# could never rotate in on its own -- led by the flagship pipeline,
+# whose last official green is r3. They rank with block 2 regardless of
+# the heavy sink -- a judge-directed re-certification outranks budget
+# friction for one round.
 _VERDICT_FRONT = {
-    "ref_s6_two_level_fanout",
-    "ref_p17_recipient_tolist",
-    "ref_a1_running_count",
-    "ref_a4_throughput_eta",
-    "ref_k5_observed_metrics",
-    "ref_t1_streaming_quota",
+    "ref_pipeline_sync_tickets",
+    "llm_ann_lsh_topk",
+    "llm_neardup_embedding_lsh",
+    "llm_semantic_dedup_assign",
+    "ref_t3_streaming_state_dedup",
+    "llm_dedup_clusters",
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB
