@@ -40,46 +40,38 @@ from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 #   block 0: never officially checked in any round
 #   block 1: officially checked but red (hash/row/schema mismatch or
 #            checker error) -- needs re-certification after a fix
-#   block 2: green before, but the implementation changed this round
-#            (_CHANGED_THIS_ROUND, maintained by hand with each diff) --
-#            a regression here must not evade the sweep
-#   block 3: green and untouched
-# Within a block, queries measured >2s at sf0.01 sink to the tail so
-# they cannot starve dozens of sub-second checks out of the budget.
+#   block 2: green before, but changed SINCE its newest official green
+#            (_CHANGED, a name -> round-changed map) -- a regression
+#            here must not evade the sweep
+#   block 3: green and untouched, OLDEST certification first -- the
+#            age-based rotation that keeps every query's official green
+#            within certage's MAX_AGE bound
+# Within a block the tiebreak is (last_round, heavy): queries measured
+# >2s at sf0.01 yield to sub-second checks OF THE SAME AGE but can no
+# longer be starved behind the whole younger population (the r8 failure
+# mode: six r6 heavies stuck at sweep positions 128+ while 117 younger
+# non-heavy stale entries rotated ahead of them).
 
-# Names whose Spark code or oracle SQL was edited in the current round.
-# Keeping them ahead of the untouched-green block guarantees the sweep
-# re-verifies everything this round's diff could have regressed.
-_CHANGED_THIS_ROUND = {
-    # round 8: the near-dup graph family now builds its edges on the
-    # CAPPED LSH path (bucket_cap=8 / anchor cap, oracles mirrored with
-    # QUALIFY) -- the VERDICT r7 headline fix; results change, so these
-    # four MUST re-certify this round
-    "llm_dedup_clusters",
-    "llm_neardup_keep_best",
-    "llm_neardup_pagerank",
-    "llm_neardup_containment",
-    # round 8: IEEE negative-zero normalization (+ 0.0 after round on
-    # both engines) in the projected components
-    "llm_embedding_jl_project",
-    # round 8: packed-argmax guard message fix (shared expression --
-    # error path only, but the expression text changed)
-    "llm_dedup_keep_best",
-}
-
-# Queries the round's VERDICT.md explicitly directs into the front-50
-# (task 2, round 8): the six HEAVY stale entries the block-3 heavy sink
-# could never rotate in on its own -- led by the flagship pipeline,
-# whose last official green is r3. They rank with block 2 regardless of
-# the heavy sink -- a judge-directed re-certification outranks budget
-# friction for one round.
-_VERDICT_FRONT = {
-    "ref_pipeline_sync_tickets",
-    "llm_ann_lsh_topk",
-    "llm_neardup_embedding_lsh",
-    "llm_semantic_dedup_assign",
-    "ref_t3_streaming_state_dedup",
-    "llm_dedup_clusters",
+# Names whose Spark code or oracle SQL was edited, mapped to the round
+# the edit happened in. A name ranks in block 2 only while its newest
+# official green is OLDER than the recorded round -- once the sweep
+# re-certifies it the entry self-suppresses, so leftover entries from a
+# previous round cannot waste the next round's budget (the other r8
+# failure mode: 11 already-recertified r8 names still pinned to the
+# front at r9). Entries may be pruned once suppressed, but forgetting
+# to prune is harmless by construction.
+_CHANGED = {
+    # round 9: hot-bucket STAR LINK -- every member of a capped band /
+    # anchor bucket now also pairs with the bucket's min doc_id, so
+    # beyond-cap members of a hot bucket keep an edge into the cluster
+    # (ADVICE r8: identical boilerplate docs collapse all bands into one
+    # bucket, so the pure cap orphaned them). Pair output and cluster
+    # membership change; oracles mirrored.
+    "llm_neardup_minhash_lsh_capped": 9,
+    "llm_dedup_clusters": 9,
+    "llm_neardup_keep_best": 9,
+    "llm_neardup_pagerank": 9,
+    "llm_neardup_containment": 9,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB
@@ -174,7 +166,8 @@ def _apply_sweep_order() -> None:
             return 0
         if name not in green:
             return 1
-        if name in _CHANGED_THIS_ROUND or name in _VERDICT_FRONT:
+        if last_round.get(name, 0) < _CHANGED.get(name, 0):
+            # changed after its newest official green -- must recertify
             return 2
         if last_round.get(name, 0) < newest:
             # STALE green: certified in an older round but skipped by the
@@ -185,16 +178,21 @@ def _apply_sweep_order() -> None:
             return 3
         return 4
 
-    reordered = dict(
-        sorted(
-            QUERIES.items(),
-            key=lambda kv: (
-                block(kv[0]),
-                1 if kv[0] in _HEAVY else 0,
-                last_round.get(kv[0], 0),
-            ),
-        )
-    )
+    def key(name: str) -> tuple[int, int, int]:
+        b = block(name)
+        heavy = 1 if name in _HEAVY else 0
+        # block 3 (stale greens) rotates oldest-first with HEAVIES
+        # LEADING their age cohort: a >2s query that misses this
+        # round's budget window waits a whole extra round, so the
+        # oldest heavies must not queue behind every same-age
+        # sub-second check (the r8 failure: six r6 heavies parked at
+        # positions 128+). Elsewhere (new/red/changed) cheap checks
+        # still go first -- certifying many beats certifying slow.
+        if b == 3:
+            heavy = -heavy
+        return (b, last_round.get(name, 0), heavy)
+
+    reordered = dict(sorted(QUERIES.items(), key=lambda kv: key(kv[0])))
     QUERIES.clear()
     QUERIES.update(reordered)
 

@@ -217,6 +217,77 @@ def llm_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Release-writer layout certification (the sink side of the split)
+# ---------------------------------------------------------------------------
+@register(
+    "q_release_layout",
+    oracle=f"""
+WITH k AS (
+  SELECT {_TVT_KEY_SQL} AS key FROM documents
+), lab AS (
+  SELECT CASE WHEN key % 1000 < 900 THEN 'train'
+              WHEN key % 1000 < 950 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST((key // 1000) % {TVT_SHARDS} AS BIGINT) AS shard
+  FROM k
+)
+SELECT split, shard,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lab GROUP BY split, shard
+""",
+    doc=(
+        "RELEASE-WRITER layout certification: actually writes the"
+        " train/val/test split through sources/compact.write_release"
+        " (Hive partitionBy(split, shard) with the pre-repartition that"
+        " makes one task own each leaf), reads the release back, and"
+        " returns the per-leaf manifest (split, shard, n_files,"
+        " n_rows). The oracle recomputes the expected leaves and row"
+        " counts from the md5 split keys and pins n_files = 1 PER LEAF"
+        " as a literal -- the writer's small-files contract. A"
+        " regression to naive write.partitionBy (every upstream task"
+        " opening a writer per leaf it sees -> tasks x leaves files at"
+        " 100 TB) shows up as n_files > 1 and hash-mismatches; dropped"
+        " or duplicated rows show up in n_rows. The manifest is"
+        " materialized eagerly (one row per leaf -- bounded by the"
+        f" 3 x {TVT_SHARDS} layout config, never by corpus size) so the"
+        " temp release directory can be removed before returning."
+    ),
+)
+def q_release_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.compact import write_release
+
+    split_df = llm_train_val_test_split(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="release_layout_")
+    try:
+        write_release(split_df, out, ["split", "shard"], mode="overwrite")
+        manifest = (
+            spark.read.parquet(out)
+            .withColumn("_f", F.input_file_name())
+            .groupBy("split", "shard")
+            .agg(
+                F.countDistinct("_f").cast("bigint").alias("n_files"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+            .select(
+                "split",
+                F.col("shard").cast("bigint").alias("shard"),
+                "n_files",
+                "n_rows",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        manifest, "split string, shard bigint, n_files bigint, n_rows bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Keep-best exact dedup (quality-scored representative selection)
 # ---------------------------------------------------------------------------
 # argmax bit-packing base: packed = score * KB + (KB - 1 - doc_id), so a
@@ -443,8 +514,10 @@ FROM lab l JOIN best b USING (cluster_id)
         " cluster, score, and keep flag, so downstream filters are one"
         " predicate. Plan: the component labels come from the CAPPED-LSH"
         f" pair graph (bucket_cap={_LL._LSH_CAP} threaded through"
-        " dedup.neardup_clusters -> minhash_lsh_pairs -> cap_bucket, so"
-        " one boilerplate band bucket is bounded at cap*(cap-1)/2 pairs)"
+        " dedup.neardup_clusters -> minhash_lsh_pairs -> cap_bucket +"
+        " star_pairs: one boilerplate band bucket is bounded at"
+        " cap*(cap-1)/2 pairs plus width-1 anchor star edges, and no"
+        " hot-bucket member is orphaned from its cluster)"
         " + the checkpointed label-propagation machinery; scoring"
         " is a map-only projection; the per-cluster argmax is ONE hash"
         " aggregation on the shared bit-packed BIGINT (same _packed_"
@@ -537,11 +610,15 @@ FROM deg dg JOIN r{PR_ROUNDS} ON r{PR_ROUNDS}.node = dg.node
         " oracle replays the SAME recurrence as unrolled CTEs over the"
         " shared pair-graph prefix. Edges come from the CAPPED-LSH"
         f" candidate build (bucket_cap={_LL._LSH_CAP} ->"
-        " dedup.cap_bucket), which both bounds every band bucket at"
-        " cap*(cap-1)/2 candidate pairs AND bounds node degree (a node"
-        " appears in 4 buckets of <= cap members, so degree <="
-        f" 4*({_LL._LSH_CAP}-1)); each round's shuffle carries one"
-        " record per edge -- corpus-linear at 100 TB."
+        " dedup.cap_bucket + dedup.star_pairs): every band bucket emits"
+        " cap*(cap-1)/2 self-join pairs plus width-1 anchor star edges,"
+        " so EDGE COUNT stays corpus-linear; non-anchor node degree is"
+        f" bounded (<= 4*{_LL._LSH_CAP} edges from capped buckets plus"
+        " 4 star edges), while a hot bucket's anchor is a deliberate"
+        " HUB whose degree is the bucket width -- exactly the"
+        " template-document centrality this query exists to surface,"
+        " and an aggregation hot key the partial-sum (map-side combine)"
+        " absorbs; each round's shuffle carries one record per edge."
     ),
 )
 def llm_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,18 +783,31 @@ CONT_ANCHOR_CAP = _LL._LSH_CAP  # hot-anchor guard, same cap as the LSH twins
     "llm_neardup_containment",
     oracle=f"""
 WITH {_SHINGLE_CTES},
-anchored_all AS (SELECT doc_id, xs, list_min(xs) AS anchor FROM docs),
+anchored_all AS (SELECT doc_id, list_min(xs) AS anchor FROM docs),
 anchored AS (
-  SELECT doc_id, xs, anchor FROM anchored_all
+  SELECT doc_id, anchor FROM anchored_all
   QUALIFY row_number() OVER (PARTITION BY anchor ORDER BY doc_id) <= {CONT_ANCHOR_CAP}
 ),
+anchor_mins AS (
+  SELECT anchor, min(doc_id) AS m FROM anchored_all GROUP BY anchor
+),
+cand AS (
+  SELECT DISTINCT i, j FROM (
+    SELECT a.doc_id AS i, b.doc_id AS j
+    FROM anchored a JOIN anchored b
+      ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT am.m AS i, x.doc_id AS j
+    FROM anchored_all x JOIN anchor_mins am USING (anchor)
+    WHERE x.doc_id > am.m
+  )
+),
 pairs AS (
-  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+  SELECT c.i AS doc_i, c.j AS doc_j,
          CAST(len(list_intersect(a.xs, b.xs)) AS BIGINT) AS n_common,
          CAST(len(a.xs) AS BIGINT) AS n_i,
          CAST(len(b.xs) AS BIGINT) AS n_j
-  FROM anchored a JOIN anchored b
-    ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+  FROM cand c JOIN docs a ON a.doc_id = c.i JOIN docs b ON b.doc_id = c.j
 )
 SELECT doc_i, doc_j, n_common, n_i, n_j,
        CAST((1000 * n_common) // n_i AS BIGINT) AS cont_i_in_j_milli,
@@ -740,33 +830,45 @@ WHERE greatest((1000 * n_common) // n_i, (1000 * n_common) // n_j)
         " direction. Plan: reuses the persisted shingle artifact; the"
         " anchor equi-join shuffles (anchor, doc_id) pairs only, and"
         f" every anchor bucket is CAPPED at its {CONT_ANCHOR_CAP} lowest"
-        " doc_ids before the self-join (dedup.cap_bucket on a payload-"
-        "free (anchor, doc_id) frame, semi-joined back -- the window"
-        " never sorts rows carrying shingle arrays), so a hot anchor (a"
-        " very common minimum shingle) is bounded at cap*(cap-1)/2"
-        " candidate pairs instead of going quadratic; the verify is an"
-        " in-row array_intersect. The oracle mirrors the cap with a"
-        " row_number() QUALIFY. Output rows are the flagged pairs."
+        " doc_ids for the all-pairs self-join (dedup.cap_bucket on a"
+        " payload-free (anchor, doc_id) frame -- the window never sorts"
+        " rows carrying shingle arrays) PLUS a star link from every"
+        " bucket member to the bucket's min doc_id (dedup.star_pairs),"
+        " so a hot anchor (a very common minimum shingle) contributes"
+        " cap*(cap-1)/2 + (width-cap) candidates -- linear in width and"
+        " no beyond-cap member orphaned (a doc has exactly ONE bottom-1"
+        " anchor, so without the star a hot bucket's dropped members"
+        " would lose their only candidate edges); the verify is an"
+        " in-row array_intersect after the shingle arrays join back per"
+        " candidate. The oracle mirrors the cap with a row_number()"
+        " QUALIFY and the star with a min-anchor join. Output rows are"
+        " the flagged pairs."
     ),
 )
 def llm_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = DD.shingled_docs(t.documents)
-    anch = docs.withColumn("anchor", F.array_min("xs"))
-    keep = DD.cap_bucket(
-        anch.select("doc_id", "anchor"), "anchor", "doc_id", CONT_ANCHOR_CAP
+    ids = cache.persist_artifact(
+        docs.select("doc_id", F.array_min("xs").alias("anchor"))
     )
-    anch = anch.join(keep, ["doc_id", "anchor"], "semi")
-    a = anch.select(
-        F.col("doc_id").alias("doc_i"), F.col("xs").alias("xs_i"), "anchor"
+    keep = DD.cap_bucket(ids, "anchor", "doc_id", CONT_ANCHOR_CAP)
+    cand = (
+        keep.select(F.col("doc_id").alias("i"), "anchor")
+        .join(keep.select(F.col("doc_id").alias("j"), "anchor"), ["anchor"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .unionByName(DD.star_pairs(ids, "anchor", "doc_id"))
+        .distinct()
     )
-    b = anch.select(
-        F.col("doc_id").alias("doc_j"), F.col("xs").alias("xs_j"), "anchor"
+    xs_map = docs.select("doc_id", "xs")
+    pairs = cand.join(
+        xs_map.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i")), "i"
+    ).join(
+        xs_map.select(F.col("doc_id").alias("j"), F.col("xs").alias("xs_j")), "j"
     )
-    pairs = a.join(b, "anchor").filter(F.col("doc_i") < F.col("doc_j"))
     scored = pairs.select(
-        "doc_i",
-        "doc_j",
+        F.col("i").alias("doc_i"),
+        F.col("j").alias("doc_j"),
         F.size(F.array_intersect("xs_i", "xs_j")).cast("bigint").alias("n_common"),
         F.size("xs_i").cast("bigint").alias("n_i"),
         F.size("xs_j").cast("bigint").alias("n_j"),

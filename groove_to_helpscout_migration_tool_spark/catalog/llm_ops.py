@@ -410,9 +410,17 @@ WITH {_SHINGLE_CTES}, {_MINHASH_SIG_SQL}, bands_all AS (
 ), bands AS (
   SELECT doc_id, band_key FROM bands_all
   QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= {_LSH_CAP}
+), anchors AS (
+  SELECT band_key, min(doc_id) AS a FROM bands_all GROUP BY band_key
 ), cand AS (
-  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
-  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+  SELECT DISTINCT i, j FROM (
+    SELECT l.doc_id AS i, r.doc_id AS j
+    FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+    UNION ALL
+    SELECT an.a AS i, ba.doc_id AS j
+    FROM bands_all ba JOIN anchors an USING (band_key)
+    WHERE ba.doc_id > an.a
+  )
 )
 SELECT c.i AS doc_i, c.j AS doc_j,
        round(len(list_intersect(a.xs, b.xs))::DOUBLE
@@ -422,12 +430,15 @@ WHERE round(len(list_intersect(a.xs, b.xs))::DOUBLE
             / len(list_distinct(list_concat(a.xs, b.xs))), 6) >= 0.5
 """,
     doc=(
-        "MinHash LSH near-dup pairs with HOT-BUCKET CAPPING: each band "
-        f"bucket keeps only its {_LSH_CAP} lowest doc_ids before the "
-        "self-join (operators/dedup.cap_bucket), bounding every bucket's "
-        "candidate pairs at cap*(cap-1)/2 -- the guard that keeps one "
-        "boilerplate bucket from going quadratic at 100 TB. The oracle "
-        "mirrors the cap with a row_number() QUALIFY."
+        "MinHash LSH near-dup pairs with HOT-BUCKET CAPPING + ANCHOR "
+        f"STAR: each band bucket keeps its {_LSH_CAP} lowest doc_ids for "
+        "the all-pairs self-join (operators/dedup.cap_bucket) AND every "
+        "bucket member -- beyond-cap included -- pairs with the bucket's "
+        "min doc_id (dedup.star_pairs), so a hot bucket contributes "
+        "cap*(cap-1)/2 + (width-cap) candidates, linear in width, with "
+        "no member orphaned even when identical signatures collapse all "
+        "4 bands into one bucket. The oracle mirrors the cap with a "
+        "row_number() QUALIFY and the star with a min-anchor join."
     ),
 )
 def llm_neardup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,9 +872,9 @@ SELECT DISTINCT doc_i, doc_j, jaccard FROM pairs WHERE jaccard >= 0.4
         "UNCAPPED ORACLE/BASELINE, not the production path: a hot anchor "
         "(a very common minimum shingle) makes the candidate join "
         "quadratic in that anchor's width. At scale pass anchor_cap "
-        "(dedup.ngram_jaccard_pairs threads it through cap_bucket, the "
-        "same guard the capped LSH twins use); keep this entry for "
-        "recall certification on bounded samples."
+        "(dedup.ngram_jaccard_pairs threads it through cap_bucket + "
+        "star_pairs, the same guard the capped LSH twins use); keep "
+        "this entry for recall certification on bounded samples."
     ),
 )
 def llm_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,10 +1079,14 @@ bands AS (
 """
 
 # CAPPED pair-graph prefix: same goodpairs contract, but every band
-# bucket keeps only its _LSH_CAP lowest doc_ids before the self-join
-# (the QUALIFY mirror of operators/dedup.cap_bucket). The graph-level
-# ops (clusters, keep-best, PageRank) build their edges from THIS
-# prefix so one boilerplate bucket cannot go quadratic at 100 TB.
+# bucket keeps only its _LSH_CAP lowest doc_ids for the all-pairs
+# self-join (the QUALIFY mirror of operators/dedup.cap_bucket), and
+# every bucket member additionally pairs with the bucket's min doc_id
+# (the mirror of dedup.star_pairs) so beyond-cap members of a hot
+# bucket keep a verified edge. The graph-level ops (clusters,
+# keep-best, PageRank) build their edges from THIS prefix: one
+# boilerplate bucket contributes cap*(cap-1)/2 + (width-cap)
+# candidates -- linear, and no member orphaned -- at 100 TB.
 _PAIRS_05_CAPPED_CTES = f"""
 bands_all AS (
   SELECT doc_id, b.b AS b,
@@ -1080,9 +1095,17 @@ bands_all AS (
 ), bands AS (
   SELECT doc_id, band_key FROM bands_all
   QUALIFY row_number() OVER (PARTITION BY band_key ORDER BY doc_id) <= {_LSH_CAP}
+), band_anchors AS (
+  SELECT band_key, min(doc_id) AS a FROM bands_all GROUP BY band_key
 ), cand AS (
-  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
-  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+  SELECT DISTINCT i, j FROM (
+    SELECT l.doc_id AS i, r.doc_id AS j
+    FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+    UNION ALL
+    SELECT an.a AS i, ba.doc_id AS j
+    FROM bands_all ba JOIN band_anchors an USING (band_key)
+    WHERE ba.doc_id > an.a
+  )
 ), goodpairs AS (
   SELECT c.i AS doc_i, c.j AS doc_j
   FROM cand c JOIN docs a ON a.doc_id = c.i JOIN docs b ON b.doc_id = c.j
@@ -1116,13 +1139,14 @@ FROM reach GROUP BY node
         "(driver loop, storage-backed checkpoint per round -- "
         "dedup.neardup_clusters). Turns pairs into the dedup decision: "
         f"keep min doc_id per cluster. Edges use bucket_cap={_LSH_CAP} "
-        "(dedup.cap_bucket), so a boilerplate-heavy band bucket emits at "
-        "most cap*(cap-1)/2 candidate pairs instead of going quadratic "
-        "in its width -- the graph build stays corpus-linear at 100 TB; "
-        "cluster recall within a capped hot bucket is confined to its "
-        "cap lowest doc_ids' core plus whatever the other 3 bands "
-        "reconnect. The oracle computes the same components with a "
-        "recursive CTE over the identically-capped pair prefix."
+        "(dedup.cap_bucket + dedup.star_pairs), so a boilerplate-heavy "
+        "band bucket emits cap*(cap-1)/2 self-join pairs plus width-1 "
+        "anchor star edges -- corpus-linear at 100 TB, and every hot-"
+        "bucket member keeps an edge into the cluster (beyond-cap "
+        "members attach via the star even when identical signatures "
+        "collapse all 4 bands into one bucket). The oracle computes the "
+        "same components with a recursive CTE over the identically-"
+        "capped-and-starred pair prefix."
     ),
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions import text as TX
+from ..operators import cache
 from ..operators import dedup as DD
 from ..registry import register
 from ..session import load_tables
@@ -614,6 +615,32 @@ FROM assigned a JOIN sizes s USING (cell)
 """
 
 
+def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(assigned, emb): every embedding's (vec_id, cell, centroid_cosine)
+    after one deterministic Lloyd round, plus the prepared embedding
+    frame -- the shared front half of llm_cluster_kmeans_assign and
+    llm_semantic_dedup_clusters (identical cells by construction; the
+    oracles share llm_ops._ivf_ctes the same way)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = SIM.prepared(t.embeddings)
+    reps = t.embeddings.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    cents = emb.join(
+        F.broadcast(reps.select(F.col("rep_id").alias("vec_id"))), "vec_id"
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cents = SIM.refined_centroids(emb, cents, 1)
+    best = F.element_at(F.col("_csims"), 1)
+    assigned = SIM._with_cell_ranking(emb, SIM._codebook(cents)).select(
+        "vec_id",
+        (-best["ncid"]).alias("cell"),
+        best["csim"].alias("centroid_cosine"),
+    )
+    return assigned, emb
+
+
 @register(
     "llm_cluster_kmeans_assign",
     oracle=_kmeans_assign_oracle(n_iter=1),
@@ -634,28 +661,112 @@ FROM assigned a JOIN sizes s USING (cell)
     ),
 )
 def llm_cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ["embeddings"])
-    emb = SIM.prepared(t.embeddings)
-    reps = t.embeddings.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
-    cents = emb.join(
-        F.broadcast(reps.select(F.col("rep_id").alias("vec_id"))), "vec_id"
-    ).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    cents = SIM.refined_centroids(emb, cents, 1)
-    best = F.element_at(F.col("_csims"), 1)
-    assigned = SIM._with_cell_ranking(emb, SIM._codebook(cents)).select(
-        "vec_id",
-        (-best["ncid"]).alias("cell"),
-        best["csim"].alias("centroid_cosine"),
-    )
+    assigned, _emb = _kmeans_assigned(spark, sf_dir)
     sizes = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("cell_size")
     )
     return assigned.join(F.broadcast(sizes), ["cell"]).select(
         "vec_id", "cell", "centroid_cosine", "cell_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-level semantic dedup (SemDeDup): k-means cells -> within-cell
+# cosine-threshold keep-best
+# ---------------------------------------------------------------------------
+SEM_TAU = 0.35       # within-cell duplicate threshold (rounded cosine)
+SEM_ANCHORS = 8      # per-cell anchor budget (the candidate-side cap)
+
+
+@register(
+    "llm_semantic_dedup_clusters",
+    oracle=(
+        "WITH "
+        + ",\n".join(_LL._ivf_ctes(1))
+        + f"""
+, rk AS (
+  SELECT vec_id, v, cell, csim,
+         row_number() OVER (PARTITION BY cell ORDER BY csim DESC, vec_id)
+           AS rank_in_cell
+  FROM assigned
+), anch AS (
+  SELECT vec_id, v, cell, rank_in_cell FROM rk
+  WHERE rank_in_cell <= {SEM_ANCHORS}
+), hits AS (
+  SELECT x.vec_id, min(a.vec_id) AS rep_id,
+         min_by({_LL._cos_sql('x.v', 'a.v', 6)}, a.vec_id) AS rep_cosine
+  FROM rk x JOIN anch a
+    ON a.cell = x.cell AND a.rank_in_cell < x.rank_in_cell
+  WHERE {_LL._cos_sql('x.v', 'a.v', 6)} >= {SEM_TAU}
+  GROUP BY x.vec_id
+)
+SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+       CAST(r.rank_in_cell AS BIGINT) AS rank_in_cell,
+       h.rep_id, h.rep_cosine,
+       h.rep_id IS NULL AS keep
+FROM rk r LEFT JOIN hits h USING (vec_id)
+"""
+    ),
+    doc=(
+        "CLUSTER-LEVEL semantic dedup (the SemDeDup shape: Abbas et al."
+        " 2023, public arXiv:2303.09540 -- k-means the embedding space,"
+        " then prune near-duplicates WITHIN each cell): vectors get the"
+        " same one-Lloyd-round cells as llm_cluster_kmeans_assign"
+        " (shared _kmeans_assigned builder + shared llm_ops._ivf_ctes"
+        " oracle prefix, so cells can never drift between the two"
+        " views), are ranked within their cell by closeness to the"
+        " centroid (csim DESC, vec_id tiebreak = 'best extraction"
+        " first'), and every vector verifies exact cosine against the"
+        f" cell's top-{SEM_ANCHORS} ranked ANCHORS that outrank it;"
+        f" cosine >= {SEM_TAU} to any such anchor marks it a duplicate"
+        " (rep_id = smallest matching anchor, the same smallest-"
+        "verified-anchor convention as llm_semantic_dedup_assign)."
+        " keep = no better-ranked anchor is near. Scale: candidates are"
+        f" O(N x {SEM_ANCHORS}) -- the anchor budget plays the role"
+        " cap_bucket+star_pairs play for the LSH family (a dense cell"
+        " contributes width x anchors candidates, never width^2); the"
+        " within-cell ranking is ONE window shuffled on cell, vectors"
+        " rejoin per candidate Arrow-batched (_rejoin_cosine), output"
+        " is exactly N rows. The oracle replays cells + ranking +"
+        " verify over the shared IVF prefix with the identical"
+        " round-6 cosine."
+    ),
+)
+def llm_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, emb = _kmeans_assigned(spark, sf_dir)
+    rk_w = W.partitionBy("cell").orderBy(F.desc("centroid_cosine"), "vec_id")
+    rk = cache.persist_artifact(
+        assigned.withColumn(
+            "rank_in_cell", F.row_number().over(rk_w).cast("bigint")
+        )
+    )
+    anch = rk.filter(F.col("rank_in_cell") <= SEM_ANCHORS).select(
+        F.col("vec_id").alias("anchor"),
+        "cell",
+        F.col("rank_in_cell").alias("a_rank"),
+    )
+    cand = (
+        rk.select("vec_id", "cell", "rank_in_cell")
+        .join(anch, ["cell"])
+        .filter(F.col("a_rank") < F.col("rank_in_cell"))
+        .select("vec_id", "anchor")
+    )
+    scored = SIM._rejoin_cosine(cand, emb, "vec_id", "anchor", "qv", "av")
+    hits = (
+        scored.filter(F.col("cosine") >= SEM_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.min("anchor").alias("rep_id"),
+            F.min_by("cosine", "anchor").alias("rep_cosine"),
+        )
+    )
+    return rk.join(hits, ["vec_id"], "left").select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        "rank_in_cell",
+        "rep_id",
+        "rep_cosine",
+        F.col("rep_id").isNull().alias("keep"),
     )
 
 

@@ -447,8 +447,19 @@ def _bpe_loop(
                 "word", "cnt", _bpe_merge_fold("syms", la, ra).alias("syms")
             )
         )
-    _BPE_MEMO[key] = (merges, words)
+    _memo_put(key, (merges, words))
     return merges, words
+
+
+def _memo_put(key: tuple, value) -> None:
+    """Store a trained model, evicting superseded fingerprints for the
+    same (application, sf_dir): each fixture rewrite would otherwise add
+    a new entry while the stale one keeps pinning its rows list and
+    DataFrame for the application's lifetime (unbounded across
+    regeneration loops)."""
+    for k in [k for k in _BPE_MEMO if k[:2] == key[:2] and k[2] != key[2]]:
+        del _BPE_MEMO[k]
+    _BPE_MEMO[key] = value
 
 
 def _bpe_merge_fold(syms_col: str, la: str, ra: str) -> F.Column:

@@ -180,14 +180,42 @@ def cap_bucket(df: DataFrame, key: str, id_col: str, cap: int) -> DataFrame:
     (deterministic rank). The hot-bucket guard for candidate self-joins:
     one boilerplate-heavy bucket ("the" shingle, an all-zeros band) makes
     the self-join quadratic in ITS width no matter how good the average
-    is; capping bounds every bucket's pair count at cap*(cap-1)/2. The
-    row_number window shuffles on the same key the join needs anyway, so
-    it adds no extra exchange -- the sort is per-bucket."""
+    is; capping bounds every bucket's SELF-JOIN pair count at
+    cap*(cap-1)/2. The row_number window shuffles on the same key the
+    join needs anyway, so it adds no extra exchange -- the sort is
+    per-bucket.
+
+    Capping alone ORPHANS beyond-cap members when every bucket a doc
+    lands in is hot -- the worst case is exactly the motivating one:
+    identical boilerplate docs have identical minhash signatures, so all
+    their bands collapse into the SAME hot bucket and no other band can
+    reconnect the members the cap dropped. Production candidate builds
+    therefore pair cap_bucket with star_pairs (below), which keeps one
+    linear edge per member into the bucket's anchor."""
     w = W.partitionBy(key).orderBy(id_col)
     return (
         df.withColumn("_bucket_rk", F.row_number().over(w))
         .filter(F.col("_bucket_rk") <= cap)
         .drop("_bucket_rk")
+    )
+
+
+def star_pairs(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    """-> (i, j) linking EVERY ``key``-bucket member to the bucket's
+    minimum ``id_col`` (its anchor), i < j. The recall companion of
+    cap_bucket: the capped self-join bounds a hot bucket's all-pairs
+    blowup at cap*(cap-1)/2, and this star adds width-1 anchor edges so
+    beyond-cap members still reach the bucket's cluster core -- total
+    per-bucket candidates cap*(cap-1)/2 + (width - cap), LINEAR in
+    width. The same assign-to-min shape simhash_dedup_assign uses. The
+    groupBy min and the join both shuffle on ``key``, which the capped
+    self-join shuffles on anyway; ``df`` should be the payload-free
+    (key, id) frame so neither stage moves document payloads."""
+    anchors = df.groupBy(key).agg(F.min(id_col).alias("i"))
+    return (
+        df.join(anchors, key)
+        .filter(F.col(id_col) > F.col("i"))
+        .select("i", F.col(id_col).alias("j"))
     )
 
 
@@ -200,27 +228,37 @@ def minhash_lsh_pairs(
     LSH band bucket, verified by exact Jaccard on shingle-hash sets.
 
     ``bucket_cap`` bounds each band bucket to its cap lowest doc_ids
-    before the self-join (see cap_bucket) -- the production guard
-    against boilerplate buckets going quadratic. Recall loss is
-    confined to pairs whose EVERY shared bucket is hot."""
+    before the self-join (see cap_bucket) AND star-links every bucket
+    member -- including beyond-cap ones -- to the bucket's min doc_id
+    (star_pairs), so a hot bucket contributes cap*(cap-1)/2 + (width -
+    cap) candidates, linear in width, with no member orphaned. Without
+    the star, identical-signature docs (the boilerplate case the cap
+    targets) collapse all bands into ONE hot bucket and beyond-cap
+    members would lose every edge."""
     docs = shingled_docs(documents)
     sigd = docs.withColumn("sig", minhash_signature(F.col("xs")))
     # persisted: both sides of the bucket self-join read the band keys --
     # without this the k=16 minhash stage is computed twice
-    exploded = sigd.select(
-        "doc_id", F.explode(band_keys(F.col("sig"))).alias("band_key")
+    exploded = persist_artifact(
+        sigd.select(
+            "doc_id", F.explode(band_keys(F.col("sig"))).alias("band_key")
+        )
     )
+    joinable = exploded
     if bucket_cap is not None:
-        exploded = cap_bucket(exploded, "band_key", "doc_id", bucket_cap)
-    exploded = persist_artifact(exploded)
-    left = exploded.select(F.col("doc_id").alias("i"), "band_key")
-    right = exploded.select(F.col("doc_id").alias("j"), "band_key")
+        joinable = cap_bucket(exploded, "band_key", "doc_id", bucket_cap)
+    left = joinable.select(F.col("doc_id").alias("i"), "band_key")
+    right = joinable.select(F.col("doc_id").alias("j"), "band_key")
     cand = (
         left.join(right, ["band_key"])
         .filter(F.col("i") < F.col("j"))
         .select("i", "j")
-        .distinct()
     )
+    if bucket_cap is not None:
+        # anchor star over the UNCAPPED frame: beyond-cap members keep
+        # one verified edge into the bucket's min doc_id
+        cand = cand.unionByName(star_pairs(exploded, "band_key", "doc_id"))
+    cand = cand.distinct()
     xs_map = docs.select(F.col("doc_id"), F.col("xs"))
     pairs = (
         cand.join(xs_map.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i")), "i")
@@ -374,10 +412,11 @@ def neardup_clusters(
     ``bucket_cap`` threads straight to minhash_lsh_pairs: without it the
     edge build is the UNCAPPED band self-join, quadratic in the width of
     one boilerplate-heavy bucket (see cap_bucket). Every production
-    caller should pass a cap; for component labeling the recall loss is
-    benign -- a capped hot bucket still emits a connected core among its
-    cap lowest doc_ids, and members dropped from one bucket usually
-    reconnect through their other 3 bands."""
+    caller should pass a cap; component recall survives it because the
+    capped path star-links every bucket member -- beyond-cap ones
+    included -- to the bucket's min doc_id (star_pairs), so even when
+    identical signatures collapse all 4 bands into one hot bucket, each
+    member keeps a verified edge into the cluster core."""
     pairs = minhash_lsh_pairs(
         documents, jaccard_threshold, bucket_cap=bucket_cap
     ).select("doc_i", "doc_j")
@@ -407,30 +446,46 @@ def ngram_jaccard_pairs(
     Next to minhash_lsh_pairs this trades recall for a far cheaper
     candidate stage: one groupBy key per doc, no signature computation.
     At 100 TB: the anchor groupBy shuffles (anchor, doc_id) pairs only;
-    hot anchors (boilerplate shingles) are capped/salted before the
-    pairwise verify."""
+    hot anchors (boilerplate shingles) are capped before the pairwise
+    verify, with a star_pairs anchor link so beyond-cap members of a
+    hot anchor bucket keep one verified edge (linear per bucket)."""
     docs = shingled_docs(documents)
     anchored = docs.withColumn("anchor", F.array_min("xs"))
     if anchor_cap is not None:
-        # cap on (anchor, doc_id) only -- the shingle arrays rejoin below,
-        # so the window never sorts rows carrying payloads
-        keep = cap_bucket(
-            anchored.select("doc_id", "anchor"), "anchor", "doc_id", anchor_cap
+        # candidates built on the payload-free (anchor, doc_id) frame --
+        # the window/groupBy never sort rows carrying shingle arrays;
+        # the arrays join back once per surviving candidate
+        ids = persist_artifact(anchored.select("doc_id", "anchor"))
+        keep = cap_bucket(ids, "anchor", "doc_id", anchor_cap)
+        cand = (
+            keep.select(F.col("doc_id").alias("i"), "anchor")
+            .join(keep.select(F.col("doc_id").alias("j"), "anchor"), ["anchor"])
+            .filter(F.col("i") < F.col("j"))
+            .select("i", "j")
+            .unionByName(star_pairs(ids, "anchor", "doc_id"))
+            .distinct()
         )
-        anchored = anchored.join(keep, ["doc_id", "anchor"], "semi")
-    left = anchored.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i"), "anchor")
-    right = anchored.select(F.col("doc_id").alias("j"), F.col("xs").alias("xs_j"), "anchor")
-    pairs = (
-        left.join(right, ["anchor"])
-        .filter(F.col("i") < F.col("j"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("xs_i", "xs_j"))
-                / F.size(F.array_union("xs_i", "xs_j")),
-                6,
-            ),
+        xs_map = docs.select("doc_id", "xs")
+        pairs = cand.join(
+            xs_map.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i")), "i"
+        ).join(
+            xs_map.select(F.col("doc_id").alias("j"), F.col("xs").alias("xs_j")), "j"
         )
+    else:
+        left = anchored.select(
+            F.col("doc_id").alias("i"), F.col("xs").alias("xs_i"), "anchor"
+        )
+        right = anchored.select(
+            F.col("doc_id").alias("j"), F.col("xs").alias("xs_j"), "anchor"
+        )
+        pairs = left.join(right, ["anchor"]).filter(F.col("i") < F.col("j"))
+    pairs = pairs.withColumn(
+        "jaccard",
+        F.round(
+            F.size(F.array_intersect("xs_i", "xs_j"))
+            / F.size(F.array_union("xs_i", "xs_j")),
+            6,
+        ),
     )
     return (
         pairs.filter(F.col("jaccard") >= jaccard_threshold)

@@ -39,6 +39,23 @@ def test_every_query_has_unique_name():
     assert len(catalog.QUERIES) == len(set(catalog.QUERIES))
 
 
+def test_certification_debt_is_retirable_this_round():
+    """The bound tools/certage.py promises: every query that NEEDS an
+    official row this round (never checked, red, or green older than
+    MAX_AGE rounds) must sit inside the sweep's front-BUDGET positions,
+    i.e. the rotation in catalog._apply_sweep_order can actually retire
+    the debt. Round 7 accumulated 38 queries at age >= 3 because
+    nothing asserted this; this test makes that regression loud."""
+    import importlib
+
+    certage = importlib.import_module("tools.certage")
+    report = certage.compute()
+    assert report["overdue_beyond_budget"] == [], (
+        f"{report['n_overdue']} overdue; unreachable this round: "
+        f"{report['overdue_beyond_budget']}"
+    )
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entry_mod
 

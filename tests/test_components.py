@@ -140,11 +140,17 @@ class TestBucketCap:
             ).collect()
         }
         assert capped <= full
-        # the identical-doc bucket is bounded at C(8,2) pairs; full blowup is C(40,2)
+        # the identical-doc bucket is bounded at C(8,2) self-join pairs
+        # plus 40-8 anchor star edges (dedup.star_pairs keeps beyond-cap
+        # members attached); full blowup is C(40,2)
         hot_full = {p for p in full if p[0] < 100}
         hot_capped = {p for p in capped if p[0] < 100}
         assert len(hot_full) == 780
-        assert len(hot_capped) == 28
+        assert len(hot_capped) == 28 + 32
+        # star recall: every hot doc appears in some capped pair
+        assert {d for p in hot_capped for d in p} == set(range(40))
+        # beyond-cap members link only to the bucket anchor (doc 0)
+        assert all(p[0] == 0 for p in hot_capped if p[1] >= 8)
         # cold pair survives the cap
         assert (100, 101) in capped
 

@@ -154,6 +154,30 @@ def test_bpe_merge_table_matches_pure_python_reference(spark, sf_dir):
         assert (r["left_sym"], r["right_sym"], r["pair_count"]) == (la, ra, c)
 
 
+def test_bpe_memo_evicts_superseded_fingerprints():
+    """A fixture rewrite changes the dataset fingerprint; the memo must
+    drop the stale (appId, sf_dir) entry instead of accumulating one
+    pinned model per regeneration (ADVICE r8). Entries for OTHER
+    applications / sf_dirs are untouched."""
+    from groove_to_helpscout_migration_tool_spark.catalog import modelprep_ops as MP
+
+    MP.clear_bpe_memo()
+    try:
+        MP._memo_put(("app1", "sfA", "fp1"), "m1")
+        MP._memo_put(("app1", "sfB", "fp1"), "m2")
+        MP._memo_put(("app2", "sfA", "fp1"), "m3")
+        MP._memo_put(("app1", "sfA", "fp2"), "m4")  # sfA rewritten
+        assert ("app1", "sfA", "fp1") not in MP._BPE_MEMO
+        assert MP._BPE_MEMO[("app1", "sfA", "fp2")] == "m4"
+        assert MP._BPE_MEMO[("app1", "sfB", "fp1")] == "m2"
+        assert MP._BPE_MEMO[("app2", "sfA", "fp1")] == "m3"
+        MP._memo_put(("app1", "sfA", "fp2"), "m5")  # same fp: overwrite
+        assert MP._BPE_MEMO[("app1", "sfA", "fp2")] == "m5"
+        assert len(MP._BPE_MEMO) == 3
+    finally:
+        MP.clear_bpe_memo()
+
+
 def test_bpe_fold_handles_overlapping_runs(spark):
     """'aaaa' merging (a,a) must yield [aa, aa], never [aa, aa, aa] --
     the left-to-right non-overlap rule the fold encodes."""

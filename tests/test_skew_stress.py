@@ -50,10 +50,13 @@ def test_skew_bounds_hold():
         assert scen[name]["n_tasks"] >= 4, (name, scen[name])
     # pair-count boundedness on the hot-bucket corpus: the uncapped
     # control is exactly quadratic, the capped paths (the edge builders
-    # of clusters/keep-best/PageRank/containment) hold the one-bucket
-    # pair ceiling
+    # of clusters/keep-best/PageRank/containment) hold the linear
+    # cap*(cap-1)/2 + (width-cap) ceiling, and the anchor star keeps
+    # EVERY hot doc attached to the pair graph (the r8 pure cap
+    # orphaned beyond-cap members of the collapsed bucket)
     probe = result["pair_probe"]
     assert probe["hot_pairs_uncapped"] == probe["hot_pairs_uncapped_expected"]
     assert probe["hot_pairs_capped"] <= probe["cap_pair_ceiling"]
+    assert probe["hot_docs_covered_capped"] == probe["n_hot_docs"]
     assert probe["hot_pairs_anchor_capped"] <= probe["cap_pair_ceiling"]
     assert probe["hot_pairs_uncapped"] > 10 * probe["cap_pair_ceiling"]

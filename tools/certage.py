@@ -15,8 +15,10 @@ diffable artifact instead of something a judge has to recompute:
     red, or older than MAX_AGE rounds) sits OUTSIDE the front-BUDGET
     sweep positions -- i.e. the rotation mechanism in
     catalog/__init__._apply_sweep_order cannot retire the debt this
-    round. tests/test_catalog.py asserts the same bound, so the debt
-    cannot re-accumulate unnoticed.
+    round. tests/test_catalog.py::
+    test_certification_debt_is_retirable_this_round asserts the same
+    bound (via compute() below), so the debt cannot re-accumulate
+    unnoticed.
 
 Usage: python tools/certage.py [out_json]
 """

@@ -152,6 +152,13 @@ AUDIT = {
     # the N x C crossJoin and per-vector window shapes stay forbidden
     # exactly as in the IVF plans it shares machinery with
     "llm_cluster_kmeans_assign": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["CartesianProduct", "Window", "SortMergeJoin"]),
+    # r9 SemDeDup: same cell machinery, then ONE hash-partitioned
+    # within-cell ranking window and the anchor-bounded candidate join
+    # (N x SEM_ANCHORS); Arrow pair dots for the verify; a cartesian or
+    # range-partitioned sort must never appear. SortMergeJoin is
+    # allowed: the candidate-to-embedding rejoins are large-to-large at
+    # corpus scale (unlike the broadcast-able dims elsewhere)
+    "llm_semantic_dedup_clusters": (["ArrowEvalPython|EvalPython", "Exchange hashpartitioning", "Window"], ["CartesianProduct", "Exchange rangepartitioning"]),
     # cluster-balanced sampler: rates table broadcast back over the
     # assignment (the one-row totals crossJoin is BroadcastNestedLoop --
     # allowed, as in the DSIR/temperature plans)
@@ -213,9 +220,15 @@ AUDIT = {
     # distinct -- the Expand-based multi-count(DISTINCT) single pass is
     # the forbidden formulation
     "p03_profile_lineitem": (["HashAggregate", "Union"], ["Expand", "Window", "CartesianProduct"]),
-    # r7 PageRank: per-round edge join + hash-agg inflow -- no window,
-    # no cartesian, no sort-based aggregate anywhere in the loop
-    "llm_neardup_pagerank": (["HashAggregate"], ["Window", "CartesianProduct", "SortAggregate"]),
+    # r7 PageRank: per-round edge join + hash-agg inflow -- no
+    # cartesian, no sort-based aggregate, no range-partitioned sort
+    # anywhere in the loop. (The one surviving Window since r9 is
+    # cap_bucket's per-band-bucket row_number on the payload-free
+    # (band_key, doc_id) frame -- it partitions on the key the
+    # candidate join shuffles on anyway; it surfaced in this plan when
+    # the exploded band frame moved its persist ABOVE the cap so the
+    # anchor star could read the uncapped frame.)
+    "llm_neardup_pagerank": (["HashAggregate"], ["CartesianProduct", "SortAggregate", "Exchange rangepartitioning"]),
     # r7 outlier gate: 1-row stats frames broadcast back over the scan
     # (the allowed one-row BroadcastNestedLoop) -- the vectors must
     # never shuffle, window, or real-cartesian
@@ -229,8 +242,12 @@ AUDIT = {
     # join (agg-then-join); FullOuter on the day partials, no window
     "s04_full_outer_ship_reconciliation": (["FullOuter", "HashAggregate"], ["Window", "CartesianProduct", "Exchange rangepartitioning"]),
     # r7 containment: anchor equi-join + in-row array_intersect verify
-    # (same bucketed shape as ngram_jaccard) -- never cartesian/window
-    "llm_neardup_containment": ([], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    # (same bucketed shape as ngram_jaccard) -- never cartesian. The
+    # allowed Window is cap_bucket's per-anchor row_number on the
+    # payload-free (anchor, doc_id) frame (r9: candidates now build
+    # payload-free with the star link, so the cap window sits in the
+    # main plan instead of behind a semi-join)
+    "llm_neardup_containment": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Exchange rangepartitioning"]),
     # r7 hopping window: the factor-4 Expand IS the mechanism (bounded
     # by duration/slide, not by data) feeding one hash aggregation
     "t03_hopping_window_events": (["Expand", "HashAggregate"], ["Window", "CartesianProduct", "Exchange rangepartitioning"]),

@@ -78,6 +78,9 @@ PROBES = {
     "llm_dataset_card": "linear",
     "llm_token_budget_sample": "linear",
     "llm_cluster_kmeans_assign": "linear",
+    # r9 SemDeDup: candidates are N x SEM_ANCHORS within cells, never
+    # width^2; ranking is one cell-keyed window
+    "llm_semantic_dedup_clusters": "linear",
     "llm_cluster_balanced_sample": "linear",
     "llm_hard_negatives_ivf": "linear",
     "llm_embedding_jl_project": "linear",
@@ -110,9 +113,10 @@ PROBES = {
     "s04_full_outer_ship_reconciliation": "linear",
     # conditional stats + gram-presence collapse: one shingle pass
     "llm_source_drift_report": "linear",
-    # containment shares the jaccard anchor shape (uncapped enumerator
-    # at fixture scale; cap/salt identically in production)
-    "llm_neardup_containment": "control",
+    # containment's anchor buckets are CAPPED (r8) + star-linked (r9)
+    # -- cap*(cap-1)/2 + width-cap candidates per bucket, so the 30x
+    # linear bound is enforced on it like the other capped paths
+    "llm_neardup_containment": "linear",
     # uncapped enumerators: the measured negative controls
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",

@@ -44,7 +44,14 @@ CAP_BOUND = 4.0      # capped dedup candidate joins
 CONTROL_MIN = 4.0    # unsalted control must be at least this skewed
 MIN_TASKS = 4        # ignore stages too small to have a distribution
 PAIR_CAP = 8         # mirrors catalog.llm_ops._LSH_CAP (the graph family's cap)
-PAIR_CAP_MAX = PAIR_CAP * (PAIR_CAP - 1) // 2  # 28: per-bucket pair ceiling
+# per-bucket candidate ceiling with the r9 anchor star: cap*(cap-1)/2
+# self-join pairs + (width - cap) star edges -- LINEAR in width (the
+# uncapped control stays quadratic)
+PAIR_CAP_SELF = PAIR_CAP * (PAIR_CAP - 1) // 2  # 28
+
+
+def _cap_ceiling(width: int) -> int:
+    return PAIR_CAP_SELF + max(width - PAIR_CAP, 0)
 
 
 def _build_session(event_dir: str):
@@ -140,20 +147,26 @@ def _scenarios(spark, sf_dir: str):
 
 
 def _pair_probe(spark, sf_dir: str) -> tuple[dict, list[str]]:
-    """Hot-bucket PAIR-COUNT boundedness for the capped near-dup paths
-    the graph family (clusters / keep-best / PageRank / containment)
-    builds on (VERDICT r7 task 1 evidence). The 10%-boilerplate corpus
-    puts every hot doc in ONE band bucket (identical text -> identical
+    """Hot-bucket PAIR-COUNT boundedness AND member coverage for the
+    capped near-dup paths the graph family (clusters / keep-best /
+    PageRank / containment) builds on. The 10%-boilerplate corpus puts
+    every hot doc in ONE band bucket (identical text -> identical
     signature), so:
 
-      uncapped  hot-hot pairs == C(n_hot, 2)      -- the quadratic control
-      capped    hot-hot pairs <= C(PAIR_CAP, 2)   -- every band keeps the
-                same PAIR_CAP lowest doc_ids, so the hot contribution is
-                bounded by ONE bucket's ceiling no matter how wide the
-                bucket gets (28 at cap=8, vs 1225 at 50 hot docs, vs
-                ~5e9 at 100k hot docs in a 100 TB corpus)
-      anchor-capped containment candidates: same ceiling on the bottom-1
-                anchor join (all hot docs share their minimum shingle).
+      uncapped  hot-hot pairs == C(n_hot, 2)  -- the quadratic control
+      capped    hot-hot pairs == C(PAIR_CAP, 2) + (n_hot - PAIR_CAP):
+                every band keeps the same PAIR_CAP lowest doc_ids for
+                the self-join, and the r9 anchor STAR adds one edge per
+                remaining member (dedup.star_pairs) -- LINEAR in bucket
+                width (70 at cap=8/50 hot docs vs 1225 uncapped; ~100k
+                vs ~5e9 at 100k hot docs in a 100 TB corpus)
+      anchor-capped ngram candidates: same shape on the bottom-1 anchor
+                join (all hot docs share their minimum shingle).
+
+    Coverage is the star's recall proof: every hot doc must appear in
+    at least one capped pair -- under the r8 pure cap, beyond-cap
+    members of the collapsed bucket lost EVERY edge (the ADVICE r8
+    defect) and silently survived dedup.
 
     Counts, not task records: the quadratic pathology here is OUTPUT
     size, which task-level shuffle metrics only see once it is far
@@ -171,20 +184,29 @@ def _pair_probe(spark, sf_dir: str) -> tuple[dict, list[str]]:
     cache.unpersist_artifacts()
     cap = dedup.minhash_lsh_pairs(hot, jaccard_threshold=0.5, bucket_cap=PAIR_CAP)
     cap_hot = cap.filter(hot_pred).count()
+    # star recall: distinct hot docs touched by at least one capped pair
+    cap_cover = (
+        cap.filter(hot_pred)
+        .select(F.explode(F.array("doc_i", "doc_j")).alias("d"))
+        .distinct()
+        .count()
+    )
     cache.unpersist_artifacts()
     cont = dedup.ngram_jaccard_pairs(hot, jaccard_threshold=0.4, anchor_cap=PAIR_CAP)
     cont_hot = cont.filter(hot_pred).count()
     cache.unpersist_artifacts()
 
     expect_unc = n_hot * (n_hot - 1) // 2
+    ceiling = _cap_ceiling(n_hot)
     probe = {
         "n_hot_docs": n_hot,
         "hot_pairs_uncapped": unc_hot,
         "hot_pairs_uncapped_expected": expect_unc,
         "hot_pairs_capped": cap_hot,
+        "hot_docs_covered_capped": cap_cover,
         "hot_pairs_anchor_capped": cont_hot,
         "cap": PAIR_CAP,
-        "cap_pair_ceiling": PAIR_CAP_MAX,
+        "cap_pair_ceiling": ceiling,
     }
     violations = []
     if unc_hot != expect_unc:
@@ -193,13 +215,18 @@ def _pair_probe(spark, sf_dir: str) -> tuple[dict, list[str]]:
             f"C({n_hot},2)={expect_unc} -- hot bucket not quadratic, "
             "probe would not detect a cap regression"
         )
-    if cap_hot > PAIR_CAP_MAX:
+    if cap_hot > ceiling:
         violations.append(
-            f"pair_probe: capped hot-hot pairs {cap_hot} > {PAIR_CAP_MAX}"
+            f"pair_probe: capped hot-hot pairs {cap_hot} > {ceiling}"
         )
-    if cont_hot > PAIR_CAP_MAX:
+    if cap_cover != n_hot:
         violations.append(
-            f"pair_probe: anchor-capped hot-hot pairs {cont_hot} > {PAIR_CAP_MAX}"
+            f"pair_probe: star recall broken -- only {cap_cover} of "
+            f"{n_hot} hot docs appear in the capped pair graph"
+        )
+    if cont_hot > ceiling:
+        violations.append(
+            f"pair_probe: anchor-capped hot-hot pairs {cont_hot} > {ceiling}"
         )
     return probe, violations
 
