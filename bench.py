@@ -45,11 +45,10 @@ BUILD_SPLIT = {
     "llm_ann_lsh_topk",
     "llm_ann_ivf_topk",
     "llm_ann_topk_cosine",
-    "llm_neardup_minhash_lsh",
-    "llm_neardup_ngram_jaccard",
     "llm_simhash_dedup_assign",
     "llm_dedup_clusters",
     "llm_semantic_dedup_assign",
+    "llm_semantic_dedup_clusters",  # shares prepared/cell artifacts
     "llm_neardup_minhash_lsh_capped",
     "llm_dedup_incremental",
     "llm_decontaminate",
@@ -150,6 +149,20 @@ def _scale_metrics() -> dict | None:
         if (m := re.search(r"_r(\d+)\.json$", p))
     ]
     artifact = os.path.join(here, f"SCALE_r{max(rounds, default=0) + 1}.json")
+    # second-decade evidence (decade2 / sf1_certification, attached by
+    # tools/merge_scale_evidence.py) must survive the per-bench decade-1
+    # refresh -- carry the extra sections across the rewrite
+    extra = {}
+    try:
+        with open(artifact) as fh:
+            prev = json.load(fh)
+        extra = {
+            k: prev[k]
+            for k in ("decade2", "sf1_certification", "sf1_red_rows")
+            if k in prev
+        }
+    except (OSError, ValueError):
+        pass
     try:
         proc = subprocess.run(
             [
@@ -163,6 +176,16 @@ def _scale_metrics() -> dict | None:
         )
         last = proc.stdout.strip().splitlines()[-1]
         report = json.loads(last)
+        if extra:
+            try:
+                with open(artifact) as fh:
+                    cur = json.load(fh)
+                cur.update(extra)
+                with open(artifact, "w") as fh:
+                    json.dump(cur, fh, indent=1)
+                    fh.write("\n")
+            except (OSError, ValueError):
+                pass
         return {
             "artifact": os.path.basename(artifact),
             "growth_ratio": {
@@ -314,6 +337,18 @@ def _set_delta(current: set[str]) -> dict:
     }
 
 
+def _bench_notes():
+    """Contents of the committed BENCH_NOTES.json (round drift analyses),
+    or None -- embedded in the detail sidecar so the analysis survives
+    each round's rewrite of BENCH_DETAIL.json."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_NOTES.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
 def build_output(
     timings: dict[str, float],
     build: dict[str, float],
@@ -342,6 +377,9 @@ def build_output(
         # membership delta vs the newest recorded round, so a total that
         # moved because the SET moved is never mistaken for a perf change
         "set_delta": _set_delta(set(timings)),
+        # committed drift analyses (BENCH_NOTES.json) ride along so a
+        # root-caused regression survives the per-round detail rewrite
+        "notes": _bench_notes(),
     }
     compact = {
         "metric": "headline_queries_total",

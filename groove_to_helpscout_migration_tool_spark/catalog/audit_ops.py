@@ -260,10 +260,23 @@ def q_release_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.compact import write_release
 
+    import os
+
     split_df = llm_train_val_test_split(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="release_layout_")
     try:
         write_release(split_df, out, ["split", "shard"], mode="overwrite")
+        # empty corpus -> zero leaves written; read.parquet cannot infer
+        # a schema from no files, so short-circuit the empty manifest
+        has_files = any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(out)
+            for f in fs
+        )
+        if not has_files:
+            return spark.createDataFrame(
+                [], "split string, shard bigint, n_files bigint, n_rows bigint"
+            )
         manifest = (
             spark.read.parquet(out)
             .withColumn("_f", F.input_file_name())
@@ -851,7 +864,11 @@ def llm_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = cache.persist_artifact(
         docs.select("doc_id", F.array_min("xs").alias("anchor"))
     )
-    keep = DD.cap_bucket(ids, "anchor", "doc_id", CONT_ANCHOR_CAP)
+    # both self-join sides read the capped frame -- persist it so the
+    # cap window runs once (ids stays persisted for the star)
+    keep = cache.persist_artifact(
+        DD.cap_bucket(ids, "anchor", "doc_id", CONT_ANCHOR_CAP)
+    )
     cand = (
         keep.select(F.col("doc_id").alias("i"), "anchor")
         .join(keep.select(F.col("doc_id").alias("j"), "anchor"), ["anchor"])

@@ -931,8 +931,17 @@ SELECT qid AS query_id, nid AS neighbor_id, cosine,
         " llm_neardup_incremental_lsh): the newly-arrived delta batch"
         f" (vec_id %% {DELTA_MOD} == 0) probes the STANDING IVF index"
         " built from the base corpus only -- per-batch cost scales with"
-        " the delta, not the corpus, which is how a living dataset"
-        " absorbs daily embedding drops without re-indexing. The base"
+        " delta x nprobe x CELL WIDTH, not the whole corpus, which is"
+        " how a living dataset absorbs daily embedding drops without"
+        " re-indexing. Cell width is what the coarse quantizer"
+        " controls: production IVF grows its cell COUNT with the corpus"
+        " (C ~ N / target_cell_size) so width -- and per-query cost --"
+        " stays ~constant; this fixture's quantizer is pinned to the 10"
+        " synthetic labels, so the r9 two-decade probe measures the"
+        " compound (delta grows with N) x (width grows with N) shape --"
+        " 96.7x records at 10x data, 9.7x per query -- and the probe is"
+        " classed query_set accordingly (tools/scale_records.py). The"
+        " base"
         " cell assignment is the build-once artifact (at 100 TB, a"
         " bucketed-by-cell table written per snapshot); delta vectors"
         " rank cells MAP-SIDE against the in-closure codebook (the same"

@@ -246,7 +246,12 @@ def minhash_lsh_pairs(
     )
     joinable = exploded
     if bucket_cap is not None:
-        joinable = cap_bucket(exploded, "band_key", "doc_id", bucket_cap)
+        # persisted separately from the uncapped frame: both self-join
+        # sides read the capped result, and the star below reads the
+        # UNCAPPED frame -- without this the cap window runs twice
+        joinable = persist_artifact(
+            cap_bucket(exploded, "band_key", "doc_id", bucket_cap)
+        )
     left = joinable.select(F.col("doc_id").alias("i"), "band_key")
     right = joinable.select(F.col("doc_id").alias("j"), "band_key")
     cand = (
@@ -456,7 +461,9 @@ def ngram_jaccard_pairs(
         # the window/groupBy never sort rows carrying shingle arrays;
         # the arrays join back once per surviving candidate
         ids = persist_artifact(anchored.select("doc_id", "anchor"))
-        keep = cap_bucket(ids, "anchor", "doc_id", anchor_cap)
+        # both self-join sides read the capped frame -- persist it so
+        # the cap window runs once (ids stays persisted for the star)
+        keep = persist_artifact(cap_bucket(ids, "anchor", "doc_id", anchor_cap))
         cand = (
             keep.select(F.col("doc_id").alias("i"), "anchor")
             .join(keep.select(F.col("doc_id").alias("j"), "anchor"), ["anchor"])

@@ -96,7 +96,14 @@ EMPTY_TOTAL_EMB = [
     "llm_embedding_pca_power",  # r7: n == 0 guard returns empty
     "llm_embedding_outlier",
     "llm_ann_incremental_ivf",
+    "llm_semantic_dedup_clusters",  # r9: empty cells -> empty ranking
 ]
+
+# documents-only operators whose empty-corpus output is NON-empty by
+# design: q_release_layout writes the (empty) split and returns the
+# per-leaf manifest, which has zero leaves on an empty corpus -- still
+# empty, but it exercises the writer, so keep it out of the shared
+# fast path and assert separately.
 
 
 @pytest.fixture(scope="module")
@@ -112,4 +119,12 @@ def test_empty_corpus_returns_empty(spark, empty_sf_dir, name, request):
     df = catalog.QUERIES[name].fn(spark, empty_sf_dir)
     rows = df.collect()
     assert rows == []
+    unpersist_artifacts()
+
+
+def test_release_layout_empty_corpus(spark, empty_sf_dir):
+    """The release writer must be total on an empty corpus: zero leaves
+    in the written layout, an empty manifest, no raise."""
+    df = catalog.QUERIES["q_release_layout"].fn(spark, empty_sf_dir)
+    assert df.collect() == []
     unpersist_artifacts()

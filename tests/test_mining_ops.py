@@ -443,3 +443,62 @@ def test_jl_matrix_is_md5_derived_and_balanced():
     pos = sum(1 for r in _JL_S for x in r if x == 1)
     n = JL_IN * JL_OUT
     assert 0.4 < pos / n < 0.6
+
+
+def test_semantic_dedup_clusters_matches_python_recount(spark, sf_dir):
+    """SemDeDup decisions must recount from first principles: rank each
+    cell's members by (centroid_cosine DESC, vec_id), verify every
+    vector against the top-SEM_ANCHORS anchors that outrank it with a
+    round-6 numpy cosine, and a vector is dropped iff any such anchor
+    is >= SEM_TAU -- rep = the smallest matching anchor. Also: the
+    result must cover every vector exactly once, and keepers must
+    include each cell's rank-1 member (nothing outranks it)."""
+    import numpy as np
+
+    from groove_to_helpscout_migration_tool_spark.catalog.mining_ops import (
+        SEM_ANCHORS,
+        SEM_TAU,
+    )
+
+    out = {
+        r["vec_id"]: r
+        for r in catalog.QUERIES["llm_semantic_dedup_clusters"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assign = catalog.QUERIES["llm_cluster_kmeans_assign"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_tables(spark, sf_dir, ["embeddings"]).embeddings.collect()
+    }
+    assert set(out) == set(emb)
+
+    def cos(a, b):
+        return round(float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 6)
+
+    cells: dict[int, list] = {}
+    # centroid_cosine from the clustering view: identical machinery by
+    # construction (shared _kmeans_assigned), so the RANKING is pinned
+    for r in assign:
+        cells.setdefault(r["cell"], []).append((r["centroid_cosine"], r["vec_id"]))
+    n_dropped = 0
+    for cell, members in cells.items():
+        ranked = sorted(members, key=lambda t: (-t[0], t[1]))
+        ids = [v for _c, v in ranked]
+        anchors = ids[:SEM_ANCHORS]
+        for rank0, vid in enumerate(ids):
+            better = [a for a in anchors if ids.index(a) < rank0]
+            hits = [a for a in better if cos(emb[vid], emb[a]) >= SEM_TAU]
+            row = out[vid]
+            assert row["cell"] == cell and row["rank_in_cell"] == rank0 + 1, row
+            if hits:
+                n_dropped += 1
+                rep = min(hits)
+                assert row["keep"] is False and row["rep_id"] == rep, (vid, row)
+                assert abs(row["rep_cosine"] - cos(emb[vid], emb[rep])) < 1e-9
+            else:
+                assert row["keep"] is True and row["rep_id"] is None, (vid, row)
+        # rank-1 member is always a keeper
+        assert out[ids[0]]["keep"] is True
+    # the corpus actually exercises the drop path
+    assert n_dropped > 0

@@ -39,6 +39,29 @@ def test_linear_ops_grow_linearly():
     for name, p in linear.items():
         assert p["growth_ratio"] is not None, name
         assert p["growth_ratio"] <= art["linear_bound"], (name, p)
+    # query_set probes (fixture query set grows with the corpus):
+    # compound bound = linear_bound x data_ratio
+    for name, p in art["probes"].items():
+        if p["class"] == "query_set" and p["growth_ratio"] is not None:
+            assert (
+                p["growth_ratio"] <= art["linear_bound"] * art["data_ratio"]
+            ), (name, p)
+
+
+def test_second_decade_evidence_if_present():
+    """When the artifact carries the r9 second decade (sf0.1 -> the
+    generated sf1) it must be violation-free and its sf1 hash
+    certification must have zero red rows."""
+    art = _latest_artifact()
+    d2 = art.get("decade2")
+    if d2 is None:
+        return
+    assert d2["violations"] == []
+    assert art.get("sf1_red_rows") == []
+    cert = art["sf1_certification"]["queries"]
+    assert len(cert) >= 5
+    for name, row in cert.items():
+        assert row.get("hash_match") is True, (name, row)
 
 
 def test_control_demonstrates_quadratic_growth():

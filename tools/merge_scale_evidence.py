@@ -1,0 +1,65 @@
+"""Merge the round's scale evidence into one SCALE_r{N}.json artifact.
+
+Inputs (all produced by committed tools this round):
+  - decade-1 sweep: tools/scale_records.py sf0.01 -> sf0.1 (all probes)
+  - decade-2 sweep: tools/scale_records.py sf0.1 -> testdata_sf1 with
+    $SCALE_PROBES restricted to the flagship chains (the generated sf1
+    snapshot carries documents + embeddings only; tools/gen_scale.py)
+  - sf1 certification: tools/minidriver.py at testdata_sf1 (Spark vs
+    DuckDB hash compare of the chain queries at 50k docs / 20k vectors)
+
+The merged artifact keeps the decade-1 sweep as the top-level
+probes/violations contract (tests/test_scale_records.py validates it
+unchanged) and attaches the second decade + the sf1 hash results under
+their own keys, so the scale story is measured across TWO decades
+(sf0.01 -> sf0.1 -> sf1) instead of one.
+
+Usage: python tools/merge_scale_evidence.py d1.json d2.json cert.json out.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    d1_path, d2_path, cert_path, out_path = sys.argv[1:5]
+    with open(d1_path) as fh:
+        out = json.load(fh)
+    with open(d2_path) as fh:
+        out["decade2"] = json.load(fh)
+    with open(cert_path) as fh:
+        cert = json.load(fh)
+    out["sf1_certification"] = {
+        "sf_dir": out["decade2"]["large_sf_dir"],
+        "note": (
+            "tools/minidriver.py hash-compare (Spark vs DuckDB oracle) "
+            "at the generated sf1 snapshot; rows/schema/hash per query"
+        ),
+        "queries": cert,
+    }
+    bad = [
+        n
+        for n, r in cert.items()
+        if not (r.get("hash_match") or (r.get("err") == "no_oracle"))
+    ]
+    out["sf1_red_rows"] = bad
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(
+        json.dumps(
+            {
+                "out": out_path,
+                "d1_violations": out["violations"],
+                "d2_violations": out["decade2"]["violations"],
+                "sf1_red_rows": bad,
+            }
+        )
+    )
+    sys.exit(1 if (out["violations"] or out["decade2"]["violations"] or bad) else 0)
+
+
+if __name__ == "__main__":
+    main()

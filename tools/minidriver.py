@@ -67,9 +67,13 @@ def main():
     spark = get_session(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # partial snapshots (e.g. the generated sf1 dir carries only
+        # documents + embeddings) register what exists; a query that
+        # needs a missing table fails loudly at its own row
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
     failures = []
     record: dict[str, dict] = {}
 
