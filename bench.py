@@ -172,7 +172,7 @@ def _scale_metrics() -> dict | None:
                 os.environ.get("SPARK_GRAFT_SCALE_LARGE", "/root/testdata/sf0.1"),
                 artifact,
             ],
-            capture_output=True, text=True, timeout=540,
+            capture_output=True, text=True, timeout=600,
         )
         last = proc.stdout.strip().splitlines()[-1]
         report = json.loads(last)

@@ -72,6 +72,10 @@ _CHANGED = {
     "llm_neardup_keep_best": 9,
     "llm_neardup_pagerank": 9,
     "llm_neardup_containment": 9,
+    # round 9: DSIR weight table moved from floor(double) to an exact
+    # rational floor (DECIMAL DIV / HUGEINT //) after the sf1 snapshot
+    # caught a cross-engine ULP flip; weights can shift by 1 at any SF
+    "llm_importance_weights_dsir": 9,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

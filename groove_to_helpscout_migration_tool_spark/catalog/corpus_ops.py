@@ -770,13 +770,13 @@ tw AS (
          coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0) AS tcnt
   FROM feats GROUP BY f
 ), tot AS (
-  SELECT CAST(sum(rcnt) + {DSIR_NFEAT} AS DOUBLE) AS rtot,
-         CAST(sum(tcnt) + {DSIR_NFEAT} AS DOUBLE) AS ttot
+  SELECT CAST(sum(rcnt) + {DSIR_NFEAT} AS HUGEINT) AS rtot,
+         CAST(sum(tcnt) + {DSIR_NFEAT} AS HUGEINT) AS ttot
   FROM model
 ), weights AS (
   SELECT f,
-         CAST(floor(((tcnt + 1) * rtot) / ((rcnt + 1) * ttot)
-                    * {DSIR_SCALE}) AS BIGINT) AS w
+         CAST((((tcnt + 1)::HUGEINT * rtot * {DSIR_SCALE})
+               // ((rcnt + 1)::HUGEINT * ttot)) AS BIGINT) AS w
   FROM model, tot
 )
 """
@@ -793,7 +793,7 @@ WITH {_DSIR_MODEL_CTES}, scored AS (
 SELECT s.doc_id, d.lang,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(score_raw AS BIGINT) AS score_raw,
-       round(CAST(score_raw AS DOUBLE) / (n_tokens * {DSIR_SCALE}), 6)
+       ((2 * score_raw + n_tokens) // (2 * n_tokens)) / 1000000.0
          AS importance,
        score_raw >= {DSIR_SCALE} * n_tokens AS kept
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
@@ -812,9 +812,10 @@ FROM scored s JOIN documents d ON d.doc_id = s.doc_id
         " shape exactly: ONE aggregation fits both models (bounded at"
         " NFEAT rows -- no vocabulary table), the weight table broadcasts"
         " everywhere, and scoring is a map-side join + partial agg pass"
-        " over the corpus. The fixed-point ratio is floor'd from a"
-        " division mirrored expression-for-expression in the oracle, so"
-        " the weights are deterministic cross-engine."
+        " over the corpus. The fixed-point ratio is an EXACT rational"
+        " floor -- DECIMAL(38,0) DIV on the Spark side, HUGEINT // in"
+        " the oracle -- because floor(double) flipped on a ULP boundary"
+        " between the engines at the 50k-doc sf1 snapshot (r9)."
     ),
 )
 def llm_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,18 +841,20 @@ def llm_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tcnt"),
     )
     tot = model.agg(
-        (F.sum("rcnt") + DSIR_NFEAT).cast("double").alias("rtot"),
-        (F.sum("tcnt") + DSIR_NFEAT).cast("double").alias("ttot"),
+        (F.sum("rcnt") + DSIR_NFEAT).cast("decimal(38,0)").alias("rtot"),
+        (F.sum("tcnt") + DSIR_NFEAT).cast("decimal(38,0)").alias("ttot"),
     )
+    # exact rational floor, never floor(double): the r9 sf1 run caught a
+    # ULP-boundary flip between the engines' double pipelines at 50k
+    # docs (a weight off by 1 shifts score_raw for every doc holding
+    # that feature). DECIMAL(38,0) DIV here == HUGEINT // in the oracle;
+    # the triple product stays far under 38 digits at any certified SF.
     weights = model.crossJoin(F.broadcast(tot)).select(
         "f",
-        F.floor(
-            ((F.col("tcnt") + 1) * F.col("rtot"))
-            / ((F.col("rcnt") + 1) * F.col("ttot"))
-            * DSIR_SCALE
-        )
-        .cast("bigint")
-        .alias("w"),
+        F.expr(
+            f"CAST(((CAST(tcnt AS DECIMAL(38,0)) + 1) * rtot * {DSIR_SCALE})"
+            f" DIV ((CAST(rcnt AS DECIMAL(38,0)) + 1) * ttot) AS BIGINT)"
+        ).alias("w"),
     )
     scored = (
         feats.join(F.broadcast(weights), ["f"])
@@ -861,13 +864,19 @@ def llm_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("bigint").alias("score_raw"),
         )
     )
+    # display ratio via exact integer half-up rounding, never
+    # round(double, 6): ties at the 7th digit flipped between Spark's
+    # BigDecimal HALF_UP and DuckDB's binary-double rounding at sf1.
+    # round(score_raw / (n_tokens*SCALE), 6) == halfup(score_raw /
+    # n_tokens) / 1e6, and the final division by 1e6 of a small exact
+    # integer is correctly rounded identically on both engines.
     return scored.join(t.documents.select("doc_id", "lang"), ["doc_id"]).select(
         "doc_id",
         "lang",
         "n_tokens",
         "score_raw",
-        F.round(
-            F.col("score_raw").cast("double") / (F.col("n_tokens") * DSIR_SCALE), 6
+        (
+            F.expr("(2 * score_raw + n_tokens) DIV (2 * n_tokens)") / 1000000.0
         ).alias("importance"),
         (F.col("score_raw") >= F.lit(DSIR_SCALE) * F.col("n_tokens")).alias("kept"),
     )

@@ -15,6 +15,11 @@ their own keys, so the scale story is measured across TWO decades
 (sf0.01 -> sf0.1 -> sf1) instead of one.
 
 Usage: python tools/merge_scale_evidence.py d1.json d2.json cert.json out.json
+   or: python tools/merge_scale_evidence.py --extend out.json [d2_extra.json] [cert_extra.json]
+       (unions extra decade-2 probes / extra sf1 cert rows into an
+       already-merged artifact -- the r9 relational widening runs in
+       batches, so evidence accretes instead of being rewritten; pass
+       "-" to skip either input)
 """
 
 from __future__ import annotations
@@ -23,7 +28,53 @@ import json
 import sys
 
 
+def extend() -> None:
+    out_path = sys.argv[2]
+    d2_path = sys.argv[3] if len(sys.argv) > 3 else "-"
+    cert_path = sys.argv[4] if len(sys.argv) > 4 else "-"
+    with open(out_path) as fh:
+        out = json.load(fh)
+    if d2_path != "-":
+        with open(d2_path) as fh:
+            d2 = json.load(fh)
+        base = out.setdefault(
+            "decade2",
+            {k: d2[k] for k in ("small_sf_dir", "large_sf_dir", "data_ratio", "linear_bound")},
+        )
+        assert base["large_sf_dir"] == d2["large_sf_dir"], "decade mismatch"
+        base.setdefault("probes", {}).update(d2["probes"])
+        base["violations"] = sorted(
+            set(base.get("violations", [])) | set(d2["violations"])
+        )
+    if cert_path != "-":
+        with open(cert_path) as fh:
+            cert = json.load(fh)
+        out.setdefault("sf1_certification", {"queries": {}})["queries"].update(cert)
+        out["sf1_red_rows"] = sorted(
+            n
+            for n, r in out["sf1_certification"]["queries"].items()
+            if not (r.get("hash_match") or (r.get("err") == "no_oracle"))
+        )
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(
+        json.dumps(
+            {
+                "out": out_path,
+                "d2_probes": len(out.get("decade2", {}).get("probes", {})),
+                "d2_violations": out.get("decade2", {}).get("violations", []),
+                "sf1_queries": len(out.get("sf1_certification", {}).get("queries", {})),
+                "sf1_red_rows": out.get("sf1_red_rows", []),
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--extend":
+        extend()
+        return
     d1_path, d2_path, cert_path, out_path = sys.argv[1:5]
     with open(d1_path) as fh:
         out = json.load(fh)

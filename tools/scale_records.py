@@ -137,6 +137,18 @@ PROBES = {
     "llm_neardup_minhash_lsh": "control",
     "llm_neardup_simhash": "control",
     "llm_neardup_ngram_jaccard": "control",
+    # r9 relational representatives: with tools/gen_scale_rel.py the
+    # TPC-H-shaped surface has a second decade too (replica-block sf1
+    # preserves join fanout exactly, so growth ratios are pure data
+    # volume). One representative per shuffle shape: full-scan partial
+    # agg, broadcast-dim multi-join, time-bucketed range join,
+    # gap-sessionize window, running-sum window, cube expansion.
+    "q01_pricing_summary": "linear",
+    "q07_nation_volume": "linear",
+    "a03_range_join_order_events": "linear",
+    "a02_sessionize_events": "linear",
+    "w02_running_customer_spend": "linear",
+    "g02_cube_returnflag_linestatus": "linear",
 }
 
 
