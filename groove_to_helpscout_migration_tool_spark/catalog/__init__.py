@@ -76,6 +76,10 @@ _CHANGED = {
     # rational floor (DECIMAL DIV / HUGEINT //) after the sf1 snapshot
     # caught a cross-engine ULP flip; weights can shift by 1 at any SF
     "llm_importance_weights_dsir": 9,
+    # round 9: same family -- display averages moved to exact integer
+    # half-up (round(double, d) ties split the engines when counts
+    # carry 5^(d+1)); values can shift in the last digit at any SF
+    "llm_dataset_card": 9,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

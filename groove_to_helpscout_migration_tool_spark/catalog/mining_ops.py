@@ -419,12 +419,14 @@ WITH base AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-         round(CAST(sum(n_toks) AS DOUBLE) / count(*), 2) AS avg_doc_tokens,
-         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+         ((2 * 100 * sum(n_toks) + count(*)) // (2 * count(*))) / 100.0
+           AS avg_doc_tokens,
+         ((2 * 100 * sum(n_chars) + count(*)) // (2 * count(*))) / 100.0
+           AS avg_chars,
          CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
          CAST(count(*) - count(DISTINCT th) AS BIGINT) AS n_dup_docs,
-         round(CAST(count(*) - count(DISTINCT th) AS DOUBLE) / count(*), 4)
-           AS dup_ratio
+         ((2 * 10000 * (count(*) - count(DISTINCT th)) + count(*))
+          // (2 * count(*))) / 10000.0 AS dup_ratio
   FROM base GROUP BY source
 ), lang_cnt AS (
   SELECT source, lang, count(*) AS cnt FROM base GROUP BY source, lang
@@ -446,9 +448,11 @@ FROM per_src p JOIN top t USING (source)
         " aggregations -- per-(source, lang) for the language mode and"
         " per-(source, text-hash) collapse then per-source for the rest --"
         " joined by broadcast on the tiny source key. Averages are"
-        " computed as round(exact integer sum / exact count) on BOTH"
-        " engines, never avg(), so accumulation order cannot wobble the"
-        " hash. At 100 TB this is the cheapest query in the catalog: pure"
+        " exact-integer half-up rounds (halfup(10^d * sum / count) /"
+        " 10^d via DIV // on both engines), never avg() and never"
+        " round(double, d) -- accumulation order cannot wobble the hash"
+        " and decimal-tie counts cannot split the engines (r9 DSIR"
+        " lesson). At 100 TB this is the cheapest query in the catalog: pure"
         " map-combine tree aggregation, output rows = number of sources."
     ),
 )
@@ -468,14 +472,26 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("toks"),
         F.sum("n_chars").alias("chars"),
     )
+    # display averages via exact integer half-up (the DSIR r9 lesson):
+    # round(int_sum / count, d) re-rounds a DOUBLE, and when the exact
+    # rational lands on the d+1-digit tie (counts carrying 5^(d+1) pick
+    # it) Spark's BigDecimal HALF_UP and DuckDB's binary rounding split.
+    # halfup(10^d * sum / count) / 10^d is tie-free and engine-exact.
     per_src = per_hash.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n_docs"),
         F.sum("toks").cast("bigint").alias("n_tokens"),
-        F.round(F.sum("toks").cast("double") / F.sum("c"), 2).alias("avg_doc_tokens"),
-        F.round(F.sum("chars").cast("double") / F.sum("c"), 2).alias("avg_chars"),
+        (
+            F.expr("(2 * 100 * sum(toks) + sum(c)) DIV (2 * sum(c))") / 100.0
+        ).alias("avg_doc_tokens"),
+        (
+            F.expr("(2 * 100 * sum(chars) + sum(c)) DIV (2 * sum(c))") / 100.0
+        ).alias("avg_chars"),
         (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
-        F.round(
-            (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"), 4
+        (
+            F.expr(
+                "(2 * 10000 * (sum(c) - count(1)) + sum(c)) DIV (2 * sum(c))"
+            )
+            / 10000.0
         ).alias("dup_ratio"),
     )
     lang_cnt = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
