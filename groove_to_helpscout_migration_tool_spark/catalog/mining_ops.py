@@ -34,6 +34,10 @@ with.
   - llm_embedding_jl_project : Johnson-Lindenstrauss 64->32 random
         projection -- the distance-preserving reducer before expensive
         pairwise stages; deterministic literal matrix, map-only plan.
+  - llm_heavy_hitters_cms : count-min-sketch frequent-term mining --
+        D x W bounded sketch state (never a vocabulary table), one-
+        sided estimates screen heavy-hitter candidates with zero false
+        negatives; the sketch-vs-exact columns certify the error.
 
 Reference parity note: the reference tool (a PHP ticket migrator) has
 no training-data stage; these extend the engine for the LLM-data
@@ -1094,4 +1098,150 @@ def llm_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(ssq(F.col("proj"))) / F.sqrt(ssq(F.col("v"))), 4).alias(
             "norm_ratio"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: bounded-state frequent-term mining
+# ---------------------------------------------------------------------------
+CMS_D = 4        # independent hash rows
+CMS_W = 2048     # buckets per row; total sketch state = D*W = 8192 cells
+CMS_THRESH_DIV = 256  # heavy-hitter threshold = total_tokens DIV 256
+
+
+def _cms_bucket_sql(seed: int, term: str) -> str:
+    """DuckDB mirror of the seeded CMS bucket hash (md5-prefix 60-bit)."""
+    return (
+        f"(('0x' || substr(md5('cms{seed}#' || {term}), 1, 15))::BIGINT)"
+        f" % {CMS_W}"
+    )
+
+
+_CMS_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT {s} AS s, {_cms_bucket_sql(s, 'term')} AS b, count(*) AS c"
+    f" FROM tok GROUP BY 2"
+    for s in range(CMS_D)
+)
+
+_CMS_EST_SQL = " UNION ALL ".join(
+    f"SELECT term, exact_count, {_cms_bucket_sql(s, 'term')} AS b, {s} AS s"
+    f" FROM term_counts"
+    for s in range(CMS_D)
+)
+
+
+@register(
+    "llm_heavy_hitters_cms",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(str_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), cells AS (
+  {_CMS_CELLS_SQL}
+), term_counts AS (
+  SELECT term, count(*) AS exact_count FROM tok GROUP BY term
+), tot AS (
+  SELECT count(*) AS n FROM tok
+), probes AS (
+  {_CMS_EST_SQL}
+), est AS (
+  SELECT p.term, p.exact_count, min(c.c) AS cms_estimate
+  FROM probes p JOIN cells c ON c.s = p.s AND c.b = p.b
+  GROUP BY p.term, p.exact_count
+)
+SELECT term,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - exact_count AS BIGINT) AS overestimate,
+       exact_count >= n // {CMS_THRESH_DIV} AS true_heavy
+FROM est, tot
+WHERE cms_estimate >= n // {CMS_THRESH_DIV}
+""",
+    doc=(
+        "Count-min-sketch heavy hitters: the bounded-memory frequent-term"
+        f" mine. {CMS_D} independent md5-seeded hash rows x {CMS_W}"
+        " buckets; every token increments one cell per row (map-side"
+        " partial agg collapses each partition to <= D*W cells before ONE"
+        f" bounded shuffle of {CMS_D * CMS_W} cells -- the sketch is the"
+        " whole aggregation state, NO vocabulary table, which is the 100-"
+        "TB story: exact top-k needs per-term state that grows with the"
+        " billions-term vocabulary, the sketch never exceeds 8192"
+        " counters and merges associatively across executors/days/"
+        "snapshots). A term's estimate = min over rows of its cell"
+        " (one-sided: estimate >= true count, pinned by test and by the"
+        " overestimate column). Candidates are screened on the ESTIMATE"
+        " >= total/256, so the candidate set provably contains every true"
+        " heavy hitter (no false negatives -- CMS's guarantee); the exact"
+        " counts certify the error at fixture scale where the vocabulary"
+        " is still materializable, and true_heavy marks the survivors an"
+        " exact second pass would keep. Both engines compute the sketch"
+        " cell-for-cell (shared md5-prefix hash), so every column is"
+        " integer-exact cross-engine."
+    ),
+)
+def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    tok = DD.spread_off_file_layout(t.documents, "doc_id").select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tok = cache.persist_artifact(tok)
+
+    def bucket(seed: int, col):
+        return (
+            TX.word_hash(F.concat(F.lit(f"cms{seed}#"), col)) % CMS_W
+        ).alias("b")
+
+    # the production path: token stream -> (row, bucket) cells. The x D
+    # fanout is map-only; partial aggregation bounds every partition's
+    # state (and the single shuffle) at D*W counters.
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(s).alias("s"), bucket(s, F.col("term")))
+                        for s in range(CMS_D)
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.s", "x.b")
+        .groupBy("s", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term_counts = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    probes = term_counts.select(
+        "term",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), bucket(s, F.col("term")))
+                    for s in range(CMS_D)
+                ]
+            )
+        ).alias("x"),
+    ).select("term", "exact_count", "x.s", "x.b")
+    est = (
+        probes.join(F.broadcast(cells), ["s", "b"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    thresh = F.expr(f"n DIV {CMS_THRESH_DIV}")
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("cms_estimate") >= thresh)
+        .select(
+            "term",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+            (F.col("exact_count") >= thresh).alias("true_heavy"),
+        )
     )

@@ -67,6 +67,7 @@ EMPTY_TOTAL = [
     "llm_neardup_pagerank",
     "llm_neardup_containment",
     "llm_source_drift_report",
+    "llm_heavy_hitters_cms",  # r9: empty sketch -> no candidates
 ]
 
 

@@ -188,7 +188,10 @@ def test_dataset_card_recounts_from_raw_table(spark, sf_dir):
         top = min(langs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert c["top_lang"] == top
         assert c["n_dup_docs"] == len(docs) - len(texts)
-        assert abs(c["avg_doc_tokens"] - round(ntok / len(docs), 2)) < 1e-9
+        # exact integer half-up, the operator's (r9) tie-free formula --
+        # NOT python round(), which is half-even and differs on ties
+        n = len(docs)
+        assert c["avg_doc_tokens"] == ((2 * 100 * ntok + n) // (2 * n)) / 100.0
 
 
 def test_token_budget_sample_matches_python_recount(spark, sf_dir):
@@ -502,3 +505,59 @@ def test_semantic_dedup_clusters_matches_python_recount(spark, sf_dir):
         assert out[ids[0]]["keep"] is True
     # the corpus actually exercises the drop path
     assert n_dropped > 0
+
+
+def test_heavy_hitters_cms_matches_python_recount(spark, sf_dir):
+    """The sketch must equal a plain-Python count-min recount (same
+    md5-prefix seeded hashes), and the CMS one-sided guarantee must
+    hold: estimate >= exact for EVERY candidate, and every true heavy
+    hitter (exact >= total DIV 256) must appear in the output -- no
+    false negatives, the property that makes estimate-screening safe."""
+    import hashlib
+
+    from groove_to_helpscout_migration_tool_spark.catalog.mining_ops import (
+        CMS_D,
+        CMS_THRESH_DIV,
+        CMS_W,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = []
+    for r in t.documents.select("text").collect():
+        toks.extend(w for w in r["text"].lower().split() if w)
+
+    def bucket(seed: int, term: str) -> int:
+        h = hashlib.md5(f"cms{seed}#{term}".encode()).hexdigest()[:15]
+        return int(h, 16) % CMS_W
+
+    cells: dict[tuple[int, int], int] = {}
+    exact: dict[str, int] = {}
+    for w in toks:
+        exact[w] = exact.get(w, 0) + 1
+        for s in range(CMS_D):
+            k = (s, bucket(s, w))
+            cells[k] = cells.get(k, 0) + 1
+    total = len(toks)
+    thresh = total // CMS_THRESH_DIV
+    expect = {}
+    for w, c in exact.items():
+        est = min(cells[(s, bucket(s, w))] for s in range(CMS_D))
+        assert est >= c, (w, est, c)  # one-sided error
+        if est >= thresh:
+            expect[w] = (c, est, est - c, c >= thresh)
+
+    got = {
+        r["term"]: (
+            r["exact_count"],
+            r["cms_estimate"],
+            r["overestimate"],
+            r["true_heavy"],
+        )
+        for r in catalog.QUERIES["llm_heavy_hitters_cms"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # no false negatives: every true heavy hitter survived the
+    # estimate-based screen (est >= exact >= thresh)
+    for w, c in exact.items():
+        if c >= thresh:
+            assert w in got

@@ -144,6 +144,12 @@ AUDIT = {
     # dataset card: pure map-combine tree aggregation joined by
     # broadcast on the tiny source key; no shuffle-heavy shapes at all
     "llm_dataset_card": (["HashAggregate", "BroadcastHashJoin"], ["Window", "CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin"]),
+    # r9 count-min sketch: token -> (row, bucket) explode with map-side
+    # partial agg (the bounded-state sketch), candidate estimates via a
+    # BROADCAST join against the 8K-cell sketch; the scalar-total
+    # crossJoin is a BroadcastNestedLoop (allowed), but a true
+    # CartesianProduct, window, or range sort must never appear
+    "llm_heavy_hitters_cms": (["Generate explode", "HashAggregate", "BroadcastHashJoin"], ["Window", "CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin"]),
     # token-budget sampler: per-(source, shard) running sums hash-
     # partition; the oracle's one-window-per-source shape (a range
     # partition straggler at scale) must NOT appear in the Spark plan

@@ -143,6 +143,10 @@ PROBES = {
     # volume). One representative per shuffle shape: full-scan partial
     # agg, broadcast-dim multi-join, time-bucketed range join,
     # gap-sessionize window, running-sum window, cube expansion.
+    # r9 count-min sketch: the x D token fanout collapses map-side to
+    # <= D*W cells per partition; both shuffles (cells, vocab counts)
+    # must stay ~linear in the corpus
+    "llm_heavy_hitters_cms": "linear",
     "q01_pricing_summary": "linear",
     "q07_nation_volume": "linear",
     "a03_range_join_order_events": "linear",
