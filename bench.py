@@ -102,7 +102,12 @@ def _skew_metrics() -> dict | None:
     folds its scenario ratios into the bench detail, so the skew evidence
     refreshes every round alongside cc_convergence instead of living in a
     one-off SKEW_r{N}.json. Never fails the bench: a broken harness
-    reports {"error": ...} and the headline numbers still land."""
+    reports {"error": ...} and the headline numbers still land. Set
+    SPARK_GRAFT_SKEW_PROBES=0 to skip (e.g. an off-SF timing-only run
+    where the sf0.01 straggler bounds would just repeat the last
+    stamp)."""
+    if os.environ.get("SPARK_GRAFT_SKEW_PROBES", "1") == "0":
+        return None
     here = os.path.dirname(os.path.abspath(__file__))
     skew_sf = os.environ.get("SPARK_GRAFT_SKEW_SF_DIR", "/root/testdata/sf0.01")
     try:
