@@ -70,8 +70,14 @@ BUILD_SPLIT = {
 # showed 0.0 exactly when the median absorbed the build cost. Separating
 # the phases makes the build column honest for EVERY build-split query
 # and keeps GC/compile noise of the first run out of the median.
-N_WARM = 4          # timed warm runs per query (baseline; 1 build + 4 warm
-                    # = the same 5 executions per query as r5)
+N_WARM = max(2, int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "4")))
+                    # timed warm runs per query (baseline; 1 build + 4 warm
+                    # = the same 5 executions per query as r5). The env
+                    # override exists for off-SF growth-measurement runs
+                    # (e.g. sf1) where per-query medians over fewer runs
+                    # suffice and the full protocol would take hours.
+                    # Floor of 2: the spread metric is defined on the two
+                    # fastest runs, so a single warm run can't be scored.
 MAX_EXTRA = 4       # adaptive budget: extra warm runs while spread is high
 SPREAD_TARGET = 12.0  # percent; below the <15% evidence bar with margin
 
