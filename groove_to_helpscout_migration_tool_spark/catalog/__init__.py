@@ -80,6 +80,16 @@ _CHANGED = {
     # half-up (round(double, d) ties split the engines when counts
     # carry 5^(d+1)); values can shift in the last digit at any SF
     "llm_dataset_card": 9,
+    # round 9 (continuation): brute dense scans re-planned -- the
+    # interpreted per-pair zip_with/aggregate dot inside a
+    # BroadcastNestedLoopJoin became ONE Arrow stage against the
+    # collected query matrix (similarity.scores_vs_query_matrix; same
+    # float-add order, so values are bit-identical by design -- but the
+    # plan changed, so the sweep must re-certify), and ann_topk's
+    # corpus-sized per-query window became the salted two-phase top-k
+    "llm_ann_topk_cosine": 9,
+    "llm_hard_negatives": 9,
+    "llm_knn_label_vote": 9,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

@@ -223,10 +223,15 @@ SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rn AS INTEGER) AS rank 
 ) WHERE rn <= 5
 """,
     doc=(
-        "Brute-force cosine top-k: broadcast the query set, one scan of the "
-        "corpus, per-partition partial top-k via window. The exact baseline "
-        "the bucketed-LSH path is validated against. Ranks computed on the "
-        "ROUNDED cosine so Spark/DuckDB float noise cannot flip order."
+        "Brute-force cosine top-k: the query set is a bounded codebook-style "
+        "fetch (10 rows by contract); the corpus streams ONCE through a "
+        "single Arrow stage scoring each row against the whole query matrix "
+        "(similarity.scores_vs_query_matrix -- dimension-axis accumulation, "
+        "bit-identical to the interpreted per-pair fold it replaced), and "
+        "top-k is the salted two-phase aggregate, never a corpus-sized "
+        "window partition per query. The exact baseline the bucketed-LSH "
+        "path is validated against. Ranks computed on the ROUNDED cosine "
+        "so Spark/DuckDB float noise cannot flip order."
     ),
 )
 def llm_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,27 +248,38 @@ def llm_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
-    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    scored = (
+        SIM.scores_vs_query_matrix(emb, q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nid"), "cosine")
     )
-    scored = pairs.select(
-        F.col("qid"),
-        F.col("vec_id").alias("nid"),
-        F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cosine"),
+    # Two-phase deterministic top-k (the rag_retrieve / mining shape):
+    # phase 1 bounds each (qid, salt) hash-agg group, phase 2 merges
+    # <= salt*k candidates per query -- never a corpus-sized window
+    # partition per query. struct(cos DESC, -nid DESC) == the oracle's
+    # (cosine DESC, nid ASC) row_number order on the ROUNDED cosine.
+    s = F.struct(
+        F.col("cosine").alias("cos"),
+        (-F.col("nid")).alias("nnid"),
+        F.col("nid").alias("nid"),
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
+    phase1 = (
+        scored.withColumn("_salt", F.pmod(F.col("nid"), F.lit(8)))
+        .groupBy("qid", "_salt")
+        .agg(F.slice(F.sort_array(F.collect_list(s), asc=False), 1, 5).alias("top"))
+    )
+    merged = (
+        phase1.select("qid", F.explode("top").alias("s"))
+        .groupBy("qid")
+        .agg(F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, 5).alias("top"))
+    )
+    return merged.select(
+        F.col("qid").alias("query_id"), F.posexplode("top").alias("pos", "s")
+    ).select(
+        "query_id",
+        F.col("s.nid").alias("neighbor_id"),
+        F.col("s.cos").alias("cosine"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )
 
 

@@ -82,6 +82,11 @@ def _embeddings_with_norm(emb: DataFrame) -> DataFrame:
 
 
 def _zip_dot(a: str, b: str) -> F.Column:
+    # The interpreted higher-order fold. No longer on any production hot
+    # path (scores_vs_query_matrix's Arrow stage replaced it, same float
+    # order) -- kept as the NAIVE recount the mining tests rank against
+    # (tests/test_mining_ops.py::_brute_pairs), which makes those tests
+    # an independent bit-exactness check of the Arrow path.
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -162,10 +167,13 @@ FROM (
         f" each anchor vector (vec_id < {HN_QUERIES}), the top-{HN_K}"
         " most-cosine-similar corpus vectors whose LABEL DIFFERS from the"
         " anchor's -- similar-but-wrong examples, the negatives that carry"
-        " gradient (SimCLR/DPR practice). Plan: the anchor set is"
-        " broadcast, the corpus streams once through a"
-        " BroadcastNestedLoopJoin + JVM-side zip_with/aggregate dot"
-        " products, and top-k is TWO-PHASE (per-salt partial top-k, then a"
+        " gradient (SimCLR/DPR practice). Plan: the anchor set is a"
+        " bounded codebook-style fetch (tens of rows by contract), the"
+        " corpus streams ONCE through a single Arrow stage that scores"
+        " each row against the whole anchor matrix vectorized"
+        " (similarity.scores_vs_query_matrix -- dimension-axis"
+        " accumulation, bit-identical to the interpreted per-pair fold"
+        " it replaced), and top-k is TWO-PHASE (per-salt partial top-k, then a"
         f" merge over <= {_HN_SALT}*{HN_K} rows per anchor) -- no"
         " corpus-wide window partition, so a 100 TB corpus never sorts"
         " inside a 10-partition window. Ranks use the ROUNDED cosine with"
@@ -182,19 +190,16 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        SIM.scores_vs_query_matrix(e, q, extras=("qlabel",))
         .filter((F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")))
         .select(
             "qid",
-            "qlabel",
             F.col("vec_id").alias("nid"),
             F.col("label").alias("nlabel"),
-            F.round(_zip_dot("qv", "v") / (F.col("qnorm") * F.col("norm")), 6).alias(
-                "cosine"
-            ),
+            "cosine",
         )
     )
-    top = _two_phase_topk(scored.drop("qlabel"), "qid", HN_K, _HN_SALT)
+    top = _two_phase_topk(scored, "qid", HN_K, _HN_SALT)
     qlab = q.select("qid", "qlabel")
     return top.join(F.broadcast(qlab), ["qid"]).select(
         F.col("qid").alias("query_id"),
@@ -261,8 +266,12 @@ FROM best
         f" bootstrap): each probe vector (vec_id < {KNN_SEEDS}, its stored"
         " label held out as ground truth) is classified by majority vote"
         f" of its {KNN_K} nearest LABELED neighbors (vec_id >="
-        f" {KNN_SEEDS}) by rounded cosine. Plan: probes broadcast, corpus"
-        " streams once, two-phase salted top-k (no corpus-wide window),"
+        f" {KNN_SEEDS}) by rounded cosine. Plan: the probe set is a"
+        " bounded codebook-style fetch; the corpus streams once through"
+        " ONE Arrow stage scoring each row against the whole probe matrix"
+        " (similarity.scores_vs_query_matrix, bit-identical floats to the"
+        " per-pair fold it replaced); two-phase salted top-k (no"
+        " corpus-wide window),"
         " then the vote argmax is BIT-PACKED into one integer max() --"
         f" votes*{_VOTE_PACK} + ({_VOTE_PACK}-1-label) orders votes DESC,"
         " label ASC, and a plain max stays in HashAggregate codegen where"
@@ -282,20 +291,15 @@ def llm_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
     )
-    scored = (
-        e.filter(F.col("vec_id") >= KNN_SEEDS)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "qid",
-            "true_label",
-            F.col("vec_id").alias("nid"),
-            F.col("label").alias("nlabel"),
-            F.round(_zip_dot("qv", "v") / (F.col("qnorm") * F.col("norm")), 6).alias(
-                "cosine"
-            ),
-        )
+    scored = SIM.scores_vs_query_matrix(
+        e.filter(F.col("vec_id") >= KNN_SEEDS), q.drop("true_label")
+    ).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        "cosine",
     )
-    knn = _two_phase_topk(scored.drop("true_label"), "qid", KNN_K, _HN_SALT)
+    knn = _two_phase_topk(scored, "qid", KNN_K, _HN_SALT)
     votes = knn.groupBy("qid", "nlabel").agg(F.count(F.lit(1)).alias("cnt"))
     # Runtime pack guard (ADVICE r6): the packed argmax is only a valid
     # (votes DESC, label ASC) order while 0 <= label < _VOTE_PACK -- an

@@ -391,7 +391,11 @@ _DOTS_UDF_CACHE: "OrderedDict" = OrderedDict()
 # otherwise accumulate one UDF closure + centroid matrix per distinct
 # codebook forever. A few entries keep plan-identity for the common
 # repeated-call case (the same corpus snapshot queried many times).
-_DOTS_UDF_CACHE_MAX = 4
+_DOTS_UDF_CACHE_MAX = 8
+# (raised 4 -> 8 when scores_vs_query_matrix added the brute-scan query
+# matrices -- ann/hard-negative anchors and kNN probes -- alongside the
+# IVF codebooks; all are tens-of-rows matrices, so 8 closures is still
+# a few MB at most.)
 
 
 def _centroid_dots_udf(cmat: np.ndarray):
@@ -426,6 +430,72 @@ def _centroid_dots_udf(cmat: np.ndarray):
     while len(_DOTS_UDF_CACHE) > _DOTS_UDF_CACHE_MAX:
         _DOTS_UDF_CACHE.popitem(last=False)
     return _dots
+
+
+def scores_vs_query_matrix(
+    corpus: DataFrame,
+    q: DataFrame,
+    extras: tuple[str, ...] = (),
+    digits: int = 6,
+) -> DataFrame:
+    """Score every corpus row against a BOUNDED query set without a
+    per-pair join: collect the query frame driver-side (a codebook-style
+    fetch -- the anchor/probe set is tens of rows by contract, exactly
+    the bounded-collect class as _codebook), compute each corpus row's
+    dots against the whole query matrix in ONE Arrow stage
+    (_centroid_dots_udf: dimension-axis left-to-right accumulation,
+    bit-identical to the interpreted F.aggregate/zip_with fold and to
+    DuckDB's list_sum), then posexplode to one (qid, cosine) row per
+    (corpus row, query) with query ids / norms / `extras` attached from
+    literal arrays. Replaces the interpreted per-pair higher-order dot
+    inside a BroadcastNestedLoopJoin: same floats and the same
+    n_corpus x n_queries row count, but one vectorized numpy pass per
+    Arrow batch instead of n_queries interpreted 64-element folds per
+    corpus row (NOTES: higher-order functions are interpreted and never
+    CSE'd -- this was the brute-scan hot path).
+
+    corpus: (..., v array<double>, norm double); q: (qid, qv, qnorm,
+    *extras). cosine = round(dot / (qnorm * norm), digits), the exact
+    expression the certified per-pair path used. Returns the corpus
+    columns minus `v`, plus (qid bigint, *extras, cosine double).
+    Empty query set -> empty result with the same schema (totality on
+    the empty corpus, where both sides are empty)."""
+    rows = sorted(
+        q.select("qid", "qv", "qnorm", *extras).collect(),
+        key=lambda r: r["qid"],
+    )
+    base = corpus.drop("v")
+    extra_types = {f.name: f.dataType for f in q.schema.fields}
+    if not rows:
+        return base.select(
+            "*",
+            F.lit(None).cast("bigint").alias("qid"),
+            *[F.lit(None).cast(extra_types[c]).alias(c) for c in extras],
+            F.lit(None).cast("double").alias("cosine"),
+        ).filter(F.lit(False))
+    qmat = np.array([[float(x) for x in r["qv"]] for r in rows], dtype=np.float64)
+    dots = _centroid_dots_udf(qmat)
+    qids = F.lit([int(r["qid"]) for r in rows])
+    qnorms = F.lit([float(r["qnorm"]) for r in rows])
+    extra_lits = {
+        c: F.lit([r[c] for r in rows]).cast(T.ArrayType(extra_types[c]))
+        for c in extras
+    }
+    i1 = F.col("_qi") + F.lit(1)
+    return (
+        corpus.withColumn("_qd", dots(F.col("v")))
+        .drop("v")
+        .select("*", F.posexplode("_qd").alias("_qi", "_qdot"))
+        .select(
+            *base.columns,
+            F.element_at(qids, i1).cast("bigint").alias("qid"),
+            *[F.element_at(extra_lits[c], i1).alias(c) for c in extras],
+            F.round(
+                F.col("_qdot") / (F.element_at(qnorms, i1) * F.col("norm")),
+                digits,
+            ).alias("cosine"),
+        )
+    )
 
 
 def _with_cell_ranking(rows: DataFrame, book) -> DataFrame:

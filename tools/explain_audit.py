@@ -71,6 +71,11 @@ AUDIT = {
     # (the surviving Window is the per-QUERY top-k; a window partitioned
     # by vec_id would be the old N x C corpus-wide assignment rank)
     "llm_ann_ivf_topk": (["ArrowEvalPython|EvalPython"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window \\[[^\\]]*vec_id"]),
+    # brute-force ANN baseline (re-planned r9): corpus streams once
+    # through the Arrow query-matrix stage; top-k is the salted
+    # two-phase aggregate -- never a corpus-sized window partition per
+    # query, and no per-pair join of any kind remains
+    "llm_ann_topk_cosine": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
     # curation ops (r6): the C4 gate is a map-only pass fused into the
     # scan -- ANY exchange would mean an accidental shuffle
     "llm_quality_filter_c4": (["ReadSchema: struct<doc_id:bigint,text:string,lang:string"], ["Exchange", "CartesianProduct"]),
@@ -130,14 +135,15 @@ AUDIT = {
     # corpus (the one-row totals crossJoin is a BroadcastNestedLoop --
     # allowed); scoring is partial-agg, never a window
     "llm_importance_weights_dsir": (["BroadcastHashJoin"], ["Window", "CartesianProduct", "SortMergeJoin"]),
-    # mining ops (r6 session 3): the brute dense scans stream the corpus
-    # once through a BROADCAST nested-loop (the anchor/probe set is tiny
-    # by contract); top-k is the salted two-phase aggregate, never a
-    # corpus-wide window, and never an unbroadcast CartesianProduct
-    "llm_hard_negatives": (["BroadcastNestedLoopJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # mining ops (r6 session 3, re-planned r9): the brute dense scans
+    # stream the corpus once through ONE Arrow stage against the
+    # collected query matrix (scores_vs_query_matrix) -- no per-pair
+    # join of ANY kind remains; top-k is the salted two-phase
+    # aggregate, never a corpus-wide window
+    "llm_hard_negatives": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
     # kNN vote: same scan shape; the vote argmax is a bit-packed integer
     # max that must stay in hash aggregation, never SortAggregate
-    "llm_knn_label_vote": (["BroadcastNestedLoopJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
+    "llm_knn_label_vote": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
     # boilerplate strip: explode + two map-side-combining hash aggs for
     # the distinct-doc count + join-back + sort_array group-back
     "llm_boilerplate_strip": (["Generate explode", "HashAggregate"], ["Window", "CartesianProduct"]),
