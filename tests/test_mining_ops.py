@@ -561,3 +561,63 @@ def test_heavy_hitters_cms_matches_python_recount(spark, sf_dir):
     for w, c in exact.items():
         if c >= thresh:
             assert w in got
+
+
+# ---------------------------------------------------------------------------
+# scores_vs_query_matrix: the shared Arrow brute-scan stage (r9)
+# ---------------------------------------------------------------------------
+def test_scores_vs_query_matrix_bit_equal_to_interpreted_fold(spark, sf_dir):
+    """The vectorized query-matrix stage must be BIT-identical to the
+    interpreted zip_with/aggregate per-pair fold it replaced -- same
+    dimension-axis float-add order, so equality is exact (==), not
+    approximate."""
+    from groove_to_helpscout_migration_tool_spark.operators import similarity as SIM
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = _embeddings_with_norm(t.embeddings)
+    q = e.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    got = {
+        (r["qid"], r["vec_id"]): (r["cosine"], r["qlabel"])
+        for r in SIM.scores_vs_query_matrix(e, q, extras=("qlabel",)).collect()
+    }
+    naive = {
+        (r["qid"], r["nid"]): (r["cosine"], r["qlabel"])
+        for r in e.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                _zip_dot("qv", "v") / (F.col("qnorm") * F.col("norm")), 6
+            ).alias("cosine"),
+        )
+        .collect()
+    }
+    assert got == naive  # exact float equality, including self-pairs
+
+
+def test_scores_vs_query_matrix_empty_query_set_keeps_schema(spark, sf_dir):
+    """An empty query frame must yield an empty result with the SAME
+    schema as the populated path (qid bigint, extras typed from the
+    query frame, cosine double) -- the empty-corpus totality contract."""
+    from groove_to_helpscout_migration_tool_spark.operators import similarity as SIM
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = _embeddings_with_norm(t.embeddings)
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    full = SIM.scores_vs_query_matrix(e, q.filter(F.col("vec_id") < 3), extras=("qlabel",))
+    empty = SIM.scores_vs_query_matrix(e, q.filter(F.lit(False)), extras=("qlabel",))
+    assert empty.collect() == []
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in full.schema.fields
+    ]
