@@ -70,7 +70,23 @@ BUILD_SPLIT = {
 # showed 0.0 exactly when the median absorbed the build cost. Separating
 # the phases makes the build column honest for EVERY build-split query
 # and keeps GC/compile noise of the first run out of the median.
-N_WARM = max(2, int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "4")))
+def _warm_runs() -> int:
+    """Parse SPARK_GRAFT_WARM_RUNS, clamped >= 2 (the spread metric
+    needs two samples). A malformed value must not abort a multi-hour
+    bench at import -- fail soft to the default with a stderr note."""
+    raw = os.environ.get("SPARK_GRAFT_WARM_RUNS", "4")
+    try:
+        return max(2, int(raw.strip()))
+    except ValueError:
+        print(
+            f"bench: ignoring malformed SPARK_GRAFT_WARM_RUNS={raw!r},"
+            " using 4",
+            file=sys.stderr,
+        )
+        return 4
+
+
+N_WARM = _warm_runs()
                     # timed warm runs per query (baseline; 1 build + 4 warm
                     # = the same 5 executions per query as r5). The env
                     # override exists for off-SF growth-measurement runs
@@ -160,18 +176,21 @@ def _scale_metrics() -> dict | None:
         if (m := re.search(r"_r(\d+)\.json$", p))
     ]
     artifact = os.path.join(here, f"SCALE_r{max(rounds, default=0) + 1}.json")
-    # second-decade evidence (decade2 / sf1_certification, attached by
-    # tools/merge_scale_evidence.py) must survive the per-bench decade-1
-    # refresh -- carry the extra sections across the rewrite
+    # Evidence attached by other tools (decade2 / sf1_certification /
+    # sf1_red_rows / sf1_excluded / bench_decade, from
+    # tools/merge_scale_evidence.py and the sf1 bench comparison) must
+    # survive the per-bench decade-1 refresh. Carry EVERY key the
+    # decade-1 sweep does not itself write -- an explicit whitelist
+    # already silently dropped bench_decade/sf1_excluded once.
+    _D1_KEYS = {
+        "small_sf_dir", "large_sf_dir", "data_ratio", "linear_bound",
+        "probes", "violations",
+    }
     extra = {}
     try:
         with open(artifact) as fh:
             prev = json.load(fh)
-        extra = {
-            k: prev[k]
-            for k in ("decade2", "sf1_certification", "sf1_red_rows")
-            if k in prev
-        }
+        extra = {k: v for k, v in prev.items() if k not in _D1_KEYS}
     except (OSError, ValueError):
         pass
     try:

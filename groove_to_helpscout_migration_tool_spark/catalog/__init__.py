@@ -90,6 +90,10 @@ _CHANGED = {
     "llm_ann_topk_cosine": 9,
     "llm_hard_negatives": 9,
     "llm_knn_label_vote": 9,
+    # round 9 (continuation): top-k path now routes through the shared
+    # similarity.two_phase_topk (same expressions, plan-identical by
+    # construction -- fronted anyway, code moved)
+    "llm_hard_negatives_ivf": 9,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB
@@ -185,7 +189,11 @@ def _apply_sweep_order() -> None:
         if name not in green:
             return 1
         if last_round.get(name, 0) < _CHANGED.get(name, 0):
-            # changed after its newest official green -- must recertify
+            # changed after its newest official green -- must recertify.
+            # Strict < is correct (not <=): the official sweep runs ONCE
+            # per round against the END-of-round commit, so a green at
+            # round N certified the round-N edits -- last_round == the
+            # recorded change round means the edit was already swept.
             return 2
         if last_round.get(name, 0) < newest:
             # STALE green: certified in an older round but skipped by the

@@ -861,28 +861,10 @@ WHERE greatest((1000 * n_common) // n_i, (1000 * n_common) // n_j)
 def llm_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = DD.shingled_docs(t.documents)
-    ids = cache.persist_artifact(
-        docs.select("doc_id", F.array_min("xs").alias("anchor"))
-    )
-    # both self-join sides read the capped frame -- persist it so the
-    # cap window runs once (ids stays persisted for the star)
-    keep = cache.persist_artifact(
-        DD.cap_bucket(ids, "anchor", "doc_id", CONT_ANCHOR_CAP)
-    )
-    cand = (
-        keep.select(F.col("doc_id").alias("i"), "anchor")
-        .join(keep.select(F.col("doc_id").alias("j"), "anchor"), ["anchor"])
-        .filter(F.col("i") < F.col("j"))
-        .select("i", "j")
-        .unionByName(DD.star_pairs(ids, "anchor", "doc_id"))
-        .distinct()
-    )
-    xs_map = docs.select("doc_id", "xs")
-    pairs = cand.join(
-        xs_map.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i")), "i"
-    ).join(
-        xs_map.select(F.col("doc_id").alias("j"), F.col("xs").alias("xs_j")), "j"
-    )
+    # shared capped bottom-1-anchor candidate build (cap + star link +
+    # per-candidate xs join-back) -- the same machinery
+    # ngram_jaccard_pairs verifies Jaccard over
+    pairs = DD.capped_anchor_candidates(docs, CONT_ANCHOR_CAP)
     scored = pairs.select(
         F.col("i").alias("doc_i"),
         F.col("j").alias("doc_j"),

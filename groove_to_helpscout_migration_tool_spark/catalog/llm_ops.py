@@ -253,33 +253,17 @@ def llm_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("nid"), "cosine")
     )
-    # Two-phase deterministic top-k (the rag_retrieve / mining shape):
-    # phase 1 bounds each (qid, salt) hash-agg group, phase 2 merges
-    # <= salt*k candidates per query -- never a corpus-sized window
-    # partition per query. struct(cos DESC, -nid DESC) == the oracle's
-    # (cosine DESC, nid ASC) row_number order on the ROUNDED cosine.
-    s = F.struct(
-        F.col("cosine").alias("cos"),
-        (-F.col("nid")).alias("nnid"),
-        F.col("nid").alias("nid"),
-    )
-    phase1 = (
-        scored.withColumn("_salt", F.pmod(F.col("nid"), F.lit(8)))
-        .groupBy("qid", "_salt")
-        .agg(F.slice(F.sort_array(F.collect_list(s), asc=False), 1, 5).alias("top"))
-    )
-    merged = (
-        phase1.select("qid", F.explode("top").alias("s"))
-        .groupBy("qid")
-        .agg(F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, 5).alias("top"))
-    )
-    return merged.select(
-        F.col("qid").alias("query_id"), F.posexplode("top").alias("pos", "s")
-    ).select(
-        "query_id",
-        F.col("s.nid").alias("neighbor_id"),
-        F.col("s.cos").alias("cosine"),
-        (F.col("pos") + 1).cast("int").alias("rank"),
+    # Shared salted two-phase top-k (similarity.two_phase_topk): phase 1
+    # bounds each (qid, salt) hash-agg group, phase 2 merges <= salt*k
+    # candidates per query -- never a corpus-sized window partition per
+    # query. struct(cos DESC, -nid DESC) == the oracle's (cosine DESC,
+    # nid ASC) row_number order on the ROUNDED cosine.
+    top = SIM.two_phase_topk(scored, "qid", 5, 8)
+    return top.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 

@@ -95,40 +95,12 @@ def _zip_dot(a: str, b: str) -> F.Column:
 
 
 def _two_phase_topk(scored: DataFrame, qid: str, k: int, salt_mod: int) -> DataFrame:
-    """Per-``qid`` deterministic top-k WITHOUT a corpus-wide window
-    partition: phase 1 takes a partial top-k per (qid, salt) hash
-    aggregation group (map-side combining bounds every group), phase 2
-    merges <= salt_mod * k candidate rows per query. Sort key is
-    struct(cosine DESC, nid ASC) via the (cos, -nid, nid) struct idiom;
-    cosine is pre-rounded so engine float noise cannot flip the order.
-    Returns (qid, rank, nid, cosine, label)."""
-    s = F.struct(
-        F.col("cosine").alias("cos"),
-        (-F.col("nid")).alias("nnid"),
-        F.col("nid").alias("nid"),
-        F.col("nlabel").alias("nlabel"),
-    )
-    phase1 = (
-        scored.withColumn("_salt", F.pmod(F.col("nid"), F.lit(salt_mod)))
-        .groupBy(qid, "_salt")
-        .agg(F.slice(F.sort_array(F.collect_list(s), asc=False), 1, k).alias("top"))
-    )
-    merged = (
-        phase1.select(qid, F.explode("top").alias("s"))
-        .groupBy(qid)
-        .agg(
-            F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, k).alias("top")
-        )
-    )
-    return merged.select(
-        qid, F.posexplode("top").alias("pos", "s")
-    ).select(
-        qid,
-        (F.col("pos") + 1).cast("bigint").alias("rank"),
-        F.col("s.nid").alias("nid"),
-        F.col("s.cos").alias("cosine"),
-        F.col("s.nlabel").alias("nlabel"),
-    )
+    """The mining-ops entry to the ONE shared salted two-phase top-k
+    (operators/similarity.two_phase_topk) with the label column these
+    operators all carry. Returns (qid, rank, nid, cosine, nlabel)."""
+    from ..operators.similarity import two_phase_topk
+
+    return two_phase_topk(scored, qid, k, salt_mod, label_col="nlabel")
 
 
 _HN_PAIR_CTES = f"""

@@ -438,6 +438,40 @@ def neardup_clusters(
     )
 
 
+def capped_anchor_candidates(docs: DataFrame, anchor_cap: int) -> DataFrame:
+    """-> (i, j, xs_i, xs_j): candidate pairs sharing their bottom-1
+    shingle anchor (min shingle hash), with every anchor bucket capped
+    at its ``anchor_cap`` lowest doc_ids for the all-pairs self-join
+    PLUS a star link from every bucket member to the bucket's min
+    doc_id (star_pairs) -- cap*(cap-1)/2 + (width-cap) candidates per
+    bucket, linear in width, no beyond-cap member orphaned. Shingle
+    arrays join back once per surviving candidate; the cap window and
+    the groupBy both run on the payload-free (anchor, doc_id) frame.
+
+    The ONE implementation of the capped bottom-1-anchor candidate
+    build -- ngram_jaccard_pairs (Jaccard verify) and the asymmetric
+    containment detector (directional-ratio verify) both read their
+    pairs from here, so a cap/star fix reaches both."""
+    ids = persist_artifact(docs.select("doc_id", F.array_min("xs").alias("anchor")))
+    # both self-join sides read the capped frame -- persist it so the
+    # cap window runs once (ids stays persisted for the star)
+    keep = persist_artifact(cap_bucket(ids, "anchor", "doc_id", anchor_cap))
+    cand = (
+        keep.select(F.col("doc_id").alias("i"), "anchor")
+        .join(keep.select(F.col("doc_id").alias("j"), "anchor"), ["anchor"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .unionByName(star_pairs(ids, "anchor", "doc_id"))
+        .distinct()
+    )
+    xs_map = docs.select("doc_id", "xs")
+    return cand.join(
+        xs_map.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i")), "i"
+    ).join(
+        xs_map.select(F.col("doc_id").alias("j"), F.col("xs").alias("xs_j")), "j"
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     jaccard_threshold: float = 0.4,
@@ -457,27 +491,7 @@ def ngram_jaccard_pairs(
     docs = shingled_docs(documents)
     anchored = docs.withColumn("anchor", F.array_min("xs"))
     if anchor_cap is not None:
-        # candidates built on the payload-free (anchor, doc_id) frame --
-        # the window/groupBy never sort rows carrying shingle arrays;
-        # the arrays join back once per surviving candidate
-        ids = persist_artifact(anchored.select("doc_id", "anchor"))
-        # both self-join sides read the capped frame -- persist it so
-        # the cap window runs once (ids stays persisted for the star)
-        keep = persist_artifact(cap_bucket(ids, "anchor", "doc_id", anchor_cap))
-        cand = (
-            keep.select(F.col("doc_id").alias("i"), "anchor")
-            .join(keep.select(F.col("doc_id").alias("j"), "anchor"), ["anchor"])
-            .filter(F.col("i") < F.col("j"))
-            .select("i", "j")
-            .unionByName(star_pairs(ids, "anchor", "doc_id"))
-            .distinct()
-        )
-        xs_map = docs.select("doc_id", "xs")
-        pairs = cand.join(
-            xs_map.select(F.col("doc_id").alias("i"), F.col("xs").alias("xs_i")), "i"
-        ).join(
-            xs_map.select(F.col("doc_id").alias("j"), F.col("xs").alias("xs_j")), "j"
-        )
+        pairs = capped_anchor_candidates(docs, anchor_cap)
     else:
         left = anchored.select(
             F.col("doc_id").alias("i"), F.col("xs").alias("xs_i"), "anchor"

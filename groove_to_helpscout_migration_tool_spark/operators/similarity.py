@@ -498,6 +498,58 @@ def scores_vs_query_matrix(
     )
 
 
+def two_phase_topk(
+    scored: DataFrame,
+    qid: str,
+    k: int,
+    salt_mod: int,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Per-``qid`` deterministic top-k WITHOUT a corpus-wide window
+    partition: phase 1 takes a partial top-k per (qid, salt) hash
+    aggregation group (map-side combining bounds every group), phase 2
+    merges <= salt_mod * k candidate rows per query. Sort key is
+    struct(cosine DESC, nid ASC) via the (cos, -nid, nid) struct idiom;
+    cosine must be PRE-ROUNDED so engine float noise cannot flip the
+    order. Returns (qid, rank bigint, nid, cosine[, label_col]).
+
+    The ONE implementation of the salted brute top-k -- the mining ops
+    (hard negatives, kNN vote, IVF negatives) and the brute ANN baseline
+    all rank through here, so a tie-break or salt fix reaches every
+    consumer at once."""
+    fields = [
+        F.col("cosine").alias("cos"),
+        (-F.col("nid")).alias("nnid"),
+        F.col("nid").alias("nid"),
+    ]
+    if label_col is not None:
+        fields.append(F.col(label_col).alias(label_col))
+    s = F.struct(*fields)
+    phase1 = (
+        scored.withColumn("_salt", F.pmod(F.col("nid"), F.lit(salt_mod)))
+        .groupBy(qid, "_salt")
+        .agg(F.slice(F.sort_array(F.collect_list(s), asc=False), 1, k).alias("top"))
+    )
+    merged = (
+        phase1.select(qid, F.explode("top").alias("s"))
+        .groupBy(qid)
+        .agg(
+            F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, k).alias("top")
+        )
+    )
+    out = [
+        qid,
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        F.col("s.nid").alias("nid"),
+        F.col("s.cos").alias("cosine"),
+    ]
+    if label_col is not None:
+        out.append(F.col(f"s.{label_col}").alias(label_col))
+    return merged.select(
+        qid, F.posexplode("top").alias("pos", "s")
+    ).select(*out)
+
+
 def _with_cell_ranking(rows: DataFrame, book) -> DataFrame:
     """rows + `_csims`: per-row array of (csim, -cid) structs sorted
     best-first -- (desc cosine, asc cid), the same total order the old

@@ -75,7 +75,13 @@ def _fit(con: duckdb.DuckDBPyConnection) -> dict:
             [
                 v
                 for (v,) in con.execute(
+                    # ORDER BY pins the float-summation order of
+                    # np.mean/np.std -- scan order is not guaranteed
+                    # across DuckDB versions/thread counts, and an
+                    # order flip would shift mu/sd by an ULP and
+                    # regenerate a byte-different snapshot
                     f"SELECT embedding FROM {emb} WHERE label = {int(lab)}"
+                    " ORDER BY vec_id"
                 ).fetchall()
             ],
             dtype=np.float64,

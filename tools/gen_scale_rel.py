@@ -145,11 +145,16 @@ def main() -> None:
             k_card = card[spec["keys"][key]]
             cols.append(f"printf('{fmt}', {key} + b * {k_card}) AS {cname}")
         cols.extend(spec["rest"])
-        order_key = next(iter(spec["keys"]))
+        # ORDER BY ALL pins a TOTAL deterministic row order: the first
+        # key alone leaves equal-key ties (e.g. lineitems within one
+        # l_orderkey) in scan-order, which a parallel parquet scan does
+        # not guarantee run-to-run -- the bit-for-bit reproducibility
+        # claim needs every column in the sort key (full-duplicate rows
+        # are interchangeable, so bytes still match).
         sql = (
             f"COPY (SELECT {', '.join(cols)} "
             f"FROM '{SRC}/{t}.parquet', (SELECT unnest(range({REPLICAS})) AS b) "
-            f"ORDER BY {order_key}) "
+            f"ORDER BY ALL) "
             f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
         con.execute(sql)

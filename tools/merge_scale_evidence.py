@@ -49,11 +49,13 @@ def extend() -> None:
     if cert_path != "-":
         with open(cert_path) as fh:
             cert = json.load(fh)
-        out.setdefault("sf1_certification", {"queries": {}})["queries"].update(cert)
+        hashed, rows_only = _split_rows_only(cert)
+        q = out.setdefault("sf1_certification", {"queries": {}})["queries"]
+        q.update(hashed)
+        if rows_only:
+            out.setdefault("sf1_rows_only", {}).update(rows_only)
         out["sf1_red_rows"] = sorted(
-            n
-            for n, r in out["sf1_certification"]["queries"].items()
-            if not (r.get("hash_match") or (r.get("err") == "no_oracle"))
+            n for n, r in q.items() if not r.get("hash_match")
         )
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
@@ -71,6 +73,20 @@ def extend() -> None:
     )
 
 
+def _split_rows_only(cert: dict) -> tuple[dict, dict]:
+    """Split a minidriver cert batch into (hash-certified, rows-only).
+
+    minidriver records err="no_oracle" for queries that have no DuckDB
+    oracle (deliberately weaker checks). Those rows must NOT enter
+    sf1_certification.queries -- every row there is asserted
+    hash_match=True by tests/test_scale_records.py, and admitting a
+    rows-only row as "certified" would overstate the evidence. They go
+    to the sf1_rows_only side table instead."""
+    hashed = {n: r for n, r in cert.items() if r.get("err") != "no_oracle"}
+    rows_only = {n: r for n, r in cert.items() if r.get("err") == "no_oracle"}
+    return hashed, rows_only
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--extend":
         extend()
@@ -82,19 +98,18 @@ def main() -> None:
         out["decade2"] = json.load(fh)
     with open(cert_path) as fh:
         cert = json.load(fh)
+    hashed, rows_only = _split_rows_only(cert)
     out["sf1_certification"] = {
         "sf_dir": out["decade2"]["large_sf_dir"],
         "note": (
             "tools/minidriver.py hash-compare (Spark vs DuckDB oracle) "
             "at the generated sf1 snapshot; rows/schema/hash per query"
         ),
-        "queries": cert,
+        "queries": hashed,
     }
-    bad = [
-        n
-        for n, r in cert.items()
-        if not (r.get("hash_match") or (r.get("err") == "no_oracle"))
-    ]
+    if rows_only:
+        out["sf1_rows_only"] = rows_only
+    bad = [n for n, r in hashed.items() if not r.get("hash_match")]
     out["sf1_red_rows"] = bad
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
