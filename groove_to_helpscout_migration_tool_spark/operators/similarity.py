@@ -464,6 +464,16 @@ def scores_vs_query_matrix(
         q.select("qid", "qv", "qnorm", *extras).collect(),
         key=lambda r: r["qid"],
     )
+    if len(rows) > 4096:
+        # the bounded-collect contract, enforced loudly: a caller that
+        # feeds an unbounded query frame gets a clear error here, not a
+        # silent driver OOM at 100 TB. Above this size the right tool
+        # is the LSH/IVF index path, not a brute matrix scan.
+        raise ValueError(
+            f"scores_vs_query_matrix: query set has {len(rows)} rows; the"
+            " brute query-matrix scan is for BOUNDED (codebook-sized)"
+            " query sets -- use the LSH/IVF paths for large query sides"
+        )
     base = corpus.drop("v")
     extra_types = {f.name: f.dataType for f in q.schema.fields}
     if not rows:
