@@ -94,6 +94,18 @@ _CHANGED = {
     # similarity.two_phase_topk (same expressions, plan-identical by
     # construction -- fronted anyway, code moved)
     "llm_hard_negatives_ivf": 9,
+    # round 9 (session 5): token-family plan simplifications -- values
+    # identical by construction (same integer sums / same expressions),
+    # but the plans changed so the sweep must re-certify. hashing
+    # vectorizer's L2 norm and tfidf's doc length moved to doc_id-
+    # bounded windows (single-branch plans, no norm/doclen join);
+    # rag_retrieve_sparse now CARRIES both squared norms through the
+    # inverted-index join instead of re-joining the candidate frame
+    # against a norm table (at scale that table cannot broadcast and
+    # would shuffle the largest intermediate)
+    "llm_hashing_vectorizer": 9,
+    "llm_tfidf_top_terms": 9,
+    "llm_rag_retrieve_sparse": 9,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

@@ -41,7 +41,7 @@ oracle-checked against DuckDB on the shared parquet tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -373,7 +373,11 @@ FROM r WHERE rn <= {RAG_TOP_K}
         " is BROADCAST into an inverted-index join on dimension, so the"
         " corpus never shuffles on the 64-value dim key; dot products are"
         " integer sums (order-free, oracle-bit-exact) normalized by one"
-        " sqrt of an integer product. Top-k runs TWO-PHASE: per-salt"
+        " sqrt of an integer product. Both sides CARRY their squared norm"
+        " through the join (attached by a doc_id-bounded window on nz,"
+        " <= 64 rows/partition), so the (qid, did) candidate frame --"
+        " the largest intermediate -- is never re-shuffled against a"
+        " norm table. Top-k runs TWO-PHASE: per-salt"
         " partial top-k bounds every aggregation group, then a final merge"
         " over <= salt*k candidate rows per query -- no corpus-wide window"
         " partition, the straggler a naive PARTITION BY query would create"
@@ -395,35 +399,47 @@ def llm_rag_retrieve_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .alias("sgn"),
     )
+    # Attach the squared norm to every nz row via a doc_id window
+    # (<= HASH_DIMS rows per partition, bounded by construction) so both
+    # join sides CARRY their norm through the inverted-index join. The
+    # alternative -- a separate groupBy(doc_id) norm frame joined onto
+    # dots by did -- would shuffle the (qid, did) candidate frame, the
+    # LARGEST intermediate in the query, on a corpus-sized key at scale.
     nz = persist_artifact(
         h.groupBy("doc_id", "dim")
         .agg(F.sum("sgn").alias("w"))
         .filter(F.col("w") != 0)
+        .withColumn(
+            "ss",
+            F.sum(F.col("w") * F.col("w")).over(W.partitionBy("doc_id")),
+        )
     )
-    nn = nz.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ss"))
     is_query = F.col("doc_id") % RAG_QUERY_MOD == 0
     q = nz.filter(is_query).select(
-        F.col("doc_id").alias("qid"), "dim", F.col("w").alias("wq")
+        F.col("doc_id").alias("qid"), "dim", F.col("w").alias("wq"),
+        F.col("ss").alias("ssq"),
     )
     c = nz.filter(~is_query).select(
-        F.col("doc_id").alias("did"), "dim", F.col("w").alias("wd")
+        F.col("doc_id").alias("did"), "dim", F.col("w").alias("wd"),
+        F.col("ss").alias("ssd"),
     )
     # Broadcast the query vectors: the corpus side streams map-side into
     # the inverted-index join and the (qid, did) partial-agg -- no
-    # shuffle keyed on the low-cardinality dim.
+    # shuffle keyed on the low-cardinality dim. ssq/ssd are constant per
+    # (qid, did) group, so max() recovers them without a join.
     dots = (
         c.join(F.broadcast(q), ["dim"])
         .groupBy("qid", "did")
-        .agg(F.sum(F.col("wq") * F.col("wd")).alias("num"))
-    )
-    sims = (
-        dots.join(F.broadcast(nn.filter(is_query).select(F.col("doc_id").alias("qid"), F.col("ss").alias("ssq"))), ["qid"])
-        .join(nn.filter(~is_query).select(F.col("doc_id").alias("did"), F.col("ss").alias("ssd")), ["did"])
-        .select(
-            "qid",
-            "did",
-            (F.col("num") / F.sqrt(F.col("ssq") * F.col("ssd"))).alias("cos"),
+        .agg(
+            F.sum(F.col("wq") * F.col("wd")).alias("num"),
+            F.max("ssq").alias("ssq"),
+            F.max("ssd").alias("ssd"),
         )
+    )
+    sims = dots.select(
+        "qid",
+        "did",
+        (F.col("num") / F.sqrt(F.col("ssq") * F.col("ssd"))).alias("cos"),
     )
     # Two-phase deterministic top-k. Phase 1 bounds each group at
     # (corpus/salt) rows; phase 2 merges <= salt*k candidates per query.

@@ -584,9 +584,13 @@ FROM nz JOIN n ON nz.doc_id = n.doc_id
         " integer sums (order-free) and the single sqrt per doc makes"
         " the normalized weight deterministic cross-engine. The 100 TB"
         " point vs TF-IDF: NO vocabulary table, no second pass, no"
-        " dictionary broadcast -- one explode + two partial-agg shuffles"
-        " keyed by (doc_id, dim), the text-to-vector bridge computed at"
-        " scan speed."
+        " dictionary broadcast -- a single-branch plan: the L2 norm"
+        " rides a doc_id-partitioned window over the combined nz frame"
+        " (<= 64 rows per partition by construction), so there is no"
+        " separate norm aggregate to join back and the plan does not"
+        " depend on runtime exchange reuse to collapse a duplicate"
+        " tokenize branch. One combine-first shuffle keyed by"
+        " (doc_id, dim) plus one nz-sized doc_id exchange."
     ),
 )
 def llm_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,10 +610,13 @@ def llm_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").alias("w"))
         .filter(F.col("w") != 0)
     )
-    n = nz.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ss"))
-    return nz.join(n, ["doc_id"]).select(
+    # L2 norm via a doc_id window (<= HASH_DIMS rows per partition):
+    # keeps the tokenize+md5 pass single-scan where a groupBy+join
+    # branch would recompute the whole explode for the norm side.
+    ss = F.sum(F.col("w") * F.col("w")).over(W.partitionBy("doc_id"))
+    return nz.select(
         "doc_id",
         F.col("dim").cast("bigint").alias("dim"),
         F.col("w").cast("bigint").alias("weight_raw"),
-        F.round(F.col("w") / F.sqrt(F.col("ss")), 6).alias("weight_l2"),
+        F.round(F.col("w") / F.sqrt(ss), 6).alias("weight_l2"),
     )

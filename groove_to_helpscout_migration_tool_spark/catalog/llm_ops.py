@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..operators.cache import persist_artifact
 from ..registry import register
 from ..session import load_tables
 
@@ -1183,12 +1184,16 @@ SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank FROM (
 ) WHERE rn <= 5
 """,
     doc=(
-        "TF-IDF top-5 terms per document. Scale shape: one explode ->"
-        " (doc, term) partial-agg shuffle; document frequency is a second"
-        " agg on the SAME partitioning (term) and joins back on term --"
-        " the vocabulary table is the only medium-size join side, and it"
-        " carries (term, count) pairs only. Ranking on the ROUNDED score"
-        " with a term tiebreak keeps top-5 deterministic across engines."
+        "TF-IDF top-5 terms per document. Scale shape: ONE explode ->"
+        " (doc, term) partial-agg shuffle, persisted so the document-"
+        "frequency branch re-aggregates the counted frame by contract"
+        " (not by relying on runtime exchange reuse); per-doc length"
+        " rides a doc_id window on the same frame (bounded by per-doc"
+        " distinct terms), so the only join is the vocabulary table"
+        " coming back on term -- it carries (term, count) pairs only,"
+        " broadcast when it fits (AQE decides; hashed vocab tiers at"
+        " 100 TB). Ranking on the ROUNDED score with a term tiebreak"
+        " keeps top-5 deterministic across engines."
     ),
 )
 def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,17 +1201,18 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t.documents.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w")
     )
-    tf = toks.groupBy("doc_id", F.lower("w").alias("term")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    tf = persist_artifact(
+        toks.groupBy("doc_id", F.lower("w").alias("term")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
-    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
     # tf is already distinct per (doc_id, term) -- a plain count IS the
     # document frequency; countDistinct here would force a second
     # expand/dedup shuffle skewed on hot terms ("the" hits every doc).
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
     n = t.documents.agg(F.count(F.lit(1)).alias("total_docs"))
     scored = (
-        tf.join(doclen, "doc_id")
+        tf.withColumn("n_tok", F.sum("cnt").over(W.partitionBy("doc_id")))
         .join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(

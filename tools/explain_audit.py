@@ -92,9 +92,16 @@ AUDIT = {
     # the corpus as a broadcast; the corpus itself must never shuffle
     # (the tiny tot crossJoin is a 5x1 BroadcastNestedLoop -- allowed)
     "llm_lang_temperature_sample": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
-    # hashing vectorizer: pure explode + partial-agg pipeline; a Window
-    # or cartesian would mean the normalization went through a sort
-    "llm_hashing_vectorizer": (["HashAggregate"], ["Window", "CartesianProduct"]),
+    # tf-idf: ONE tokenize scan into the persisted (doc, term) counts;
+    # doc length is a doc_id window on that frame (bounded by per-doc
+    # distinct terms) and the vocabulary joins back on term -- the
+    # scalar total-docs crossJoin is a 1-row BroadcastNestedLoop
+    "llm_tfidf_top_terms": (["HashAggregate", "Window"], ["CartesianProduct"]),
+    # hashing vectorizer: single-branch plan -- the L2 norm is a
+    # doc_id-partitioned window over the combined nz frame (<= HASH_DIMS
+    # rows per partition, bounded by construction), no norm join and no
+    # reliance on exchange reuse to collapse a duplicate tokenize branch
+    "llm_hashing_vectorizer": (["HashAggregate", "Window"], ["CartesianProduct", "SortMergeJoin"]),
     # relational families (r6 continuation widening): windows must hash-
     # partition on their keys, never range-partition a global sort; the
     # as-of join and sessionization are per-user windows; grouping sets
@@ -119,9 +126,12 @@ AUDIT = {
     # minhash stage; no self-join blowup shapes allowed
     "llm_neardup_incremental_lsh": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     # sparse retrieval: the query vectors broadcast into the inverted-
-    # index join and top-k is the salted two-phase aggregate -- a Window
-    # would be the corpus-wide PARTITION BY query straggler
-    "llm_rag_retrieve_sparse": (["BroadcastHashJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # index join and top-k is the salted two-phase aggregate (never a
+    # corpus-wide PARTITION BY query window). The only Window allowed is
+    # the doc_id-bounded norm attach on nz (<= HASH_DIMS rows/partition);
+    # the candidate frame itself must never sort-merge against a norm
+    # table
+    "llm_rag_retrieve_sparse": (["BroadcastHashJoin", "HashAggregate", "Window"], ["CartesianProduct", "SortMergeJoin"]),
     # exact-substring spans: gram count + join-back + bounded expansion;
     # per-doc coverage must come from aggregation, never a window
     "llm_substring_dedup_spans": (["HashAggregate"], ["Window", "CartesianProduct"]),
