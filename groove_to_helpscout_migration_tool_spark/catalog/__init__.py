@@ -106,6 +106,20 @@ _CHANGED = {
     "llm_hashing_vectorizer": 9,
     "llm_tfidf_top_terms": 9,
     "llm_rag_retrieve_sparse": 9,
+    # round 9 (session 5): big-group money sums moved to exact integer
+    # cents/discount units with half-up integer displays after the
+    # float-margin audit (tools/float_margins.py) measured their
+    # accumulation-order wobble (~15 ulps rel at sf1) within ~12x of
+    # the rounding boundary -- certification had been surviving on
+    # dice. VALUES CHANGE in low digits (exact sums replace float
+    # sums), so the sweep must re-certify all seven.
+    "q01_pricing_summary": 9,
+    "q05_region_revenue": 9,
+    "q06_forecast_revenue": 9,
+    "q17_small_quantity_revenue": 9,
+    "q19_disjunctive_predicates": 9,
+    "g01_rollup_status_priority": 9,
+    "g04_grouping_sets": 9,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

@@ -8,8 +8,21 @@ every scale factor -- at 100 TB the fact tables grow but these dims stay
 broadcast-able).
 
 Float policy: every floating aggregate is rounded on BOTH sides (Spark and
-the DuckDB oracle) so partition-order summation differences cannot flip
-the value hash.
+the DuckDB oracle) so SMALL partition-order summation differences cannot
+flip the value hash. Rounding alone is NOT sufficient for large-group
+money sums: the r9 margin audit (tools/float_margins.py) measured the
+engines' float sums differing by ~15 ulps relative on sf1 lineitem
+aggregates while the pre-rounded values sat only ~12x that from a
+rounding boundary -- certification was surviving on accumulation-order
+dice. Queries whose sums aggregate millions of rows into few groups
+(q01, q05, q06, q17, q19, g01, g04) therefore sum EXACT INTEGER money
+units (``_cents``: 2-decimal doubles -> integers via scale-0 round,
+which is cross-engine tie-safe because scale-0 ties are dyadic and
+HALF_UP == half-away-from-zero on them) and derive display values by
+integer half-up division (the llm_dataset_card idiom), making the hash
+deterministic by construction. Small-group sums (per-order revenue and
+similar) keep plain rounded float sums: their wobble is ~sqrt(group
+size) ulps and the audit shows >= 1000x margin.
 """
 
 from __future__ import annotations
@@ -25,43 +38,153 @@ def _ts(s: str):
     return F.lit(s).cast("timestamp_ntz")
 
 
+def _cents(col, scale: int = 100):
+    """Exact integer money/rate units from a 2-decimal double column.
+
+    BIGINT, not DECIMAL: per-row unit products stay in whole-stage
+    codegen (a DECIMAL(38,0) pipeline measured ~10x slower at sf1).
+    The oracle mirrors with CAST(round(x * scale) AS HUGEINT)."""
+    return F.round(col * scale).cast("long")
+
+
+def _disc_units():
+    """Discounted revenue in exact 1e-4 units: cents * (100 - d100)."""
+    return _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+
+
+# Oracle twin of _disc_units(); summed then half-up divided to cents.
+_DISC_UNITS_SQL = (
+    "CAST(round(l_extendedprice * 100) AS HUGEINT)"
+    " * (100 - CAST(round(l_discount * 100) AS HUGEINT))"
+)
+
+# Split-sum radix: unit columns are summed as (col % 1e6, col div 1e6)
+# long pairs so the aggregation keeps whole-stage codegen (BIGINT sum)
+# yet cannot overflow at warehouse scale -- the lo sum is exact to
+# ~9e12 rows per group, the hi sum to 9.2e18/(col_max/1e6) rows. The
+# oracle needs no split (DuckDB HUGEINT sums are native 128-bit).
+_SPLIT = 1_000_000
+
+
+def _split_sums(name: str):
+    """Two overflow-safe BIGINT partial sums of exact-integer column
+    ``name``: recombine with _recombined()."""
+    return [
+        F.expr(f"sum({name} % {_SPLIT})").alias(f"{name}_lo"),
+        F.expr(f"sum({name} div {_SPLIT})").alias(f"{name}_hi"),
+    ]
+
+
+def _recombined(name: str) -> str:
+    """SQL for the exact 128-bit total of a _split_sums pair."""
+    return f"(CAST({name}_hi AS DECIMAL(38,0)) * {_SPLIT} + {name}_lo)"
+
+
+def _units_to_money(sum_sql: str, unit: int):
+    """Display column: exact integer half-up from 1/(100*unit) units to
+    cents, then one deterministic /100.0 -- never round(double)."""
+    return (
+        F.expr(f"(2 * {sum_sql} + {unit}) DIV (2 * {unit})").cast("double")
+        / 100.0
+    )
+
+
 # ---------------------------------------------------------------------------
 # q01 pricing summary (TPC-H Q1 shape) -- the flagship query
 # ---------------------------------------------------------------------------
 @register(
     "q01_pricing_summary",
     oracle="""
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS HUGEINT)            AS qty,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS cents,
+         CAST(round(l_discount * 100) AS HUGEINT)      AS d100,
+         CAST(round(l_tax * 100) AS HUGEINT)           AS t100
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+), s AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(qty) AS qs, sum(cents) AS cs,
+         sum(cents * (100 - d100)) AS ds4,
+         sum(cents * (100 - d100) * (100 + t100)) AS cg6,
+         sum(d100) AS d1s, count(*) AS n
+  FROM li GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
-       count(*)                                                         AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       qs::DOUBLE                                   AS sum_qty,
+       cs::DOUBLE / 100.0                           AS sum_base_price,
+       ((2 * ds4 + 100) // 200)::DOUBLE / 100.0     AS sum_disc_price,
+       ((2 * cg6 + 10000) // 20000)::DOUBLE / 100.0 AS sum_charge,
+       ((2 * 10000 * qs + n) // (2 * n))::DOUBLE / 1e4  AS avg_qty,
+       ((2 * 100 * cs + n) // (2 * n))::DOUBLE / 1e4    AS avg_price,
+       ((2 * 10000 * d1s + n) // (2 * n))::DOUBLE / 1e6 AS avg_disc,
+       n                                            AS count_order
+FROM s
 """,
-    doc="TPC-H Q1: one scan, map-side partial agg, 6-group output.",
+    doc=(
+        "TPC-H Q1: one scan, map-side partial agg, 6-group output."
+        " Money/rate columns are summed as EXACT integer units (cents,"
+        " discount/tax percent) with half-up integer division for the"
+        " 2/4/6-decimal displays -- six-group sums over the whole fact"
+        " table are exactly where float accumulation order wobbles past"
+        " the rounding margin (measured by tools/float_margins.py), so"
+        " the hash is made order-free by construction, not by rounding."
+    ),
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem"])
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    li = (
         t.lineitem.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _cents(F.col("l_quantity"), 1).alias("qty"),
+            _cents(F.col("l_extendedprice")).alias("cents"),
+            _cents(F.col("l_discount")).alias("d100"),
+            _cents(F.col("l_tax")).alias("t100"),
         )
+        # per-row unit products in BIGINT codegen: disc4 <= ~1e9,
+        # cg6 <= ~1.2e11 -- summed via the overflow-safe split pairs
+        .withColumn("disc4", F.col("cents") * (100 - F.col("d100")))
+        .withColumn("chg6", F.col("disc4") * (100 + F.col("t100")))
+    )
+    s = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("qs"),
+        F.sum("cents").alias("cs"),
+        *_split_sums("disc4"),
+        *_split_sums("chg6"),
+        F.sum("d100").alias("d1s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("qs").cast("double").alias("sum_qty"),
+        (F.col("cs").cast("double") / 100.0).alias("sum_base_price"),
+        _units_to_money(_recombined("disc4"), 100).alias("sum_disc_price"),
+        _units_to_money(_recombined("chg6"), 10000).alias("sum_charge"),
+        # displays promote to DECIMAL(38,0) before the scale-up multiply
+        # (2*10000*sum overflows BIGINT at warehouse scale; these run on
+        # the 6 output rows, so the decimal cost is nil)
+        (
+            F.expr(
+                "(2 * 10000 * CAST(qs AS DECIMAL(38,0)) + n) DIV (2 * n)"
+            ).cast("double")
+            / 1e4
+        ).alias("avg_qty"),
+        (
+            F.expr(
+                "(2 * 100 * CAST(cs AS DECIMAL(38,0)) + n) DIV (2 * n)"
+            ).cast("double")
+            / 1e4
+        ).alias("avg_price"),
+        (
+            F.expr(
+                "(2 * 10000 * CAST(d1s AS DECIMAL(38,0)) + n) DIV (2 * n)"
+            ).cast("double")
+            / 1e6
+        ).alias("avg_disc"),
+        F.col("n").alias("count_order"),
     )
 
 
@@ -118,21 +241,29 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q05_region_revenue",
-    oracle="""
-SELECT n_name AS nation,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-JOIN nation   ON s_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate <  TIMESTAMP '1998-01-01'
-GROUP BY n_name
+    oracle=f"""
+WITH s AS (
+  SELECT n_name AS nation, sum({_DISC_UNITS_SQL}) AS ru
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY n_name
+)
+SELECT nation, ((2 * ru + 100) // 200)::DOUBLE / 100.0 AS revenue FROM s
 """,
-    doc="TPC-H Q5: 6-way join; nation/region/supplier broadcast, fact-fact shuffle on orderkey.",
+    doc=(
+        "TPC-H Q5: 6-way join; nation/region/supplier broadcast,"
+        " fact-fact shuffle on orderkey. Nation-level revenue sums exact"
+        " integer discount units (few groups x ~1/5 of the fact table"
+        " each -- the accumulation-order wobble class, see module"
+        " docstring)."
+    ),
 )
 def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(
@@ -159,12 +290,10 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("ru", _disc_units())
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(*_split_sums("ru"))
+        .select("nation", _units_to_money(_recombined("ru"), 100).alias("revenue"))
     )
 
 
@@ -174,15 +303,23 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_forecast_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-       count(*) AS n_items
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-  AND l_shipdate <  TIMESTAMP '1998-01-01'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
+WITH s AS (
+  SELECT sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(round(l_discount * 100) AS HUGEINT)) AS ru,
+         count(*) AS n_items
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+    AND l_discount BETWEEN 0.05 AND 0.07
+    AND l_quantity < 24
+)
+SELECT ((2 * ru + 100) // 200)::DOUBLE / 100.0 AS revenue, n_items FROM s
 """,
-    doc="TPC-H Q6: pure scan+filter+scalar agg; all predicates push to parquet.",
+    doc=(
+        "TPC-H Q6: pure scan+filter+scalar agg; all predicates push to"
+        " parquet. Single-group whole-table sum = the accumulation-order"
+        " wobble class -> exact integer units (module docstring)."
+    ),
 )
 def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem"])
@@ -193,12 +330,15 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
-        ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+        )
+        .withColumn(
+            "ru", _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))
+        )
+        .agg(
+            *_split_sums("ru"),
             F.count(F.lit(1)).alias("n_items"),
         )
+        .select(_units_to_money(_recombined("ru"), 100).alias("revenue"), "n_items")
     )
 
 
@@ -386,19 +526,27 @@ def s02_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g01_rollup_status_priority",
     oracle="""
 SELECT o_orderstatus AS status, o_orderpriority AS priority,
-       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS HUGEINT))::DOUBLE / 100.0 AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
-    doc="ROLLUP hierarchy totals.",
+    doc=(
+        "ROLLUP hierarchy totals; the grand-total row sums the whole"
+        " orders table -> exact cents (module docstring)."
+    ),
 )
 def g01_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders"])
     return (
-        t.orders.rollup("o_orderstatus", "o_orderpriority")
+        t.orders.withColumn("tc", _cents(F.col("o_totalprice")))
+        .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            *_split_sums("tc"),
+        )
+        .withColumn(
+            "total", F.expr(f"CAST({_recombined('tc')} AS DOUBLE) / 100.0")
         )
         .select(
             F.col("o_orderstatus").alias("status"),
@@ -892,17 +1040,21 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q19_disjunctive_predicates",
-    oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
-   OR (p_brand = 'Brand#5'  AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15)
-   OR (p_type  = 'PROMO'    AND l_quantity >= 30)
+    oracle=f"""
+WITH s AS (
+  SELECT sum({_DISC_UNITS_SQL}) AS ru
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+     OR (p_brand = 'Brand#5'  AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15)
+     OR (p_type  = 'PROMO'    AND l_quantity >= 30)
+)
+SELECT ((2 * ru + 100) // 200)::DOUBLE / 100.0 AS revenue FROM s
 """,
     doc=(
         "TPC-H Q19 shape: disjunctive mixed-table predicates -- Catalyst "
         "still pushes the part-only disjuncts below the join as a "
-        "partial filter."
+        "partial filter. Single-group revenue sums exact integer "
+        "discount units (module docstring)."
     ),
 )
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,11 +1067,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .withColumn("ru", _disc_units())
+        .agg(*_split_sums("ru"))
+        .select(_units_to_money(_recombined("ru"), 100).alias("revenue"))
     )
 
 
@@ -1056,27 +1206,36 @@ def a03_range_join_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       sum(CAST(round(o_totalprice * 100) AS HUGEINT))::DOUBLE / 100.0 AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
     doc=(
         "GROUPING SETS via the engine's SQL passthrough (SURVEY section 2.9"
         " free tier): three groupings in ONE shuffle pass (Spark expands"
-        " sets map-side), not three scans unioned."
+        " sets map-side), not three scans unioned. The () set sums the"
+        " whole orders table -> exact cents (module docstring)."
     ),
 )
 def g04_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders"])
     t.orders.createOrReplaceTempView("orders_v")
     return spark.sql(
-        """
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
-               count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
-        FROM orders_v
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        f"""
+        SELECT status, priority, n_orders,
+               CAST(CAST(tc_hi AS DECIMAL(38,0)) * {_SPLIT} + tc_lo
+                    AS DOUBLE) / 100.0 AS total
+        FROM (
+          SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS priority,
+                 count(*) AS n_orders,
+                 sum(tc % {_SPLIT}) AS tc_lo,
+                 sum(tc div {_SPLIT}) AS tc_hi
+          FROM (SELECT o_orderstatus, o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS tc
+                FROM orders_v)
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        )
         """
     )
 
@@ -1525,19 +1684,24 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH avg_qty AS (
   SELECT l_partkey AS ap_partkey, 0.2 * avg(l_quantity) AS threshold
   FROM lineitem GROUP BY l_partkey
+), s AS (
+  SELECT sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS cs
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN avg_qty ON ap_partkey = l_partkey
+  WHERE p_brand = 'Brand#23' AND l_quantity < threshold
 )
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-JOIN avg_qty ON ap_partkey = l_partkey
-WHERE p_brand = 'Brand#23' AND l_quantity < threshold
+SELECT ((2 * cs + 7) // 14)::DOUBLE / 100.0 AS avg_yearly FROM s
 """,
     doc=(
         "TPC-H Q17 shape: per-part average-quantity threshold (correlated"
         " subquery rewritten as an aggregate join -- the form Catalyst"
         " plans as one shuffle on l_partkey reused by both sides), then"
         " revenue of below-threshold lines for one brand. The brand filter"
-        " pushes to the part scan and broadcasts."
+        " pushes to the part scan and broadcasts. The threshold avg stays"
+        " float (integer-valued quantity sums are EXACT in doubles, so it"
+        " is bit-identical cross-engine); the money sum is the wobble"
+        " class and uses exact cents (module docstring)."
     ),
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,7 +1714,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
         .join(avg_qty, F.col("ap_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("cs"))
+        .select(
+            (F.expr("(2 * cs + 7) DIV 14").cast("double") / 100.0).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
