@@ -262,7 +262,7 @@ def classify(
     return "OK"
 
 
-def _margin_stats(expr: str) -> str:
+def _margin_stats() -> str:
     """SELECT list computing (count, min margin, min rel margin) over a
     CTE ``x`` that exposes a ``scaled`` column."""
     margin = "abs(scaled - floor(scaled) - 0.5)"
@@ -319,7 +319,7 @@ WITH e AS (
              * {nrm.format(d=SIM.DIM, v='v_j')}) * 1e6) AS scaled
   FROM a JOIN c ON i <> j
 )
-{_margin_stats("scaled")}
+{_margin_stats()}
 """
     # tfidf: CTE-buried score, measured over ALL (doc, term) rows --
     # stricter than the emitted top-5 (a rank flip at the 5/6 boundary
@@ -340,7 +340,7 @@ x AS (
           * ln(n.total_docs::DOUBLE / df.n_docs) * 1e6) AS scaled
   FROM tf JOIN doclen USING (doc_id) JOIN df USING (term) CROSS JOIN n
 )
-{_margin_stats("scaled")}
+{_margin_stats()}
 """
     # MinHash verify filter: jaccard margin over ALL banded candidate
     # pairs (pre-filter). The capped twin's bucket-capped pairs and
@@ -360,9 +360,32 @@ WITH {_SHINGLE_CTES}, {_MINHASH_SIG_SQL}, bands AS (
           / len(list_distinct(list_concat(a.xs, b.xs))) * 1e6) AS scaled
   FROM cand c JOIN docs a ON a.doc_id = c.i JOIN docs b ON b.doc_id = c.j
 )
-{_margin_stats("scaled")}
+{_margin_stats()}
 """
     return probes
+
+
+def threshold_probes() -> dict[str, str]:
+    """Filter-threshold gap probes: a comparison against an ORDER-
+    DEPENDENT float aggregate (an avg/sum scalar) can flip row
+    MEMBERSHIP when some row's value sits within the accumulation
+    wobble of the threshold -- a whole row appears/disappears from the
+    output, visible at any magnitude (no %.10g masking). Surveyed
+    comparison sites in the catalog: q17's 0.2*avg(quantity) threshold
+    is EXACT (integer-valued sums are order-free), q11's 0.1%-of-total
+    HAVING is all-integer by construction; q22's avg-balance filter is
+    the one genuinely order-dependent threshold, measured here. Each
+    probe returns (n_rows, min_margin=NULL, min_rel_margin = smallest
+    |value - threshold| / threshold) and is graded on the
+    order-dependent bands."""
+    return {
+        "q22_idle_customers": """
+WITH a AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+SELECT count(*) AS n, NULL AS min_margin,
+       min(abs(c_acctbal - a.a)) / max(a.a) AS min_rel_margin
+FROM customer, a
+""",
+    }
 
 
 def run(sf_dir: str, only: set[str] | None = None) -> dict:
@@ -376,21 +399,32 @@ def run(sf_dir: str, only: set[str] | None = None) -> dict:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     report: dict = {"sf_dir": sf_dir, "queries": {}, "fails": [], "tights": []}
     extras = extra_probes()
+    thresholds = threshold_probes()
     for name, spec in catalog.QUERIES.items():
         if only is not None and name not in only:
             continue
         if spec.oracle is None:
             continue
-        if not find_round_sites(spec.oracle) and name not in extras:
+        if (not find_round_sites(spec.oracle) and name not in extras
+                and name not in thresholds):
             continue
         rep = audit_oracle(con, name, spec.oracle)
-        if name in extras:
-            entry = {"alias": "explicit_probe"}
+        for alias, probe_sql, order_dep in (
+            [("explicit_probe", extras[name], False)] if name in extras else []
+        ) + (
+            [("threshold_probe", thresholds[name], True)]
+            if name in thresholds else []
+        ):
+            entry = {"alias": alias}
             try:
-                n, mn, rmn = con.execute(extras[name]).fetchone()
-                entry.update(n_rows=n, min_margin=mn, min_rel_margin=rmn,
-                             typ=["DOUBLE"],
-                             verdict=classify(name, rmn, min_margin=mn))
+                n, mn, rmn = con.execute(probe_sql).fetchone()
+                entry.update(
+                    n_rows=n, min_margin=mn, min_rel_margin=rmn,
+                    typ=["DOUBLE"],
+                    verdict=classify(
+                        name, rmn, order_dependent=order_dep, min_margin=mn
+                    ),
+                )
             except Exception as exc:
                 entry["err"] = str(exc).split("\n")[0][:200]
                 entry["verdict"] = "ERR"
