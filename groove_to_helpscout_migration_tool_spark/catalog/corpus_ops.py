@@ -374,10 +374,10 @@ FROM r WHERE rn <= {RAG_TOP_K}
         " corpus never shuffles on the 64-value dim key; dot products are"
         " integer sums (order-free, oracle-bit-exact) normalized by one"
         " sqrt of an integer product. Both sides CARRY their squared norm"
-        " through the join (attached by a doc_id-bounded window on nz,"
-        " <= 64 rows/partition), so the (qid, did) candidate frame --"
-        " the largest intermediate -- is never re-shuffled against a"
-        " norm table. Top-k runs TWO-PHASE: per-salt"
+        " through the join (norms attach to nz itself, an nz-scale"
+        " doc_id join), so the (qid, did) candidate frame -- the"
+        " largest intermediate -- is never re-shuffled against a norm"
+        " table. Top-k runs TWO-PHASE: per-salt"
         " partial top-k bounds every aggregation group, then a final merge"
         " over <= salt*k candidate rows per query -- no corpus-wide window"
         " partition, the straggler a naive PARTITION BY query would create"
@@ -399,27 +399,29 @@ def llm_rag_retrieve_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .alias("sgn"),
     )
-    # Attach the squared norm to every nz row via a doc_id window
-    # (<= HASH_DIMS rows per partition, bounded by construction) so both
-    # join sides CARRY their norm through the inverted-index join. The
-    # alternative -- a separate groupBy(doc_id) norm frame joined onto
-    # dots by did -- would shuffle the (qid, did) candidate frame, the
-    # LARGEST intermediate in the query, on a corpus-sized key at scale.
+    # Attach the squared norm to every nz row BEFORE the inverted-index
+    # join, so both sides CARRY their norm through it. The norm table
+    # joins onto nz (nz-vs-nn on doc_id: broadcast at fixture scale, a
+    # co-partitioned nz-scale join at 100 TB) -- NEVER onto the
+    # (qid, did) candidate frame, the LARGEST intermediate in the
+    # query, which a post-hoc norm join would re-shuffle on a
+    # corpus-sized key. A doc_id window would also work but pays an
+    # nz exchange+sort even at fixture scale (measured +25% on the
+    # heaviest sf1 query); the join form is free locally and the same
+    # exchange class at scale.
     nz = persist_artifact(
         h.groupBy("doc_id", "dim")
         .agg(F.sum("sgn").alias("w"))
         .filter(F.col("w") != 0)
-        .withColumn(
-            "ss",
-            F.sum(F.col("w") * F.col("w")).over(W.partitionBy("doc_id")),
-        )
     )
+    nn = nz.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ss"))
+    nzs = nz.join(nn, ["doc_id"])
     is_query = F.col("doc_id") % RAG_QUERY_MOD == 0
-    q = nz.filter(is_query).select(
+    q = nzs.filter(is_query).select(
         F.col("doc_id").alias("qid"), "dim", F.col("w").alias("wq"),
         F.col("ss").alias("ssq"),
     )
-    c = nz.filter(~is_query).select(
+    c = nzs.filter(~is_query).select(
         F.col("doc_id").alias("did"), "dim", F.col("w").alias("wd"),
         F.col("ss").alias("ssd"),
     )

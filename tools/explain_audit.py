@@ -126,12 +126,12 @@ AUDIT = {
     # minhash stage; no self-join blowup shapes allowed
     "llm_neardup_incremental_lsh": (["ArrowEvalPython|EvalPython", "HashAggregate"], ["Window", "CartesianProduct", "BroadcastNestedLoopJoin"]),
     # sparse retrieval: the query vectors broadcast into the inverted-
-    # index join and top-k is the salted two-phase aggregate (never a
-    # corpus-wide PARTITION BY query window). The only Window allowed is
-    # the doc_id-bounded norm attach on nz (<= HASH_DIMS rows/partition);
-    # the candidate frame itself must never sort-merge against a norm
-    # table
-    "llm_rag_retrieve_sparse": (["BroadcastHashJoin", "HashAggregate", "Window"], ["CartesianProduct", "SortMergeJoin"]),
+    # index join and top-k is the salted two-phase aggregate -- a Window
+    # would be the corpus-wide PARTITION BY query straggler. Norms
+    # attach to nz itself (nz-scale doc_id join) and ride through the
+    # dim join; the candidate frame must never sort-merge against a
+    # norm table
+    "llm_rag_retrieve_sparse": (["BroadcastHashJoin", "HashAggregate"], ["Window", "CartesianProduct", "SortMergeJoin"]),
     # exact-substring spans: gram count + join-back + bounded expansion;
     # per-doc coverage must come from aggregation, never a window
     "llm_substring_dedup_spans": (["HashAggregate"], ["Window", "CartesianProduct"]),
