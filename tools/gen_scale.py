@@ -157,10 +157,21 @@ def gen_embeddings(fit: dict, rng: np.random.Generator) -> pa.Table:
 
 
 def main() -> None:
+    global N_DOCS, N_VECS
     out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "testdata_sf1",
     )
+    # Optional decade multiplier (r9 decade-3): `gen_scale.py out 10`
+    # scales both tables 10x (sf10: 500k docs / 200k vecs). The default
+    # path consumes the rng identically to before, so the committed sf1
+    # snapshot stays byte-for-byte reproducible; a scaled run is its own
+    # deterministic stream (row counts change every draw after the
+    # first, so cross-scale prefixes are NOT shared -- by design each
+    # scale is a self-consistent corpus, not a superset).
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    N_DOCS *= scale
+    N_VECS *= scale
     os.makedirs(out_dir, exist_ok=True)
     fit = _fit(duckdb.connect())
     rng = np.random.default_rng(SEED)

@@ -103,7 +103,15 @@ _SPEC = {
 
 
 def main() -> None:
+    global REPLICAS
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    # Optional replica-count override (r9 decade-3): `gen_scale_rel.py
+    # out 100` tiles 100 replicas of sf0.1 (sf10: 60M lineitem rows).
+    # Replica-block scaling composes across decades unchanged -- the
+    # default stays 10, so the committed sf1 snapshot reproduces
+    # byte-for-byte.
+    if len(sys.argv) > 2:
+        REPLICAS = int(sys.argv[2])
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
