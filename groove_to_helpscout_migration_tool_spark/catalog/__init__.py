@@ -61,6 +61,14 @@ from ..registry import QUERIES, queries, oracle_sql  # noqa: F401
 # front at r9). Entries may be pruned once suppressed, but forgetting
 # to prune is harmless by construction.
 _CHANGED = {
+    # round 9 (session 7): incremental-IVF coarse quantizer made
+    # adaptive (S = max(1, n_base // 2000) sub-seeds per label, C ~
+    # n_base/200; oracle mirrored). S == 1 at the certification SFs so
+    # values there are bit-identical by construction, but the plan
+    # changed and the sf1 result legitimately changes (C 10 -> 90) --
+    # the sweep must re-certify and the sf1 row was re-verified in
+    # session 7.
+    "llm_ann_incremental_ivf": 9,
     # round 9: hot-bucket STAR LINK -- every member of a capped band /
     # anchor bucket now also pairs with the bucket's min doc_id, so
     # beyond-cap members of a hot bucket keep an edge into the cluster

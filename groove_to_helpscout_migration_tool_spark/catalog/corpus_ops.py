@@ -913,10 +913,16 @@ WITH e AS (
   SELECT * FROM e WHERE vec_id % {DELTA_MOD} <> 0
 ), delta AS (
   SELECT * FROM e WHERE vec_id % {DELTA_MOD} = 0
+), sg AS (
+  -- adaptive quantizer: S sub-seed groups per label so C ~ n_base/200
+  -- (S == 1 at the certification SFs -- exactly the min-per-label
+  -- codebook; mirrors similarity.ivf_probe_delta cell_target=200)
+  SELECT greatest(1, count(*) // 2000) AS s FROM base
 ), cents AS (
   SELECT vec_id AS cid, v AS cv FROM e
-  WHERE vec_id IN (SELECT min(vec_id) FROM embeddings
-                   WHERE vec_id % {DELTA_MOD} <> 0 GROUP BY label)
+  WHERE vec_id IN (SELECT min(vec_id) FROM embeddings, sg
+                   WHERE vec_id % {DELTA_MOD} <> 0
+                   GROUP BY label, vec_id % sg.s)
 ), bass AS (
   SELECT vec_id, cell FROM (
     SELECT x.vec_id, c.cid AS cell,
@@ -963,12 +969,18 @@ SELECT qid AS query_id, nid AS neighbor_id, cosine,
         " re-indexing. Cell width is what the coarse quantizer"
         " controls: production IVF grows its cell COUNT with the corpus"
         " (C ~ N / target_cell_size) so width -- and per-query cost --"
-        " stays ~constant; this fixture's quantizer is pinned to the 10"
-        " synthetic labels, so the r9 two-decade probe measures the"
-        " compound (delta grows with N) x (width grows with N) shape --"
-        " 96.7x records at 10x data, 9.7x per query -- and the probe is"
-        " classed query_set accordingly (tools/scale_records.py). The"
-        " base"
+        " stays ~constant, and since r9 session-7 the quantizer here"
+        " DOES that: each synthetic label splits into S = max(1,"
+        " n_base // 2000) deterministic sub-seed groups (vec_id % S),"
+        " min base vec_id per group, so C ~ n_base/200. S == 1 at the"
+        " certification SFs (bit-identical to the original"
+        " min-per-label codebook); at sf1/sf10 C grows to ~90/~950,"
+        " keeping the candidate set ~delta x nprobe x 200. The earlier"
+        " PINNED 10-cell form measured 96.7x records at the second"
+        " decade (compound delta x width growth, classed query_set)"
+        " and a 400M-row disk-spill blowup at the third -- the decade"
+        " probes now measure the adaptive form, classed linear in"
+        " delta size. The base"
         " cell assignment is the build-once artifact (at 100 TB, a"
         " bucketed-by-cell table written per snapshot); delta vectors"
         " rank cells MAP-SIDE against the in-closure codebook (the same"
@@ -976,7 +988,7 @@ SELECT qid AS query_id, nid AS neighbor_id, cosine,
         " and exact-re-rank. No self-hit filter is needed -- the delta"
         " is disjoint from the base by construction. The oracle replays"
         " the base/delta split with the shared deterministic quantizer"
-        " (min base vec_id per label)."
+        " (GROUP BY label, vec_id %% S; S from the same base count)."
     ),
 )
 def llm_ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

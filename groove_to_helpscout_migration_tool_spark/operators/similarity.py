@@ -803,25 +803,41 @@ def ivf_probe_delta(
     k: int = 5,
     delta_mod: int = 20,
     nprobe: int = 3,
+    cell_target: int = 200,
 ) -> DataFrame:
     """Incremental ANN: a newly-arrived DELTA batch (vec_id % delta_mod
     == 0, the corpus_ops DELTA_MOD convention) probes the STANDING IVF
     index built from the base corpus only -- the living-dataset path
     where per-batch cost scales with the delta, not the corpus. The
     base assignment (cell per base vector) is the build-once artifact a
-    snapshot pipeline materializes; centroids are the deterministic
-    min-base-vec_id-per-label codebook so the oracle mirrors the
-    quantizer exactly. Delta vectors rank cells map-side against the
+    snapshot pipeline materializes. The coarse quantizer GROWS WITH THE
+    CORPUS the way a production IVF does (C ~ N / target_cell_size, so
+    cell width -- and per-probe cost -- stays ~constant): each of the
+    10 synthetic labels is split into S = max(1, n_base // (10 *
+    cell_target)) deterministic sub-seed groups (vec_id % S), and each
+    group's min base vec_id is a centroid. At the certification SFs
+    (n_base <= 2000) S == 1, reducing exactly to the original
+    min-per-label codebook; at the generated sf1/sf10 snapshots C grows
+    to ~100/~1000 keeping candidates per query bounded (the r9 decade-3
+    run of the PINNED quantizer measured the alternative: width grows
+    with N, 10k deltas x 20k-wide cells = a 400M-row candidate sort
+    that spilled past local disk). n_base comes from one pruned-scan
+    count -- an index-BUILD action, same offline class as the
+    _codebook collect. Delta vectors rank cells map-side against the
     in-closure codebook (same zero-N-x-C shape as ivf_topk), probe
     nprobe cells, and exact-re-rank the candidates. No self-hit filter
-    is needed: the delta is disjoint from the base by construction."""
+    is needed: the delta is disjoint from the base by construction.
+    The oracle mirrors the quantizer exactly (GROUP BY label, vec_id %
+    S with S from the same count)."""
     emb = prepared(embeddings)
     is_delta = F.col("vec_id") % delta_mod == 0
     base = emb.filter(~is_delta)
     dq = emb.filter(is_delta)
+    raw_base = embeddings.filter(~is_delta)
+    n_base = raw_base.select("vec_id").count()
+    sub = max(1, n_base // (10 * cell_target))
     reps = (
-        embeddings.filter(~is_delta)
-        .groupBy("label")
+        raw_base.groupBy("label", F.pmod(F.col("vec_id"), F.lit(sub)).alias("_sg"))
         .agg(F.min("vec_id").alias("rep_id"))
     )
     cents = base.join(

@@ -48,6 +48,28 @@ def test_linear_ops_grow_linearly():
             ), (name, p)
 
 
+def _assert_phase_entries(probes: dict) -> None:
+    """phase-class probes (broadcast->shuffle transition between
+    decades) are bounded on shuffle records PER INPUT ROW at each
+    scale, not on the cross-decade ratio the transition invalidates."""
+    for name, p in probes.items():
+        if p.get("class") != "phase":
+            continue
+        assert p.get("coef_bound"), (name, p)
+        for side in ("small", "large"):
+            coef = p.get(f"records_per_input_row_{side}")
+            if coef is not None:
+                assert coef <= p["coef_bound"], (name, side, p)
+
+
+def test_phase_probes_bounded_per_input_row():
+    art = _latest_artifact()
+    _assert_phase_entries(art["probes"])
+    for key in ("decade2", "decade3"):
+        if key in art:
+            _assert_phase_entries(art[key]["probes"])
+
+
 def test_second_decade_evidence_if_present():
     """When the artifact carries the r9 second decade (sf0.1 -> the
     generated sf1) it must be violation-free and its sf1 hash
@@ -59,6 +81,23 @@ def test_second_decade_evidence_if_present():
     assert d2["violations"] == []
     assert art.get("sf1_red_rows") == []
     cert = art["sf1_certification"]["queries"]
+    assert len(cert) >= 5
+    for name, row in cert.items():
+        assert row.get("hash_match") is True, (name, row)
+
+
+def test_third_decade_evidence_if_present():
+    """When the artifact carries the third decade (the generated sf1 ->
+    sf10 snapshots, a true 10x on every table) it must satisfy the same
+    contract as decade 2: violation-free probes, zero red rows in the
+    sf10 hash certification."""
+    art = _latest_artifact()
+    d3 = art.get("decade3")
+    if d3 is None:
+        return
+    assert d3["violations"] == []
+    assert art.get("sf10_red_rows") == []
+    cert = art.get("sf10_certification", {}).get("queries", {})
     assert len(cert) >= 5
     for name, row in cert.items():
         assert row.get("hash_match") is True, (name, row)

@@ -20,12 +20,63 @@ Usage: python tools/merge_scale_evidence.py d1.json d2.json cert.json out.json
        already-merged artifact -- the r9 relational widening runs in
        batches, so evidence accretes instead of being rewritten; pass
        "-" to skip either input)
+   or: python tools/merge_scale_evidence.py --decade3 out.json d3.json [cert10.json]
+       (attaches the sf1 -> sf10 third decade under decade3 /
+       sf10_certification, accreting like --extend)
 """
 
 from __future__ import annotations
 
 import json
 import sys
+
+
+def decade3() -> None:
+    """Attach the third decade (sf1 -> generated sf10) to a merged
+    artifact: `--decade3 out.json d3.json [cert10.json]`. Mirrors the
+    decade-2 keys (decade3 / sf10_certification / sf10_rows_only /
+    sf10_red_rows) so tests can assert the same contract per decade."""
+    out_path = sys.argv[2]
+    d3_path = sys.argv[3]
+    cert_path = sys.argv[4] if len(sys.argv) > 4 else "-"
+    with open(out_path) as fh:
+        out = json.load(fh)
+    with open(d3_path) as fh:
+        d3 = json.load(fh)
+    base = out.setdefault(
+        "decade3",
+        {k: d3[k] for k in ("small_sf_dir", "large_sf_dir", "data_ratio", "linear_bound")},
+    )
+    assert base["large_sf_dir"] == d3["large_sf_dir"], "decade mismatch"
+    base.setdefault("probes", {}).update(d3["probes"])
+    base["violations"] = sorted(
+        set(base.get("violations", [])) | set(d3["violations"])
+    )
+    if cert_path != "-":
+        with open(cert_path) as fh:
+            cert = json.load(fh)
+        hashed, rows_only = _split_rows_only(cert)
+        q = out.setdefault("sf10_certification", {"queries": {}})["queries"]
+        q.update(hashed)
+        if rows_only:
+            out.setdefault("sf10_rows_only", {}).update(rows_only)
+        out["sf10_red_rows"] = sorted(
+            n for n, r in q.items() if not r.get("hash_match")
+        )
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(
+        json.dumps(
+            {
+                "out": out_path,
+                "d3_probes": len(out["decade3"]["probes"]),
+                "d3_violations": out["decade3"]["violations"],
+                "sf10_queries": len(out.get("sf10_certification", {}).get("queries", {})),
+                "sf10_red_rows": out.get("sf10_red_rows", []),
+            }
+        )
+    )
 
 
 def extend() -> None:
@@ -90,6 +141,9 @@ def _split_rows_only(cert: dict) -> tuple[dict, dict]:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--extend":
         extend()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--decade3":
+        decade3()
         return
     d1_path, d2_path, cert_path, out_path = sys.argv[1:5]
     with open(d1_path) as fh:

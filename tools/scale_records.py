@@ -29,6 +29,18 @@ Classes:
   control   -- the UNCAPPED pair enumerators, reported but unbounded:
                their super-linear growth is the measured reason the
                capped/assign variants exist.
+  phase     -- ops with a join side that legitimately crosses Spark's
+               broadcast threshold somewhere between the measured
+               decades (a dim table or the corpus vector frame): the
+               cross-decade RATIO spans a broadcast->shuffle step
+               (records jump from ~0 to linear-in-data, e.g. q07
+               measured 4466x across the r9 third decade while doing
+               ~0.9 records per input row), so the bound is instead
+               RECORDS PER INPUT ROW at EACH scale (PHASE_PROBES:
+               per-probe coefficient x the probed tables' parquet
+               metadata row counts -- a true linearity statement that
+               is immune to the plan-phase change Spark is RIGHT to
+               make at scale).
 
 Each query runs with artifacts cleared before AND between runs, so its
 records include its full build (shingles/signatures/index) -- the
@@ -49,6 +61,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_RATIO = 10.0
 LINEAR_BOUND = 30.0  # linear-class ops: max allowed record-growth ratio
+
+# phase-class probes: name -> (max shuffle records per input row at
+# EITHER scale, tables whose parquet row counts are the input). The
+# coefficient carries ~3x headroom over the measured post-transition
+# (all-shuffle) value, same convention as LINEAR_BOUND.
+PHASE_PROBES = {
+    # measured 0.88 records/row at sf10 (shuffled lineitem+orders join
+    # + partial aggs); dims broadcast at every scale
+    "q07_nation_volume": (
+        3.0,
+        ["lineitem", "orders", "customer", "supplier", "nation", "region"],
+    ),
+    # measured ~19 records/vector at sf10: N x SEM_ANCHORS candidates
+    # through rank window + two-sided vector rejoin once the embedding
+    # frame stops broadcasting
+    "llm_semantic_dedup_clusters": (60.0, ["embeddings"]),
+}
 
 # query -> class
 PROBES = {
@@ -89,8 +118,13 @@ PROBES = {
     "llm_token_budget_sample": "linear",
     "llm_cluster_kmeans_assign": "linear",
     # r9 SemDeDup: candidates are N x SEM_ANCHORS within cells, never
-    # width^2; ranking is one cell-keyed window
-    "llm_semantic_dedup_clusters": "linear",
+    # width^2; ranking is one cell-keyed window. Class phase: the
+    # candidate->vector rejoin broadcasts the (prepared) embedding side
+    # until it crosses spark.sql.autoBroadcastJoinThreshold, then
+    # correctly becomes a shuffle join -- the r9 third decade measured
+    # the transition as a 53x record jump that is ~19 records/vector,
+    # i.e. linear with a phase step, not quadratic growth
+    "llm_semantic_dedup_clusters": "phase",
     "llm_cluster_balanced_sample": "linear",
     "llm_hard_negatives_ivf": "linear",
     "llm_embedding_jl_project": "linear",
@@ -117,14 +151,15 @@ PROBES = {
     "a05_retention_cohorts": "linear",
     "d01_scd2_customer_merge": "linear",
     "p03_profile_lineitem": "linear",
-    # delta probes the standing index: per delta vector the probe scans
-    # nprobe cells of the standing corpus, and the fixture's delta
-    # slice (vec_id % DELTA_MOD) grows with the corpus too -- compound
-    # queries x cell-width growth (see the query_set class note; the r9
-    # sf0.1 -> sf1 decade measured it). A production delta batch is
-    # fixed-size and a production coarse quantizer grows its cell COUNT
-    # with the corpus, keeping per-query cost ~constant.
-    "llm_ann_incremental_ivf": "query_set",
+    # delta probes the standing index: the fixture's delta slice
+    # (vec_id % DELTA_MOD) grows with the corpus, but since the r9
+    # session-7 adaptive quantizer (C ~ n_base/200, S sub-seeds per
+    # label) the cell WIDTH it probes stays ~constant -- records grow
+    # ~linearly in the delta size, so the 30x linear bound applies.
+    # (The earlier pinned-10-cell form measured the compound 96.7x
+    # shape under the query_set class and spilled out the third
+    # decade; the adaptive codebook is the production story.)
+    "llm_ann_incremental_ivf": "linear",
     # agg-then-join: the full-outer input is day-partials, not facts
     "s04_full_outer_ship_reconciliation": "linear",
     # conditional stats + gram-presence collapse: one shingle pass
@@ -148,7 +183,11 @@ PROBES = {
     # must stay ~linear in the corpus
     "llm_heavy_hitters_cms": "linear",
     "q01_pricing_summary": "linear",
-    "q07_nation_volume": "linear",
+    # class phase: the orders side of the lineitem join outgrows the
+    # broadcast threshold at sf10 (the r9 third decade measured the
+    # broadcast->shuffle step as a 4466x ratio that is ~0.9
+    # records/input-row -- the CORRECT at-scale shuffled-join plan)
+    "q07_nation_volume": "phase",
     "a03_range_join_order_events": "linear",
     "a02_sessionize_events": "linear",
     "w02_running_customer_spend": "linear",
@@ -163,6 +202,10 @@ def _build_session(event_dir: str):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("scale-records")
+        # JVM heap must cover the largest per-decade shuffle; the
+        # sf1 -> sf10 decade (60M-row lineitem) needs more than the
+        # 1g local-mode default. Record counts are size-invariant.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -275,6 +318,20 @@ def _run_sweep(sf_dir: str) -> tuple[dict[str, int], dict[str, float]]:
     return _group_records(event_dir), walls
 
 
+def _input_rows(sf_dir: str, tables: list[str]) -> int:
+    """Total row count of the probe's input tables from parquet FOOTER
+    metadata (no scan). Missing tables (partial generated snapshots)
+    count 0 -- a probe that reads them would have failed loudly."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            total += pq.read_metadata(path).num_rows
+    return total
+
+
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     large = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -294,6 +351,27 @@ def main() -> None:
             "wall_small_s": wall_small.get(name),
             "wall_large_s": wall_large.get(name),
         }
+        if klass == "phase":
+            coef_bound, tables = PHASE_PROBES[name]
+            rs, rl = _input_rows(small, tables), _input_rows(large, tables)
+            cs = round(s / rs, 2) if rs else None
+            cl = round(l / rl, 2) if rl else None
+            report[name].update(
+                {
+                    "input_rows_small": rs,
+                    "input_rows_large": rl,
+                    "records_per_input_row_small": cs,
+                    "records_per_input_row_large": cl,
+                    "coef_bound": coef_bound,
+                }
+            )
+            for side, coef in (("small", cs), ("large", cl)):
+                if coef is not None and coef > coef_bound:
+                    violations.append(
+                        f"{name}: {coef} shuffle records per input row "
+                        f"({side} scale) > {coef_bound} (phase)"
+                    )
+            continue
         bound = {
             "linear": LINEAR_BOUND,
             # query set grows with the corpus in the fixture: compound
