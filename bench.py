@@ -98,6 +98,38 @@ MAX_EXTRA = 4       # adaptive budget: extra warm runs while spread is high
 SPREAD_TARGET = 12.0  # percent; below the <15% evidence bar with margin
 
 
+# --- constant-work calibration probe (VERDICT r9 task 2) -------------------
+# A fixed, catalog-independent compute job that measures the BOX, not the
+# code under test: 8e9 range rows through xxhash64 into a bit_xor fold on
+# 32 partitions -- pure whole-stage-codegen JVM compute, no parquet, no
+# shuffle, no Python. Every BENCH_r*.json stamps its median (pre- and
+# post-queries, so intra-session drift is visible too) and a normalized
+# headline total value_norm = value * (CALIB_REF / calib). Cross-round
+# deltas on value_norm are plan-attributable by construction; raw `value`
+# deltas on an idle-vs-loaded box are not (the r8->r9 "+12.8%" forensic
+# session this probe exists to replace).
+CALIB_ROWS = 8_000_000_000
+# committed reference: median probe time on the round-10 bench session
+# (sha stamped in BENCH_r10.json). Rounds normalize to THIS box-speed:
+# value_norm is "what the total would read if the box ran at the r10
+# calibration speed". Update only with a same-session matched pair.
+CALIB_REF = 1.25
+
+
+def _calibration_runs(spark, n_warm: int = 3) -> list[float]:
+    """One discarded warmup + ``n_warm`` timed runs of the probe."""
+    runs = []
+    for i in range(n_warm + 1):
+        t0 = time.time()
+        spark.range(0, CALIB_ROWS, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) as h"
+        ).collect()
+        dt = time.time() - t0
+        if i > 0:  # first run pays codegen/JIT; it is not box speed
+            runs.append(round(dt, 3))
+    return runs
+
+
 def _git_sha() -> str:
     """HEAD sha (+ '-dirty' if the tree differs): stamped into the bench
     JSON so a bench record taken at a stale commit is detectable."""
@@ -243,6 +275,8 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
+    calib_pre = _calibration_runs(spark)
+    _gc()
 
     for name in HEADLINE:
         spec = catalog.QUERIES.get(name)
@@ -309,11 +343,15 @@ def main() -> None:
         cache.unpersist_artifacts()
         spark.catalog.clearCache()
         _gc()
+    calib_post = _calibration_runs(spark)
     # the bench session's 32 threads are idle but its JVM still holds
     # memory; stop it before the skew harness spawns its own JVM
     spark.stop()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    detail, line = build_output(timings, build, spreads, sf_val, _git_sha())
+    detail, line = build_output(
+        timings, build, spreads, sf_val, _git_sha(),
+        calib={"pre": calib_pre, "post": calib_post},
+    )
     if cc_stats:
         detail["cc_convergence"] = cc_stats
     skew = _skew_metrics()
@@ -385,6 +423,7 @@ def build_output(
     spreads: dict[str, float],
     sf_val,
     sha: str,
+    calib: dict[str, list[float]] | None = None,
 ) -> tuple[dict, str]:
     """(full detail dict, compact stdout contract line).
 
@@ -395,6 +434,10 @@ def build_output(
     auxiliary dicts (r2/r3 benches went unparsed when the line grew).
     """
     total = round(sum(timings.values()), 3)
+    calib_med = None
+    if calib and (calib.get("pre") or calib.get("post")):
+        all_runs = sorted((calib.get("pre") or []) + (calib.get("post") or []))
+        calib_med = round(statistics.median(all_runs), 3)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -404,6 +447,20 @@ def build_output(
         "spread_pct": spreads,
         "sha": sha,
         "sf": sf_val,
+        # constant-work calibration probe (VERDICT r9 task 2): pre/post
+        # raw runs, the pooled median, the committed reference, and the
+        # box-speed-normalized headline total. Compare value_norm across
+        # rounds; compare raw value only within one session.
+        "calib": {
+            "rows": CALIB_ROWS,
+            "pre": (calib or {}).get("pre"),
+            "post": (calib or {}).get("post"),
+            "median": calib_med,
+            "ref": CALIB_REF,
+        },
+        "value_norm": (
+            round(total * CALIB_REF / calib_med, 3) if calib_med else None
+        ),
         # membership delta vs the newest recorded round, so a total that
         # moved because the SET moved is never mistaken for a perf change
         "set_delta": _set_delta(set(timings)),
@@ -419,6 +476,10 @@ def build_output(
         "sf": sf_val,
         "sha": sha,
     }
+    if calib_med:
+        # the two cross-round-comparable numbers ride the contract line
+        compact["calib"] = calib_med
+        compact["value_norm"] = round(total * CALIB_REF / calib_med, 2)
     line = json.dumps(compact, separators=(",", ":"))
     # hard guard: never exceed the driver's ~2KB tail buffer. Precision
     # ladder 2dp -> 1dp -> int: at 4-digit timings 1dp saves nothing

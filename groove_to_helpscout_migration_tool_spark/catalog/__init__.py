@@ -128,6 +128,14 @@ _CHANGED = {
     "q19_disjunctive_predicates": 9,
     "g01_rollup_status_priority": 9,
     "g04_grouping_sets": 9,
+    # round 10: exact leg made candidate-bounded (VERDICT r9 task 4) --
+    # each token instance screens on its sketch estimate via chained
+    # broadcast cell-row joins BEFORE the term-keyed exact count, so
+    # aggregation state is sketch + candidates, never the vocabulary.
+    # Output values are identical by construction (the screen keeps
+    # exactly the terms the old post-agg filter kept), but the plan
+    # changed, so the sweep must re-certify.
+    "llm_heavy_hitters_cms": 10,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

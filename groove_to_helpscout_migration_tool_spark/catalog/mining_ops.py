@@ -1147,13 +1147,22 @@ WHERE cms_estimate >= n // {CMS_THRESH_DIV}
         "snapshots). A term's estimate = min over rows of its cell"
         " (one-sided: estimate >= true count, pinned by test and by the"
         " overestimate column). Candidates are screened on the ESTIMATE"
-        " >= total/256, so the candidate set provably contains every true"
-        " heavy hitter (no false negatives -- CMS's guarantee); the exact"
-        " counts certify the error at fixture scale where the vocabulary"
-        " is still materializable, and true_heavy marks the survivors an"
-        " exact second pass would keep. Both engines compute the sketch"
-        " cell-for-cell (shared md5-prefix hash), so every column is"
-        " integer-exact cross-engine."
+        " >= total/256 BEFORE any per-term aggregation: each token row"
+        f" looks its {CMS_D} cells up via chained {CMS_W}-row broadcast"
+        " joins (one per sketch row -- no fanout, each bucket key hits"
+        " exactly one cell) and a row-local least(); only the surviving"
+        " token instances reach the term-keyed exact count, so the"
+        " whole query's aggregation state is sketch-cells + candidate"
+        " terms -- NEVER the vocabulary (r9 shipped a vocabulary-sized"
+        " exact leg for certification; VERDICT r9 task 4 closed it)."
+        " One-sidedness makes the screen lossless: every true heavy"
+        " hitter's estimate >= its true count >= threshold, so no false"
+        " negatives (CMS's guarantee), while false positives are bounded"
+        f" by the eps = e/{CMS_W} overestimate mass. The total-token"
+        " threshold derives from the sketch itself (sum of one row's"
+        " cells), not a second corpus pass. Both engines compute the"
+        " sketch cell-for-cell (shared md5-prefix hash), so every column"
+        " is integer-exact cross-engine."
     ),
 )
 def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,11 +1173,9 @@ def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = cache.persist_artifact(tok)
 
     def bucket(seed: int, col):
-        return (
-            TX.word_hash(F.concat(F.lit(f"cms{seed}#"), col)) % CMS_W
-        ).alias("b")
+        return TX.word_hash(F.concat(F.lit(f"cms{seed}#"), col)) % CMS_W
 
-    # the production path: token stream -> (row, bucket) cells. The x D
+    # pass 1 (the sketch): token stream -> (row, bucket) cells. The x D
     # fanout is map-only; partial aggregation bounds every partition's
     # state (and the single shuffle) at D*W counters.
     cells = (
@@ -1176,7 +1183,9 @@ def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.array(
                     *[
-                        F.struct(F.lit(s).alias("s"), bucket(s, F.col("term")))
+                        F.struct(
+                            F.lit(s).alias("s"), bucket(s, F.col("term")).alias("b")
+                        )
                         for s in range(CMS_D)
                     ]
                 )
@@ -1186,38 +1195,52 @@ def llm_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    term_counts = tok.groupBy("term").agg(
-        F.count(F.lit(1)).alias("exact_count")
+    cells = cache.persist_artifact(cells)
+    # total tokens = sum of any ONE sketch row's cells (every token
+    # increments exactly one cell per row) -- no second corpus pass
+    total = cells.filter(F.col("s") == 0).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n")
     )
-    total = tok.agg(F.count(F.lit(1)).alias("n"))
-    probes = term_counts.select(
-        "term",
-        "exact_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(s).alias("s"), bucket(s, F.col("term")))
-                    for s in range(CMS_D)
-                ]
-            )
-        ).alias("x"),
-    ).select("term", "exact_count", "x.s", "x.b")
-    est = (
-        probes.join(F.broadcast(cells), ["s", "b"])
-        .groupBy("term", "exact_count")
-        .agg(F.min("c").alias("cms_estimate"))
-    )
+    # pass 2 (the screen): each token row looks up its D cells via
+    # chained broadcast joins -- each join side is one sketch row
+    # (<= CMS_W rows), each key matches exactly one cell (no fanout),
+    # so this stays a map-only pipeline over the token stream
+    cand = tok
+    for s in range(CMS_D):
+        row_s = cells.filter(F.col("s") == s).select(
+            F.col("b").alias(f"b{s}"), F.col("c").alias(f"c{s}")
+        )
+        cand = cand.withColumn(f"b{s}", bucket(s, F.col("term"))).join(
+            F.broadcast(row_s), [f"b{s}"]
+        )
+    est_col = F.least(*[F.col(f"c{s}") for s in range(CMS_D)])
     thresh = F.expr(f"n DIV {CMS_THRESH_DIV}")
+    cand = (
+        cand.withColumn("est", est_col)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= thresh)
+        .select("term", "est", "n")
+    )
+    # pass 3 (the certificate): exact counts over CANDIDATE instances
+    # only -- per-term state is bounded by the screened candidate set
+    # (<= ~CMS_THRESH_DIV true heavies + eps-mass false positives),
+    # never by the vocabulary
     return (
-        est.crossJoin(F.broadcast(total))
-        .filter(F.col("cms_estimate") >= thresh)
+        cand.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_count"),
+            F.min("est").cast("bigint").alias("cms_estimate"),
+            F.min("n").alias("_n"),
+        )
         .select(
             "term",
-            F.col("exact_count").cast("bigint").alias("exact_count"),
-            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            "exact_count",
+            "cms_estimate",
             (F.col("cms_estimate") - F.col("exact_count"))
             .cast("bigint")
             .alias("overestimate"),
-            (F.col("exact_count") >= thresh).alias("true_heavy"),
+            (
+                F.col("exact_count") >= F.expr(f"_n DIV {CMS_THRESH_DIV}")
+            ).alias("true_heavy"),
         )
     )

@@ -38,6 +38,31 @@ def write_compacted(
     return n
 
 
+def release_frame(
+    df: DataFrame,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+) -> DataFrame:
+    """The exact frame ``write_release`` writes: ``df`` repartitioned on
+    the partition columns (plus a deterministic row-hash salt when
+    ``files_per_partition > 1``) so each output leaf is owned by its own
+    task(s). Exposed separately so ``tools/explain_audit.py`` can assert
+    the pre-repartition exists in the PLAN (``Exchange hashpartitioning``
+    on the partition columns, never round-robin or range) -- the
+    ``q_release_layout`` oracle pins n_files = 1 per leaf after the
+    fact; the plan audit catches a regression at review time."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        return df.repartition(*(cols + [salt]))
+    return df.repartition(*cols)
+
+
 def write_release(
     df: DataFrame,
     path: str,
@@ -57,15 +82,5 @@ def write_release(
     count ~``files_per_partition`` per leaf and writer memory O(1) per
     task. ``files_per_partition > 1`` salts the repartition key with a
     deterministic row hash so large leaves still parallelize."""
-    from pyspark.sql import functions as F
-
-    cols = [F.col(c) for c in partition_cols]
-    if files_per_partition > 1:
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]),
-            F.lit(files_per_partition),
-        )
-        rep = df.repartition(*(cols + [salt]))
-    else:
-        rep = df.repartition(*cols)
+    rep = release_frame(df, partition_cols, files_per_partition)
     rep.write.mode(mode).format(fmt).partitionBy(*partition_cols).save(path)

@@ -563,6 +563,64 @@ def test_heavy_hitters_cms_matches_python_recount(spark, sf_dir):
             assert w in got
 
 
+def test_heavy_hitters_cms_exact_leg_is_candidate_bounded(spark, sf_dir):
+    """Plan-level proof of the candidate-bounded exact leg (VERDICT r9
+    task 4): the term-keyed HashAggregate must sit ABOVE the estimate
+    screen (the BroadcastNestedLoopJoin condition `est >= n DIV 256`
+    over the row-local least() projection), i.e. exact counting only
+    ever sees screened candidate instances -- never the full vocabulary
+    (the r9 formulation ran groupBy(term) over the whole token stream
+    for certification)."""
+    import re
+
+    df = catalog.QUERIES["llm_heavy_hitters_cms"].fn(spark, sf_dir)
+    df.collect()  # finalize under AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # top-down plan text: term-keyed aggregate, then the screen
+    # condition (folded into the scalar-total BNLJ), then the least()
+    # estimate projection
+    assert re.search(
+        r"HashAggregate\(?[^\n]*keys=\[term"
+        r"[\s\S]*BroadcastNestedLoopJoin [^\n]*est#\d+L >= "
+        r"[\s\S]*least\(",
+        plan,
+    ), plan
+    # and no term-keyed aggregate exists BELOW the screen (the old
+    # vocabulary-sized leg). AQE's toString repeats the pre-execution
+    # plan under "== Initial Plan ==" -- only the final section counts.
+    final = plan.split("== Initial Plan ==", 1)[0]
+    tail = final.split("BroadcastNestedLoopJoin", 1)[1]
+    assert "keys=[term" not in tail, tail
+
+
+def test_heavy_hitters_cms_output_is_vocabulary_bounded(spark, tmp_path):
+    """Behavioral proof on a corpus with a LARGE vocabulary and one hot
+    term: the estimate screen must cut the vocabulary by >10x, so the
+    exact leg's per-term state is candidate-sized (the sf fixtures'
+    ~31-word vocabulary makes every term heavy and cannot show this)."""
+    docs = []
+    uniq = 0
+    for d in range(20):
+        words = ["hot"] * 50
+        for _ in range(200):
+            words.append(f"w{uniq}")
+            uniq += 1
+        docs.append((d, "src", " ".join(words)))
+    spark.createDataFrame(
+        docs, "doc_id bigint, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = (
+        catalog.QUERIES["llm_heavy_hitters_cms"].fn(spark, str(tmp_path)).collect()
+    )
+    terms = {r["term"] for r in out}
+    assert "hot" in terms  # the true heavy hitter always survives
+    # vocabulary = 4001 terms; candidates must be a >10x cut
+    assert len(out) * 10 < uniq + 1, (len(out), uniq + 1)
+    # and every survivor's exact count is consistent with the screen
+    for r in out:
+        assert r["cms_estimate"] >= r["exact_count"]
+
+
 # ---------------------------------------------------------------------------
 # scores_vs_query_matrix: the shared Arrow brute-scan stage (r9)
 # ---------------------------------------------------------------------------

@@ -160,12 +160,16 @@ AUDIT = {
     # dataset card: pure map-combine tree aggregation joined by
     # broadcast on the tiny source key; no shuffle-heavy shapes at all
     "llm_dataset_card": (["HashAggregate", "BroadcastHashJoin"], ["Window", "CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin"]),
-    # r9 count-min sketch: token -> (row, bucket) explode with map-side
-    # partial agg (the bounded-state sketch), candidate estimates via a
-    # BROADCAST join against the 8K-cell sketch; the scalar-total
+    # r9 count-min sketch, candidate-bounded exact leg since r10: token
+    # -> (row, bucket) explode with map-side partial agg (the bounded-
+    # state sketch); each token instance then looks its D cells up via
+    # chained <=CMS_W-row BROADCAST joins and a row-local least() screen
+    # BEFORE the term-keyed exact count, so the term HashAggregate must
+    # sit ABOVE the least() Filter in the plan (candidate-bounded state,
+    # never vocabulary-sized -- VERDICT r9 task 4). The scalar-total
     # crossJoin is a BroadcastNestedLoop (allowed), but a true
     # CartesianProduct, window, or range sort must never appear
-    "llm_heavy_hitters_cms": (["Generate explode", "HashAggregate", "BroadcastHashJoin"], ["Window", "CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin"]),
+    "llm_heavy_hitters_cms": (["Generate explode", "HashAggregate", "BroadcastHashJoin", "HashAggregate\\(?[^\\n]*keys=\\[term[\\s\\S]*BroadcastNestedLoopJoin [^\\n]*est#\\d+L >= [\\s\\S]*least\\("], ["Window", "CartesianProduct", "Exchange rangepartitioning", "SortMergeJoin"]),
     # token-budget sampler: per-(source, shard) running sums hash-
     # partition; the oracle's one-window-per-source shape (a range
     # partition straggler at scale) must NOT appear in the Spark plan
@@ -349,6 +353,51 @@ def main() -> None:
     )
     if not ok:
         failures.append("ticket_pipeline_hints")
+
+    # Release writer (q_release_layout's sink): the frame write_release
+    # hands to partitionBy MUST pre-repartition on the partition columns
+    # (Exchange hashpartitioning(split, shard)) -- never round-robin or
+    # range -- so each leaf is written by the task(s) that own it. The
+    # q_release_layout oracle pins n_files = 1 per leaf after the fact;
+    # this catches the naive write.partitionBy regression at plan time.
+    # (The returned manifest DataFrame is a bounded local relation, so
+    # the generic AUDIT loop can't see the write-side plan.)
+    from groove_to_helpscout_migration_tool_spark.catalog.audit_ops import (
+        llm_train_val_test_split,
+    )
+    from groove_to_helpscout_migration_tool_spark.sources.compact import (
+        release_frame,
+    )
+
+    split_df = llm_train_val_test_split(spark, sf_dir)
+    rel_plan = (
+        release_frame(split_df, ["split", "shard"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rel_require = [r"Exchange hashpartitioning\(split[^,]*, shard"]
+    rel_forbid = [r"Exchange rangepartitioning", r"RoundRobinPartitioning"]
+    missing = [p for p in rel_require if not re.search(p, rel_plan)]
+    present = [p for p in rel_forbid if re.search(p, rel_plan)]
+    ok = not missing and not present
+    lines.append(
+        "| `q_release_layout (write_release pre-repartition)` | Exchange"
+        " hashpartitioning(split, shard) before partitionBy; no"
+        " round-robin/range | "
+        + (
+            "PASS"
+            if ok
+            else "FAIL — "
+            + " / ".join(
+                (["missing: " + "; ".join(missing)] if missing else [])
+                + (["forbidden present: " + "; ".join(present)] if present else [])
+            )
+        )
+        + " |"
+    )
+    if not ok:
+        failures.append("q_release_layout_write_plan")
 
     for name, (require, forbid) in AUDIT.items():
         df = catalog.QUERIES[name].fn(spark, sf_dir)
