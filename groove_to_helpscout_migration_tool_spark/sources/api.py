@@ -45,6 +45,7 @@ def paginated_source(
     requests_per_minute: int = 30,
     start_page: int = 1,
     stop_page: int | None = None,
+    window_seconds: float = 60.0,
 ) -> DataFrame:
     """S1/S2: distributed paginated scan with a per-task token bucket.
 
@@ -68,7 +69,7 @@ def paginated_source(
     out_schema = T.StructType(schema.fields + [T.StructField("page", T.LongType())])
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bucket = TokenBucket(rate=rate)
+        bucket = TokenBucket(rate=rate, window=window_seconds)
         names = [f.name for f in schema.fields]
         for pdf in batches:
             for page in pdf["page"]:
@@ -114,6 +115,7 @@ def foreach_partition_sink(
     df: DataFrame,
     publish: Callable[[list[dict[str, Any]]], None],
     requests_per_minute: int = 200,
+    window_seconds: float = 60.0,
 ) -> None:
     """K1/K2: rate-limited per-record publish via foreachPartition.
 
@@ -123,7 +125,7 @@ def foreach_partition_sink(
     rate = per_task_rate(requests_per_minute, num_parts)
 
     def sink(rows) -> None:
-        bucket = TokenBucket(rate=rate)
+        bucket = TokenBucket(rate=rate, window=window_seconds)
         batch = []
         for row in rows:
             bucket.acquire()

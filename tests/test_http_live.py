@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
@@ -57,6 +58,7 @@ class _CassetteServer:
         self.calls: dict[str, int] = {}
         self.posts: list[dict] = []
         self.auth_headers: list[str | None] = []
+        self.get_times: list[float] = []  # monotonic arrival stamps
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -73,6 +75,7 @@ class _CassetteServer:
 
             def do_GET(self):
                 with server.lock:
+                    server.get_times.append(time.monotonic())
                     server.auth_headers.append(self.headers.get("Authorization"))
                     seq = server.script.get(self.path)
                     if not seq:
@@ -294,3 +297,79 @@ class TestFlag:
         t = make_transport({})
         assert isinstance(t, LiveHttpTransport)
         assert t.token == "tok"
+
+
+class TestGovernorUnderConcurrency:
+    """T1's real contract, measured on the wire (VERDICT r9 task 5):
+    with 32 concurrent partitions hitting a live local server, the
+    AGGREGATE arrival rate must respect the global budget -- the
+    reference throttles in one thread (SyncCommandBase.php:163-193);
+    on Spark the guarantee must hold across executors with no shared
+    state, which per_task_rate achieves by conservative splitting."""
+
+    def test_per_task_split_is_conservative_by_construction(self):
+        """For every partition count the sources can actually choose
+        (num_parts = min(n_items, max(1, budget)), so num_parts <=
+        budget always), the split satisfies rate * parts <= budget --
+        the aggregate can never exceed the budget even if every task
+        bursts its full share simultaneously."""
+        from groove_to_helpscout_migration_tool_spark.sources.ratelimit import (
+            per_task_rate,
+        )
+
+        for budget in [1, 2, 30, 31, 32, 33, 64, 200, 1000]:
+            for n_items in [1, 7, 32, 100, 10_000]:
+                num_parts = min(n_items, max(1, budget))  # the sizing rule
+                rate = per_task_rate(budget, num_parts)
+                assert rate >= 1
+                assert rate * num_parts <= budget, (budget, num_parts, rate)
+
+    def test_aggregate_rate_never_exceeds_budget_in_any_window(self, spark, serve):
+        """32 partitions, live TCP, budget 32 requests per 1.5 s window:
+        the server's monotonic arrival stamps must show (a) no sliding
+        window of ~one window-length containing more than the budget,
+        (b) long-run throughput at or under budget/window, and (c) the
+        run actually spanned multiple windows (non-vacuous)."""
+        budget, window = 32, 1.5
+        n_pages, per_page = 96, 5  # 32 tasks x 3 pages = 3 paced rounds
+        records = [
+            {"rec_id": i, "payload": f"t-{i}"} for i in range(n_pages * per_page)
+        ]
+        script = paged_script(records, per_page=per_page)
+        s = serve(_paths(script, "https://api.example.test/v1"))
+        client = FixtureHttpClient(LiveHttpTransport(), base_url=s.base_url)
+
+        df = paginated_source(
+            spark,
+            client.fetch_page,
+            total_count=len(records),
+            schema=SCHEMA,
+            per_page=per_page,
+            requests_per_minute=budget,
+            window_seconds=window,
+        )
+        assert df.count() == len(records)
+
+        times = sorted(s.get_times)
+        assert len(times) == n_pages
+        span = times[-1] - times[0]
+        # (c) non-vacuous: the governor actually paced the run across
+        # multiple windows (3 rounds -> span >= 2 windows, minus slack)
+        assert span >= 2 * window * 0.9, span
+        # (a) sliding-window bound: every window of length slightly
+        # under `window` holds at most `budget` requests. (The fixed-
+        # window reset means a full-length sliding window can straddle
+        # one reset boundary; per-task request spacing is window -
+        # fetch_latency, so 0.85x the window length is the tight,
+        # latency-tolerant form of the aggregate guarantee.)
+        probe = window * 0.85
+        j = 0
+        worst = 0
+        for i in range(len(times)):
+            while times[i] - times[j] > probe:
+                j += 1
+            worst = max(worst, i - j + 1)
+        assert worst <= budget, (worst, budget)
+        # (b) long-run amortized throughput <= budget/window: the first
+        # burst is free (tokens start full), so exclude it
+        assert (len(times) - budget) / span <= budget / window * 1.05
