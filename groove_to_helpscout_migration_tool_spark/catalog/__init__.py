@@ -113,7 +113,13 @@ _CHANGED = {
     # would shuffle the largest intermediate)
     "llm_hashing_vectorizer": 9,
     "llm_tfidf_top_terms": 9,
-    "llm_rag_retrieve_sparse": 9,
+    # round 10: query panel FIXED via RAG_QUERY_CAP (doc_id < 5000) --
+    # the sf10 widening caught the uncapped panel growing with the
+    # corpus (queries = docs/100), making the (qid, did) frame ~N^2/100
+    # (>5x-over-linear wall at sf10). Values are bit-identical at
+    # sf0.001/0.01/0.1 (every doc_id there is < 5000); sf1/sf10 values
+    # legitimately change (panel pinned at 50) and were re-certified.
+    "llm_rag_retrieve_sparse": 10,
     # round 9 (session 5): big-group money sums moved to exact integer
     # cents/discount units with half-up integer displays after the
     # float-margin audit (tools/float_margins.py) measured their

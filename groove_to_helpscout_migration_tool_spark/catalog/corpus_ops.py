@@ -323,7 +323,18 @@ def llm_neardup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Sparse retrieval over the hashed feature space (RAG-shaped top-k)
 # ---------------------------------------------------------------------------
-RAG_QUERY_MOD = 100  # doc_id % 100 == 0 plays the query set
+RAG_QUERY_MOD = 100  # doc_id % 100 == 0 plays the query set...
+# ...capped to a FIXED panel (r10): doc_id < RAG_QUERY_CAP. Without the
+# cap the query count grows with the corpus (doc/MOD), so the (qid, did)
+# candidate frame grows ~N^2/MOD -- measured as a >5x-over-linear wall
+# blowup at the sf10 decade (5,000 queries x 495k docs = 2.5B pairs).
+# A production retrieval workload is a fixed query panel against a
+# growing corpus: with the cap the pair frame is panel x corpus, linear
+# in N forever. CAP = 5000 spans every driver SF's full doc_id range
+# (sf0.001/0.01/0.1 have <= 5000 docs), so certification values there
+# are bit-identical to the uncapped form; sf1/sf10 pin the panel at 50
+# queries and were re-certified after the change.
+RAG_QUERY_CAP = 5000
 RAG_TOP_K = 3
 _RAG_SALT = 32  # phase-1 fan-out of the two-phase top-k
 
@@ -348,9 +359,9 @@ tw AS (
     "llm_rag_retrieve_sparse",
     oracle=f"""
 WITH {_HV_NZ_CTES}, q AS (
-  SELECT doc_id AS qid, dim, w AS wq FROM nz WHERE doc_id % {RAG_QUERY_MOD} = 0
+  SELECT doc_id AS qid, dim, w AS wq FROM nz WHERE doc_id % {RAG_QUERY_MOD} = 0 AND doc_id < {RAG_QUERY_CAP}
 ), c AS (
-  SELECT doc_id AS did, dim, w AS wd FROM nz WHERE doc_id % {RAG_QUERY_MOD} <> 0
+  SELECT doc_id AS did, dim, w AS wd FROM nz WHERE doc_id % {RAG_QUERY_MOD} <> 0 OR doc_id >= {RAG_QUERY_CAP}
 ), dots AS (
   SELECT qid, did, sum(wq * wd) AS num FROM q JOIN c USING (dim) GROUP BY qid, did
 ), sims AS (
@@ -366,8 +377,11 @@ SELECT qid AS query_doc, CAST(rn AS BIGINT) AS match_rank, did AS match_doc,
 FROM r WHERE rn <= {RAG_TOP_K}
 """,
     doc=(
-        "Sparse-vector retrieval (the RAG lookup shape): a small query set"
-        f" (doc_id %% {RAG_QUERY_MOD} == 0) retrieves its top-{RAG_TOP_K}"
+        "Sparse-vector retrieval (the RAG lookup shape): a FIXED query"
+        f" panel (doc_id %% {RAG_QUERY_MOD} == 0 AND doc_id <"
+        f" {RAG_QUERY_CAP}; see RAG_QUERY_CAP -- a panel that grew with"
+        " the corpus made the candidate frame ~N^2/MOD, the r10 sf10"
+        f" finding) retrieves its top-{RAG_TOP_K}"
         " corpus documents by cosine over hashing-trick vectors"
         " (llm_hashing_vectorizer's signed hashed counts). The query side"
         " is BROADCAST into an inverted-index join on dimension, so the"
@@ -416,7 +430,9 @@ def llm_rag_retrieve_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = nz.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ss"))
     nzs = nz.join(nn, ["doc_id"])
-    is_query = F.col("doc_id") % RAG_QUERY_MOD == 0
+    is_query = (F.col("doc_id") % RAG_QUERY_MOD == 0) & (
+        F.col("doc_id") < RAG_QUERY_CAP
+    )
     q = nzs.filter(is_query).select(
         F.col("doc_id").alias("qid"), "dim", F.col("w").alias("wq"),
         F.col("ss").alias("ssq"),

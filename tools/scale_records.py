@@ -77,6 +77,14 @@ PHASE_PROBES = {
     # through rank window + two-sided vector rejoin once the embedding
     # frame stops broadcasting
     "llm_semantic_dedup_clusters": (60.0, ["embeddings"]),
+    # measured ~30 records/doc at sf10 (~= nz rows/doc): the nz-vs-nn
+    # norm-attach join stops broadcasting nn (500k rows ~ the 10MB
+    # threshold) and becomes the co-partitioned nz-scale shuffle the
+    # docstring promises at 100 TB; below the transition the coefficient
+    # is ~1.5-6/doc. The candidate frame itself stays panel x corpus
+    # after the r10 RAG_QUERY_CAP fix (decade-3 pre-fix blew the wall
+    # at 2.5B pairs; post-fix the 15.2M records ARE the linear nz rows)
+    "llm_rag_retrieve_sparse": (90.0, ["documents"]),
 }
 
 # query -> class
@@ -99,10 +107,15 @@ PROBES = {
     # BPE round, NFEAT-bounded DSIR scoring -- all must grow ~linearly
     "llm_segment_dedup": "linear",
     "llm_neardup_incremental_lsh": "linear",
-    # the fixture's QUERY SET (doc_id % 100 == 0) also grows 10x with
-    # the corpus, so this measures queries x corpus together; a fixed
-    # production query set is corpus-linear
-    "llm_rag_retrieve_sparse": "query_set",
+    # r10: PHASE class. Two effects meet here: (a) the query panel
+    # grows with the corpus only below the RAG_QUERY_CAP (doc_id <
+    # 5000), pinned at 50 queries from sf0.1 up -- the uncapped panel
+    # blew a >5x-over-linear wall at sf10 (2.5B candidate pairs), the
+    # r10 cap fix; (b) the nz-vs-nn norm join crosses the broadcast
+    # threshold between sf1 and sf10, so cross-decade record ratios
+    # span the transition. The phase bound (records per DOCUMENT row
+    # at each scale, PHASE_PROBES) holds through both.
+    "llm_rag_retrieve_sparse": "phase",
     "llm_bpe_pair_counts": "linear",
     "llm_importance_weights_dsir": "linear",
     "llm_substring_dedup_spans": "linear",
