@@ -109,11 +109,15 @@ SPREAD_TARGET = 12.0  # percent; below the <15% evidence bar with margin
 # deltas on an idle-vs-loaded box are not (the r8->r9 "+12.8%" forensic
 # session this probe exists to replace).
 CALIB_ROWS = 8_000_000_000
-# committed reference: median probe time on the round-10 bench session
-# (sha stamped in BENCH_r10.json). Rounds normalize to THIS box-speed:
-# value_norm is "what the total would read if the box ran at the r10
-# calibration speed". Update only with a same-session matched pair.
-CALIB_REF = 1.25
+# committed reference: the pooled pre/post median from the r10
+# builder-session full bench on an otherwise-idle box (runs
+# 0.875-1.138s; earlier sizing sessions read ~1.23s because background
+# generators shared the box -- the anchor must come from the same
+# conditions the bench itself runs under). Rounds normalize to THIS
+# box-speed: value_norm is "what the total would read if the box ran at
+# the r10 calibration speed". Update only with a same-session matched
+# pair.
+CALIB_REF = 0.99
 
 
 def _calibration_runs(spark, n_warm: int = 3) -> list[float]:
