@@ -66,6 +66,15 @@ def main():
     only = set(sys.argv[2:])
     spark = get_session(shuffle_partitions=8)
     con = duckdb.connect()
+    # At the generated-snapshot scales (sf10 = 500k docs) some oracles
+    # (n-gram explosions, bloom replays) outgrow RAM that the Spark
+    # driver JVM is also competing for; a capped allocator + a spill
+    # directory turns oracle OOM-kills into slow-but-green runs. The
+    # cap also stops one huge oracle from bloating the process and
+    # starving later queries' Spark-side collects (the r10 batch-4
+    # MemoryError cascade).
+    con.execute(f"SET temp_directory='{os.environ.get('TMPDIR', '/tmp')}/duckdb_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('MINIDRIVER_DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         # partial snapshots (e.g. the generated sf1 dir carries only
         # documents + embeddings) register what exists; a query that
