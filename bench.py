@@ -364,8 +364,21 @@ def main() -> None:
     scale = _scale_metrics()
     if scale:
         detail["scale"] = scale
+    # BENCH_DETAIL.json is the COMMITTED sf0.1 artifact; a run against any
+    # other sf_dir (the decade pairs at testdata_sf1/sf10) must not clobber
+    # it -- that exact accident cost a forensic session in r9 and recurred
+    # in r10. Non-default dirs get a suffixed file instead.
+    default_dir = os.path.realpath("/root/testdata/sf0.1")
+    this_dir = os.path.realpath(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    detail_name = (
+        "BENCH_DETAIL.json"
+        if this_dir == default_dir
+        else f"BENCH_DETAIL_{os.path.basename(this_dir)}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     try:
         with open(detail_path, "w") as f:
