@@ -218,6 +218,11 @@ def _build_session(event_dir: str):
         # JVM heap must cover the largest per-decade shuffle; the
         # sf1 -> sf10 decade (60M-row lineitem) needs more than the
         # 1g local-mode default. Record counts are size-invariant.
+        # Broadcast/codegen state also ACCUMULATES across probes in the
+        # one session: a 37-probe sf10 sweep exhausted 16g (GCLocker
+        # allocation failures) where 12-13-probe chunks at 48g ran
+        # clean -- for wide sweeps at the big decades, chunk $SCALE_PROBES
+        # and raise SPARK_GRAFT_DRIVER_MEM (r10 session-2).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.adaptive.enabled", "true")
