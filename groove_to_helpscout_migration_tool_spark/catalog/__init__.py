@@ -67,8 +67,8 @@ _CHANGED = {
     # values there are bit-identical by construction, but the plan
     # changed and the sf1 result legitimately changes (C 10 -> 90) --
     # the sweep must re-certify and the sf1 row was re-verified in
-    # session 7.
-    "llm_ann_incremental_ivf": 9,
+    # session 7. (Entry pruned r11: re-certified r10, superseded by the
+    # r11 oracle-text change recorded at the bottom of this map.)
     # round 9: hot-bucket STAR LINK -- every member of a capped band /
     # anchor bucket now also pairs with the bucket's min doc_id, so
     # beyond-cap members of a hot bucket keep an edge into the cluster
@@ -142,6 +142,15 @@ _CHANGED = {
     # exactly the terms the old post-agg filter kept), but the plan
     # changed, so the sweep must re-certify.
     "llm_heavy_hitters_cms": 10,
+    # round 11: oracle made sf10-certifiable (VERDICT r10 task 2) --
+    # the base-assignment CTE moved from ~180M interpreted list-fold
+    # cosines + a 180M-row row_number window to native
+    # array_cosine_similarity over DOUBLE[64] arrays + a streaming
+    # arg_max on a BIGINT-packed (csim DESC, cid ASC) key. Outputs are
+    # byte-equal to the old oracle at sf0.01/sf0.1/sf1 (A/B verified)
+    # and the Spark side is untouched, but the ORACLE text changed, so
+    # the sweep must re-certify. sf10 row: hash-green, 50k rows.
+    "llm_ann_incremental_ivf": 11,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

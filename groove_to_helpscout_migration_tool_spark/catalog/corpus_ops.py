@@ -56,6 +56,7 @@ _TOKENS_SQL = _LL._TOKENS_SQL
 _WORD_HASH_SQL = _LL._WORD_HASH_SQL
 _SHINGLE_CTES = _LL._SHINGLE_CTES
 _MINHASH_SIG_SQL = _LL._MINHASH_SIG_SQL
+_SIM_DIM = _LL.SIM.DIM
 
 
 # ---------------------------------------------------------------------------
@@ -920,11 +921,38 @@ def llm_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental ANN: delta batch probes the standing IVF index
 # ---------------------------------------------------------------------------
 def _ivf_delta_oracle(nprobe: int = 3, k: int = 5) -> str:
-    cos9 = _LL._cos_sql("x.v", "c.cv", 9)
-    cos6 = _LL._cos_sql("qv", "nv", 6)
+    """sf10-certifiable oracle for the incremental IVF probe.
+
+    Two changes vs the r9 list-fold form, both VALUE-IDENTICAL (verified
+    empirically: the two oracle texts produce byte-equal outputs at
+    sf0.01/sf0.1, and DuckDB 1.0's array_cosine_similarity accumulates
+    the dimension axis left-to-right in DOUBLE exactly like
+    list_sum(list_transform(...)) -- 0 raw-bit mismatches on real
+    embedding pairs -- which is also the Spark side's certified
+    accumulation order, operators/similarity.py:79):
+
+    1. cosines run on fixed DOUBLE[DIM] arrays via the NATIVE
+       array_cosine_similarity kernel instead of interpreted per-pair
+       list lambdas -- the base x centroids assignment at sf10 is 190k
+       x 950 = ~180M cosines, a ~100x constant-factor blowup as
+       lambdas (the reason this query was the one sf10 certification
+       exclusion in SCALE_r10.json);
+    2. the base assignment's 180M-row row_number window becomes a
+       streaming arg_max over a BIGINT-packed (csim DESC, cid ASC) key:
+       round(csim, 9) lands on the double nearest k*1e-9, so
+       round(csim*1e9) recovers the integer k exactly (order-preserving,
+       injective); k * 2^32 - cid then totals-orders ties by ascending
+       cid. |k| <= 1e9 and cid < 2^32 keep the pack inside BIGINT.
+    """
+    cos9q = _LL._cos_sql("x.v", "c.cv", 9)  # delta probe: C-sized window
+    acos = f"array_cosine_similarity(x.va, c.cva)"
+    cos6 = "round(array_cosine_similarity(q.va, n.va), 6)"
     return f"""
 WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         CAST(list_transform(embedding, x -> x::DOUBLE)
+              AS DOUBLE[{_SIM_DIM}]) AS va
+  FROM embeddings
 ), base AS (
   SELECT * FROM e WHERE vec_id % {DELTA_MOD} <> 0
 ), delta AS (
@@ -935,22 +963,22 @@ WITH e AS (
   -- codebook; mirrors similarity.ivf_probe_delta cell_target=200)
   SELECT greatest(1, count(*) // 2000) AS s FROM base
 ), cents AS (
-  SELECT vec_id AS cid, v AS cv FROM e
+  SELECT vec_id AS cid, v AS cv, va AS cva FROM e
   WHERE vec_id IN (SELECT min(vec_id) FROM embeddings, sg
                    WHERE vec_id % {DELTA_MOD} <> 0
                    GROUP BY label, vec_id % sg.s)
 ), bass AS (
-  SELECT vec_id, cell FROM (
-    SELECT x.vec_id, c.cid AS cell,
-           row_number() OVER (PARTITION BY x.vec_id
-                              ORDER BY {cos9} DESC, c.cid) AS crank
-    FROM base x CROSS JOIN cents c
-  ) WHERE crank = 1
+  SELECT x.vec_id,
+         arg_max(c.cid,
+                 CAST(round(round({acos}, 9) * 1000000000.0) AS BIGINT)
+                   * 4294967296 - c.cid) AS cell
+  FROM base x CROSS JOIN cents c
+  GROUP BY x.vec_id
 ), probes AS (
   SELECT qid, cell FROM (
     SELECT x.vec_id AS qid, c.cid AS cell,
            row_number() OVER (PARTITION BY x.vec_id
-                              ORDER BY {cos9} DESC, c.cid) AS crank
+                              ORDER BY {cos9q} DESC, c.cid) AS crank
     FROM delta x CROSS JOIN cents c
   ) WHERE crank <= {nprobe}
 ), cand AS (
@@ -960,8 +988,7 @@ WITH e AS (
   SELECT c.qid, c.nid, {cos6} AS cosine
   FROM cand c
   JOIN e q ON q.vec_id = c.qid
-  JOIN e n ON n.vec_id = c.nid,
-  LATERAL (SELECT q.v AS qv, n.v AS nv) t
+  JOIN e n ON n.vec_id = c.nid
 )
 SELECT qid AS query_id, nid AS neighbor_id, cosine,
        CAST(rn AS INTEGER) AS rank FROM (
