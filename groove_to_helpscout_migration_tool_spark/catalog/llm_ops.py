@@ -966,34 +966,46 @@ SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rn AS INTEGER) AS rank 
 
 @register(
     "llm_ann_ivf_topk",
-    oracle=_ivf_oracle(n_iter=0),
+    oracle=_ivf_oracle(n_iter=0, nprobe=5),
     doc=(
         "ANN top-k via IVF: deterministic coarse quantizer (stand-in for "
         "offline k-means), broadcast-centroid assignment, queries probe "
-        "nprobe=3 cells and exact-re-rank. The third ANN path next to brute "
-        "force and LSH; at scale the corpus is bucketed by cell."
+        "nprobe=5 cells and exact-re-rank. The third ANN path next to brute "
+        "force and LSH; at scale the corpus is bucketed by cell. nprobe "
+        "was raised 3 -> 5 in r11 after the first recall-at-scale sweep "
+        "(tools/ann_recall.py, 200-query panel): the label-seeded C=10 "
+        "cells overlap enough on this corpus that nprobe=3 measured "
+        "recall@5 0.61/0.65 at sf1/sf10 (the 10-query panel's 0.86 was "
+        "small-sample luck); nprobe=5 measures 0.72-0.83 across "
+        "sf0.01..sf10. An adaptive C~N/200 sub-seeded codebook (+Lloyd) "
+        "was A/B-measured and NOT better per candidate on this corpus "
+        "(0.756 probing 16 of 100 cells vs 0.791 probing 5 of 10) -- "
+        "neighbor structure here is label-wide, so fatter probes win."
     ),
 )
 def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return SIM.ivf_topk(t.embeddings, k=5, query_max_id=10, nprobe=3)
+    return SIM.ivf_topk(t.embeddings, k=5, query_max_id=10, nprobe=5)
 
 
 @register(
     "llm_ann_ivf_kmeans_topk",
-    oracle=_ivf_oracle(n_iter=1),
+    oracle=_ivf_oracle(n_iter=1, nprobe=5),
     doc=(
         "IVF with one deterministic Lloyd refinement round: members'"
         " fixed-point component sums (order-independent BIGINTs) rebuild"
         " each cell's centroid as the exact member mean, then assignment/"
-        "probe as in llm_ann_ivf_topk. Recall@5 0.86 -> 0.88 on the test"
-        " corpus at equal probe cost; the refinement stays hash-checkable"
-        " against DuckDB because no float sum depends on partition order."
+        "probe as in llm_ann_ivf_topk (nprobe=5 since r11, same"
+        " recall-at-scale rationale -- the refined variant measures"
+        " recall@5 0.773/0.776/0.828 at sf0.01/sf0.1/sf10 on the"
+        " 200-query panel, vs 0.627-0.731 at nprobe=3/4); the refinement"
+        " stays hash-checkable against DuckDB because no float sum"
+        " depends on partition order."
     ),
 )
 def llm_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return SIM.ivf_topk(t.embeddings, k=5, query_max_id=10, nprobe=3, kmeans_iters=1)
+    return SIM.ivf_topk(t.embeddings, k=5, query_max_id=10, nprobe=5, kmeans_iters=1)
 
 
 # ---------------------------------------------------------------------------

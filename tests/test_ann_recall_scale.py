@@ -1,0 +1,72 @@
+"""Recall-at-scale floors for the ANN families (VERDICT r10 task 3).
+
+Hash certification proves the bucketed/capped ANN plans compute their
+own semantics exactly; it cannot see approximation-quality drift (LSH
+bucket saturation, quantizer overlap). tools/ann_recall.py measures
+recall@k against the brute-force baseline on a FIXED 200-query panel at
+sf0.1/sf1/sf10 and stamps RECALL_r11.json; this test asserts the
+committed artifact's floors so a regenerated artifact with degraded
+recall turns the suite red.
+
+The measurement that motivated this file: under nprobe=3 the
+label-seeded IVF quantizer measured recall@5 = 0.612 at sf1 / 0.648 at
+sf10 -- below the 0.7 floor the 10-query test-scale panel (0.86) had
+been hiding. nprobe was raised to 5 (catalog/llm_ops.py) and the floor
+now holds everywhere with margin.
+"""
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(REPO, "RECALL_r11.json")
+
+FLOOR = 0.7
+FAMILIES = ("lsh", "ivf", "sq8")
+
+
+def _load():
+    with open(ARTIFACT) as fh:
+        return json.load(fh)
+
+
+def test_artifact_shape_and_panel():
+    art = _load()
+    assert art["k"] == 5
+    # a wide fixed panel -- the 10-query panel is exactly what hid the
+    # IVF degradation
+    assert art["panel"] >= 100
+    dirs = set(art["snapshots"])
+    assert any(d.endswith("testdata_sf1") for d in dirs), dirs
+    assert any(d.endswith("testdata_sf10") for d in dirs), dirs
+
+
+def test_recall_floors_hold_at_every_measured_scale():
+    art = _load()
+    assert art["floor_violations"] == []
+    for sf_dir, snap in art["snapshots"].items():
+        for fam in FAMILIES:
+            r = snap["recall"][fam]
+            assert r >= FLOOR, f"{sf_dir} {fam} recall {r} < {FLOOR}"
+
+
+def test_sq8_is_an_exactness_control():
+    # sq8's 10x pool + exact re-rank makes it bit-identical to brute
+    # force by design; anything below 1.0 means the pool cut lost a true
+    # neighbor and the exactness contract (certified against the
+    # brute-force oracle) is at risk.
+    art = _load()
+    for sf_dir, snap in art["snapshots"].items():
+        assert snap["recall"]["sq8"] == 1.0, sf_dir
+        assert snap["min_query_recall"]["sq8"] == 1.0, sf_dir
+
+
+def test_lsh_recall_does_not_degrade_with_scale():
+    # the r10 probe notes flagged LSH bucket saturation at 60M rows as a
+    # recall risk; measurement says saturation ADDS candidates (recall
+    # rises 0.87 -> 0.93 across the decades). Pin the direction: the
+    # largest measured snapshot must not be meaningfully below the
+    # smallest.
+    art = _load()
+    snaps = sorted(art["snapshots"].values(), key=lambda s: s["n_vectors"])
+    assert snaps[-1]["recall"]["lsh"] >= snaps[0]["recall"]["lsh"] - 0.05
