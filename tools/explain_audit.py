@@ -282,6 +282,32 @@ AUDIT = {
     "llm_source_drift_report": (["HashAggregate", "Generate explode"], ["Window", "CartesianProduct", "SortMergeJoin"]),
 }
 
+# Scale-regime join-strategy pins (VERDICT r10 task 4): the two decade-3
+# probes whose wall ratio sits above the data ratio are classed as
+# one-time PHASE STEPS -- a frame crossing the broadcast threshold
+# between sf1 and sf10 (hard_negatives_ivf: the exact-cosine rejoin's
+# 200k-vector frame goes sort-merge; measured at r11 HEAD: 6 BHJ / 0
+# SMJ at sf1 -> 5 / 1 at sf10, one fewer crossing than the r10 note's
+# 4+2 because the rejoin frames were since consolidated) or bucket
+# densification (lsh_topk: 3+0 -> 2+1). These assertions pin the
+# classing so a genuine quadratic regression cannot hide behind it: at
+# each regime the join population must split EXACTLY
+# broadcast/sort-merge as expected, the total join count must not grow
+# with scale (a new join appearing at sf10 only would be a re-plan, not
+# a phase step), and no cartesian/nested-loop shape may appear at
+# either scale. Counts are on the AQE FINAL plan only.
+#   name -> {sf_dir: {"smj": n, "total": n (BHJ+SMJ)}}
+SCALE_REGIME_AUDIT = {
+    "llm_hard_negatives_ivf": {
+        "/root/repo/testdata_sf1": {"smj": 0, "total": 6},
+        "/root/repo/testdata_sf10": {"smj": 1, "total": 6},
+    },
+    "llm_ann_lsh_topk": {
+        "/root/repo/testdata_sf1": {"smj": 0, "total": 3},
+        "/root/repo/testdata_sf10": {"smj": 1, "total": 3},
+    },
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -419,6 +445,41 @@ def main() -> None:
         )
         if not ok:
             failures.append(name)
+    import os
+
+    for name, regimes in SCALE_REGIME_AUDIT.items():
+        for rdir, exp in regimes.items():
+            label = os.path.basename(rdir)
+            row = f"| `{name} @ {label}` | SMJ == {exp['smj']}, joins == {exp['total']}, no cartesian/BNLJ | "
+            if not os.path.isdir(rdir):
+                lines.append(
+                    row + "FAIL — snapshot missing (python tools/regen_snapshots.py) |"
+                )
+                failures.append(f"{name}@{label}")
+                continue
+            df = catalog.QUERIES[name].fn(spark, rdir)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("+- == Initial Plan ==")[0]
+            bhj = len(re.findall(r"BroadcastHashJoin", final))
+            smj = len(re.findall(r"SortMergeJoin", final))
+            bad = len(
+                re.findall(r"CartesianProduct|BroadcastNestedLoopJoin", final)
+            )
+            ok = smj == exp["smj"] and bhj + smj == exp["total"] and bad == 0
+            lines.append(
+                row
+                + (
+                    "PASS"
+                    if ok
+                    else f"FAIL — BHJ={bhj} SMJ={smj} bad={bad}"
+                )
+                + " |"
+            )
+            if not ok:
+                failures.append(f"{name}@{label}")
+            spark.catalog.clearCache()
+
     for flagship in ["q05_region_revenue", "ref_j5_dedup_antijoin"]:
         lines += ["", f"## {flagship}", "", "```"]
         # keep plans readable: drop the AQE preamble, cap width
