@@ -372,10 +372,18 @@ def main() -> None:
     this_dir = os.path.realpath(
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    # the suffix carries a short hash of the full realpath besides the
+    # leaf name: two distinct dirs with the same leaf (/a/sf1 vs /b/sf1)
+    # must not silently share a detail file (ADVICE r10)
+    import hashlib as _hashlib
+
     detail_name = (
         "BENCH_DETAIL.json"
         if this_dir == default_dir
-        else f"BENCH_DETAIL_{os.path.basename(this_dir)}.json"
+        else (
+            f"BENCH_DETAIL_{os.path.basename(this_dir)}"
+            f"_{_hashlib.sha256(this_dir.encode()).hexdigest()[:6]}.json"
+        )
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name

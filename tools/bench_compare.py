@@ -3,6 +3,16 @@ per-query wall-clock growth ratios for the common headline set.
 
 Usage: python tools/bench_compare.py SMALL_DETAIL.json LARGE_DETAIL.json \
            [data_ratio]
+   or: python tools/bench_compare.py --rounds OLD_BENCH.json NEW_BENCH.json
+       (round-over-round mode on CALIBRATION-NORMALIZED totals -- the r10
+       convention, now one command instead of prose in BENCH_NOTES.json:
+       each artifact's `calib` stamp scales its walls to the pooled-median
+       reference session, `value_norm` totals are compared directly, and
+       the verdict encodes the matched-pair rule: a >10% normalized total
+       delta, or any per-query normalized ratio beyond 1.25x, demands a
+       same-session worktree matched pair before it can be called a
+       regression. Exits 1 when a matched pair is demanded, so the round
+       stamp can gate on it.)
 
 Prints one JSON object:
   {"small_sha", "large_sha", "small_sf", "large_sf", "data_ratio",
@@ -24,8 +34,71 @@ from __future__ import annotations
 import json
 import sys
 
+TOTAL_DRIFT_TRIGGER = 0.10   # >10% normalized-total delta -> matched pair
+QUERY_DRIFT_TRIGGER = 1.25   # per-query normalized ratio -> matched pair
+
+
+def _load_bench(path: str) -> dict:
+    """Accept either the driver's BENCH_r*.json wrapper (payload under
+    'parsed') or bench.py's raw one-line JSON object."""
+    with open(path) as f:
+        rec = json.load(f)
+    return rec.get("parsed", rec)
+
+
+def rounds() -> None:
+    old = _load_bench(sys.argv[2])
+    new = _load_bench(sys.argv[3])
+    oc, nc = float(old.get("calib") or 1.0), float(new.get("calib") or 1.0)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    common = sorted(set(oq) & set(nq))
+    queries = {}
+    flagged = []
+    for name in common:
+        # normalize each side by ITS session's calibration stamp
+        o, n = float(oq[name]) / oc, float(nq[name]) / nc
+        ratio = round(n / max(o, 1e-9), 2)
+        queries[name] = {
+            "old_norm": round(o, 3),
+            "new_norm": round(n, 3),
+            "ratio": ratio,
+        }
+        if ratio > QUERY_DRIFT_TRIGGER:
+            flagged.append(name)
+    t_old = sum(float(oq[n]) for n in common) / oc
+    t_new = sum(float(nq[n]) for n in common) / nc
+    delta = (t_new - t_old) / max(t_old, 1e-9)
+    need_pair = abs(delta) > TOTAL_DRIFT_TRIGGER or bool(flagged)
+    out = {
+        "old_sha": old.get("sha"),
+        "new_sha": new.get("sha"),
+        "old_calib": oc,
+        "new_calib": nc,
+        "n_common": len(common),
+        "old_only": sorted(set(oq) - set(nq)),
+        "new_only": sorted(set(nq) - set(oq)),
+        "total_norm_old": round(t_old, 3),
+        "total_norm_new": round(t_new, 3),
+        "total_norm_delta_pct": round(100 * delta, 1),
+        "queries": queries,
+        "flagged_queries": flagged,
+        "verdict": (
+            "MATCHED_PAIR_REQUIRED: normalized drift beyond trigger -- run a"
+            " same-session worktree A/B (old sha vs HEAD, back-to-back, same"
+            " box) before attributing the delta to code"
+            if need_pair
+            else "OK: normalized totals and every common query inside the"
+            " drift triggers"
+        ),
+    }
+    print(json.dumps(out, indent=1))
+    sys.exit(1 if need_pair else 0)
+
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--rounds":
+        rounds()
+        return
     small_path, large_path = sys.argv[1], sys.argv[2]
     data_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     with open(small_path) as f:

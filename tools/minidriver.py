@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -73,8 +74,37 @@ def main():
     # cap also stops one huge oracle from bloating the process and
     # starving later queries' Spark-side collects (the r10 batch-4
     # MemoryError cascade).
-    con.execute(f"SET temp_directory='{os.environ.get('TMPDIR', '/tmp')}/duckdb_spill'")
-    con.execute(f"SET memory_limit='{os.environ.get('MINIDRIVER_DUCKDB_MEM', '48GB')}'")
+    # ADVICE r10: env values are user-controlled strings going into SQL
+    # SET statements -- escape the path (a quote would break the
+    # statement) and validate the memory string; on smaller boxes derive
+    # the default cap from physical RAM instead of assuming the 128 GiB
+    # bench box (a 48GB limit above physical RAM never engages and the
+    # OS OOM killer fires first). A bad env var degrades to a warning,
+    # not an aborted sweep.
+    spill_dir = os.environ.get("TMPDIR", "/tmp").replace("'", "''")
+    try:
+        con.execute(f"SET temp_directory='{spill_dir}/duckdb_spill'")
+    except Exception as exc:  # noqa: BLE001 -- degrade, don't abort
+        print(f"warn: duckdb temp_directory not set ({exc})", file=sys.stderr)
+    mem = os.environ.get("MINIDRIVER_DUCKDB_MEM")
+    if mem is not None and not re.fullmatch(
+        r"\d+(\.\d+)?\s*[KMGT]i?B", mem.strip(), re.IGNORECASE
+    ):
+        print(
+            f"warn: ignoring malformed MINIDRIVER_DUCKDB_MEM={mem!r}"
+            " (want e.g. 24GB)",
+            file=sys.stderr,
+        )
+        mem = None
+    if mem is None:
+        total_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 1e9
+        )
+        mem = f"{max(4, min(48, int(total_gb * 0.5)))}GB"
+    try:
+        con.execute(f"SET memory_limit='{mem.strip()}'")
+    except Exception as exc:  # noqa: BLE001
+        print(f"warn: duckdb memory_limit not set ({exc})", file=sys.stderr)
     for t in TABLES:
         # partial snapshots (e.g. the generated sf1 dir carries only
         # documents + embeddings) register what exists; a query that

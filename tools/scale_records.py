@@ -218,11 +218,12 @@ def _build_session(event_dir: str):
         # JVM heap must cover the largest per-decade shuffle; the
         # sf1 -> sf10 decade (60M-row lineitem) needs more than the
         # 1g local-mode default. Record counts are size-invariant.
-        # Broadcast/codegen state also ACCUMULATES across probes in the
-        # one session: a 37-probe sf10 sweep exhausted 16g (GCLocker
-        # allocation failures) where 12-13-probe chunks at 48g ran
-        # clean -- for wide sweeps at the big decades, chunk $SCALE_PROBES
-        # and raise SPARK_GRAFT_DRIVER_MEM (r10 session-2).
+        # (r10 session-2 note, fixed r11: broadcast state used to
+        # accumulate across probes because ContextCleaner only fires on
+        # driver GC -- a 37-probe sf10 sweep exhausted 16g where 48g +
+        # 3 chunks ran clean. The per-probe System.gc() in _run_sweep
+        # keeps the live set flat; the full sweep now runs at this
+        # default in one piece.)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.adaptive.enabled", "true")
@@ -305,6 +306,20 @@ def _run_sweep(sf_dir: str) -> tuple[dict[str, int], dict[str, float]]:
     sc = spark.sparkContext
     from pyspark.sql import functions as F
 
+    # One-time session warm-up under its OWN job group, so the first
+    # real probe's wall clock doesn't absorb JVM JIT / codegen compile /
+    # Arrow python-worker spawn: the r11 decade-1 artifact recorded
+    # llm_dedup_exact at 5.95s small vs 0.37s large -- session startup,
+    # not the operator -- inviting misreads of an inverted wall (VERDICT
+    # r10 task 5b). Covers the three cold paths: parquet scan, one
+    # shuffle aggregation, one Arrow batch stage. Records attribute to
+    # "warmup" and are never reported.
+    sc.setJobGroup("warmup", "warmup")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.groupBy(F.length("text") % 7).count().collect()
+    warm = docs.limit(64).mapInPandas(lambda it: it, docs.schema)
+    warm.agg(F.count(F.lit(1))).collect()
+
     walls: dict[str, float] = {}
     for name in _probes():
         spec = catalog.QUERIES.get(name)
@@ -331,6 +346,13 @@ def _run_sweep(sf_dir: str) -> tuple[dict[str, int], dict[str, float]]:
         # so each query's records include its own build at BOTH scales
         cache.unpersist_artifacts()
         spark.catalog.clearCache()
+        # Spark frees broadcast/shuffle driver state via ContextCleaner,
+        # which only fires when the DRIVER GC collects the references --
+        # a wide sweep on a big heap never GCs, so dead broadcast blocks
+        # accumulate until allocation stalls (the r10 37-probe sf10 sweep
+        # died at 16g / needed 48g + 3 chunks). An explicit driver GC per
+        # probe keeps the session's live set flat (VERDICT r10 task 5a).
+        sc._jvm.System.gc()
         sc.setJobGroup("idle", "idle")
     spark.stop()  # flush the event log
     return _group_records(event_dir), walls
