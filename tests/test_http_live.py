@@ -20,6 +20,9 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from groove_to_helpscout_migration_tool_spark.operators.joins import (
+    dedup_anti_join,
+)
 from groove_to_helpscout_migration_tool_spark.sources.api import (
     foreach_partition_sink,
     paginated_source,
@@ -93,14 +96,22 @@ class _CassetteServer:
                 payload = json.loads(self.rfile.read(n) or b"null")
                 with server.lock:
                     server.auth_headers.append(self.headers.get("Authorization"))
-                    server.posts.append({"url": self.path, "payload": payload})
                     seq = server.script.get(self.path)
                     if not seq:  # unscripted publish path: plain accept
+                        server.posts.append(
+                            {"url": self.path, "payload": payload, "status": 201}
+                        )
                         self._reply(201, json.dumps({"ok": True}), {})
                         return
                     i = server.calls.get(self.path, 0)
                     server.calls[self.path] = i + 1
                     entry = seq[min(i, len(seq) - 1)]
+                    # record the status the post GOT: a receipt exists
+                    # only for accepted posts (the resume test rebuilds
+                    # the imported set from 2xx receipts alone)
+                    server.posts.append(
+                        {"url": self.path, "payload": payload, "status": entry[0]}
+                    )
                 status, body = entry[0], entry[1]
                 hdrs = entry[2] if len(entry) > 2 else {}
                 self._reply(status, body, hdrs)
@@ -284,6 +295,84 @@ class TestEndToEndLive:
         )
         with pytest.raises(Exception, match="500"):
             df.collect()
+
+
+class TestSyncTicketsResumeLive:
+    """The reference's whole operational story in one executable proof
+    over live TCP (SyncCommandBase.php:163-193 progress/resume guard,
+    SyncTickets.php:120-158 fetch -> transform -> publish): run 1
+    publishes with receipts and dies on a mid-run 500; run 2 fetches the
+    receipts over the wire, anti-joins them out (J5,
+    TicketProcessor.php:353-372), and publishes ONLY the remainder --
+    the union of accepted receipts is exactly-once."""
+
+    def test_midrun_failure_then_resume_publishes_only_remainder(
+        self, spark, serve
+    ):
+        paths = _paths(
+            paged_script(TICKETS, per_page=20), "https://api.example.test/v1"
+        )
+        # publish path: 2 accepts, one hard 500 (the crash moment), then
+        # accepts again (last-repeats). 7 partition tasks race for the
+        # script positions, so WHICH batch dies is nondeterministic --
+        # the resume must cope with whatever subset landed, exactly like
+        # a real interrupted sync.
+        ok = (201, json.dumps({"ok": True}), {})
+        paths["/v1/conversations"] = [ok, ok, (500, "boom", {}), ok]
+        s = serve(paths)
+        client = FixtureHttpClient(LiveHttpTransport(), base_url=s.base_url)
+
+        total = client.probe_total()
+        fetch = with_retries(client.fetch_page, max_attempts=3, backoff_base=0.0)
+
+        def load():
+            df = paginated_source(
+                spark, fetch, total_count=total, schema=SCHEMA, per_page=20,
+                requests_per_minute=6000,
+            )
+            return df.select(
+                "rec_id", F.upper(F.col("payload")).alias("payload")
+            )
+
+        with pytest.raises(Exception, match="500"):
+            foreach_partition_sink(load(), client.publish, requests_per_minute=6000)
+
+        def accepted():
+            with s.lock:
+                return [
+                    int(r["rec_id"])
+                    for p in s.posts
+                    if p["status"] in (200, 201)
+                    for r in p["payload"]
+                ]
+
+        run1 = accepted()
+        assert 0 < len(run1) < 123  # genuinely mid-run: partial receipts
+        assert len(set(run1)) == len(run1)
+
+        # resume: the imported set is fetched OVER THE WIRE (the S11
+        # already-imported lookup), anti-joined out, remainder published
+        s.script["/v1/imported"] = [
+            (200, json.dumps({"imported": [{"rec_id": i} for i in run1]}), {})
+        ]
+        status, body = client.transport.get(f"{s.base_url}/imported")
+        assert status == 200
+        existing = spark.createDataFrame(
+            [(int(r["rec_id"]),) for r in json.loads(body)["imported"]],
+            "existing_id long",
+        )
+        remainder = dedup_anti_join(
+            load(), existing, [(F.col("rec_id"), F.col("existing_id"))]
+        )
+        foreach_partition_sink(remainder, client.publish, requests_per_minute=6000)
+
+        final = accepted()
+        assert sorted(final) == list(range(123))       # complete
+        assert len(set(final)) == len(final) == 123    # exactly once
+        # and run 2 published exactly the complement of run 1
+        assert sorted(set(final) - set(run1)) == sorted(
+            set(range(123)) - set(run1)
+        )
 
 
 class TestFlag:

@@ -325,34 +325,52 @@ def _run_sweep(sf_dir: str) -> tuple[dict[str, int], dict[str, float]]:
         spec = catalog.QUERIES.get(name)
         if spec is None:
             continue
-        sc.setJobGroup(name, name)
         # Force FULL materialization: .count() lets Catalyst prune
         # columns, no-op joins, and aggregate expressions out of
         # map-shaped plans (a per-doc op collapsed to "which docs
         # exist" under count, hiding its gram/feature shuffles). A
         # checksum over every output column keeps the whole plan live
         # while still reducing to one driver row.
+        def run_once() -> None:
+            out = spec.fn(spark, sf_dir)
+            out.agg(
+                # mod keeps the ANSI-mode sum far from int64 overflow
+                F.sum(
+                    F.xxhash64(F.struct(*[F.col(c) for c in out.columns]))
+                    % F.lit(1_000_000_007)
+                )
+            ).collect()
+
+        def reset() -> None:
+            cache.unpersist_artifacts()
+            spark.catalog.clearCache()
+            # ContextCleaner frees broadcast/shuffle driver state only
+            # when the DRIVER GC collects the references -- a wide sweep
+            # on a big heap never GCs, so dead broadcast blocks
+            # accumulate until allocation stalls (the r10 37-probe sf10
+            # sweep died at 16g / needed 48g + 3 chunks). An explicit
+            # driver GC per run keeps the live set flat (r10 task 5a).
+            sc._jvm.System.gc()
+
+        # Per-probe WARM pass under the "warmup" group: the generic
+        # session warm-up cannot warm each query's own codegen/JIT, so
+        # the small-scale sweep (fresh JVM) recorded walls up to 8x its
+        # large-scale twin's (the r11 decade-1 pre-fix artifact had 16
+        # such inversions). The warm pass runs the same plan unattributed,
+        # then artifacts are CLEARED so the timed run still pays its own
+        # full build -- records stay the self-contained single-run cost.
+        # SCALE_NO_WARM=1 skips it (quick iteration).
+        if not os.environ.get("SCALE_NO_WARM"):
+            sc.setJobGroup("warmup", "warmup")
+            run_once()
+            reset()
+        sc.setJobGroup(name, name)
         t0 = time.monotonic()
-        out = spec.fn(spark, sf_dir)
-        out.agg(
-            # mod keeps the ANSI-mode sum far from int64 overflow
-            F.sum(
-                F.xxhash64(F.struct(*[F.col(c) for c in out.columns]))
-                % F.lit(1_000_000_007)
-            )
-        ).collect()
+        run_once()
         walls[name] = round(time.monotonic() - t0, 2)
         # self-contained per query: the next one rebuilds its artifacts,
         # so each query's records include its own build at BOTH scales
-        cache.unpersist_artifacts()
-        spark.catalog.clearCache()
-        # Spark frees broadcast/shuffle driver state via ContextCleaner,
-        # which only fires when the DRIVER GC collects the references --
-        # a wide sweep on a big heap never GCs, so dead broadcast blocks
-        # accumulate until allocation stalls (the r10 37-probe sf10 sweep
-        # died at 16g / needed 48g + 3 chunks). An explicit driver GC per
-        # probe keeps the session's live set flat (VERDICT r10 task 5a).
-        sc._jvm.System.gc()
+        reset()
         sc.setJobGroup("idle", "idle")
     spark.stop()  # flush the event log
     return _group_records(event_dir), walls
