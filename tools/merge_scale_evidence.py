@@ -138,12 +138,44 @@ def _split_rows_only(cert: dict) -> tuple[dict, dict]:
     return hashed, rows_only
 
 
+def recall() -> None:
+    """Attach the ANN recall-at-scale sweep (tools/ann_recall.py) to a
+    merged artifact: `--recall out.json RECALL_rN.json`. Hash
+    certification cannot see approximation-quality drift, so the scale
+    artifact carries the recall rows next to the record/wall decades
+    (VERDICT r10 task 3)."""
+    out_path, rec_path = sys.argv[2], sys.argv[3]
+    with open(out_path) as fh:
+        out = json.load(fh)
+    with open(rec_path) as fh:
+        rec = json.load(fh)
+    out["ann_recall"] = rec
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(
+        json.dumps(
+            {
+                "out": out_path,
+                "recall_snapshots": {
+                    d: s["recall"] for d, s in rec["snapshots"].items()
+                },
+                "floor_violations": rec["floor_violations"],
+            }
+        )
+    )
+    sys.exit(1 if rec["floor_violations"] else 0)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--extend":
         extend()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--decade3":
         decade3()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--recall":
+        recall()
         return
     d1_path, d2_path, cert_path, out_path = sys.argv[1:5]
     with open(d1_path) as fh:
