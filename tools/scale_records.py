@@ -215,16 +215,19 @@ def _build_session(event_dir: str):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("scale-records")
-        # JVM heap must cover the largest per-decade shuffle; the
-        # sf1 -> sf10 decade (60M-row lineitem) needs more than the
-        # 1g local-mode default. Record counts are size-invariant.
-        # (r10 session-2 note, fixed r11: broadcast state used to
-        # accumulate across probes because ContextCleaner only fires on
-        # driver GC -- a 37-probe sf10 sweep exhausted 16g where 48g +
-        # 3 chunks ran clean. The per-probe System.gc() in _run_sweep
-        # keeps the live set flat; the full sweep now runs at this
-        # default in one piece.)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # JVM heap default ALIGNED with the package session's own
+        # default (session.py: 32g) -- the harness used to default to
+        # 16g, BELOW the engine it measures. Record counts are
+        # size-invariant in heap. Two distinct r10 failure modes, both
+        # closed in r11: (a) broadcast state accumulated across probes
+        # because ContextCleaner only fires on driver GC -- the
+        # per-probe System.gc() in _run_sweep keeps the live set flat
+        # (40 sf10 probes + warm passes ran clean at 16g where r10 died
+        # mid-sweep); (b) llm_neardup_pagerank's sf10 plan
+        # intrinsically needs >16g for its unrolled-round broadcasts --
+        # it OOMs SOLO at 16g, i.e. not an accumulation problem, and
+        # runs at the engine-default 32g.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
