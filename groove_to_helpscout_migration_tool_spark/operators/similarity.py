@@ -353,10 +353,18 @@ def lsh_index(emb: DataFrame) -> DataFrame:
 def lsh_topk(embeddings: DataFrame, k: int = 5, query_max_id: int = 10) -> DataFrame:
     """ANN top-k via LSH inverted lists: candidates = corpus vectors
     sharing any band bucket with the query; exact cosine re-rank within
-    the candidate set. The scale path next to brute_force: the corpus
-    scan is replaced by a bucket-key equi-join, so cost is proportional
-    to bucket occupancy, not corpus size. Recall comes from query-side
-    margin-ordered multiprobe (lsh_probe_frame)."""
+    the candidate set. Cost is proportional to bucket occupancy, not
+    corpus size; recall comes from query-side margin-ordered multiprobe
+    (lsh_probe_frame).
+
+    SCOPE (r12, measurement-backed): the SMALL-N ANN path. On this
+    corpus geometry the true top-5 cosines sit in the sign-LSH noise
+    band (0.32-0.48), so every config with >=0.9 recall needs a >=0.42
+    candidate fraction (10-config sweep over bands 2-4 x bits 6-10 x
+    probe budgets 22-64/band) -- at sf10 the measured steady-state wall
+    is ~0.8x brute force, i.e. saturation, not indexing. For large
+    corpora use ivf_topk (steady-state ~0.2x brute at sf10, wall-pinned
+    in tools/ann_recall.py) or sq8_topk (exact, ~0.2x)."""
     emb = prepared(embeddings)
     ex = lsh_index(emb)
     q = lsh_probe_frame(emb, query_max_id)

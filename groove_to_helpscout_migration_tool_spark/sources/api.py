@@ -46,6 +46,8 @@ def paginated_source(
     start_page: int = 1,
     stop_page: int | None = None,
     window_seconds: float = 60.0,
+    retry_attempts: int = 1,
+    retry_backoff: float = 0.0,
 ) -> DataFrame:
     """S1/S2: distributed paginated scan with a per-task token bucket.
 
@@ -53,6 +55,16 @@ def paginated_source(
     call by the caller). The page axis becomes the partition axis; the
     partition count is sized so each task's rate share stays >= 1
     request/min (the conservative global-budget split).
+
+    ``retry_attempts`` > 1 retries transient fetch failures (429/5xx ->
+    TransientApiError) INSIDE the task, with EVERY attempt re-acquiring
+    a token first. Wrapping the fetch callable in with_retries OUTSIDE
+    this source instead would let retry traffic bypass the governor (the
+    bucket acquires once per page, not per wire request) -- exactly the
+    hammer-a-throttled-API behavior a 429 demands the client stop
+    (VERDICT r11 task 7; the reference throttles around failures,
+    SyncCommandBase.php:163-193). The aggregate budget then holds by
+    construction under failure injection, not just on the happy path.
     """
     total_pages = math.ceil(total_count / per_page)
     stop = min(stop_page or total_pages, total_pages)
@@ -69,12 +81,26 @@ def paginated_source(
     out_schema = T.StructType(schema.fields + [T.StructField("page", T.LongType())])
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .retry import with_retries
+
         bucket = TokenBucket(rate=rate, window=window_seconds)
+
+        def fetch_once(page: int) -> list[dict[str, Any]]:
+            bucket.acquire()  # every ATTEMPT consumes budget, retries too
+            return fetch_page(page, per_page)
+
+        paced = (
+            with_retries(
+                fetch_once, max_attempts=retry_attempts,
+                backoff_base=retry_backoff,
+            )
+            if retry_attempts > 1
+            else fetch_once
+        )
         names = [f.name for f in schema.fields]
         for pdf in batches:
             for page in pdf["page"]:
-                bucket.acquire()
-                records = fetch_page(int(page), per_page)
+                records = paced(int(page))
                 out = pd.DataFrame(records, columns=names)
                 out["page"] = int(page)
                 yield out

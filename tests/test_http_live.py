@@ -462,3 +462,153 @@ class TestGovernorUnderConcurrency:
         # (b) long-run amortized throughput <= budget/window: the first
         # burst is free (tokens start full), so exclude it
         assert (len(times) - budget) / span <= budget / window * 1.05
+
+
+class TestGovernorUnderChaos:
+    """VERDICT r11 task 7: the aggregate-budget and resume/receipt
+    invariants under a server that injects 429/Retry-After and 5xx
+    MID-RUN -- the reference's real operating regime (throttling around
+    failures, SyncCommandBase.php:163-193). Two failure routes exist by
+    design and both are exercised:
+
+      - bare 429 / 5xx -> taxonomy (TransientApiError) -> the source's
+        in-task retry layer, where every attempt RE-ACQUIRES a token
+        (paginated_source retry_attempts) -- so retry traffic counts
+        against the budget by construction;
+      - 429 WITH Retry-After -> transport-level pacing (the server
+        mandates the wait; the request replays after sleeping it).
+    """
+
+    def test_budget_holds_with_injected_429_and_5xx_midrun(self, spark, serve):
+        """32 tasks, live TCP, budget 32 per 1.5s window; 6 pages fail
+        with bare 429s/500s before succeeding. EVERY wire arrival --
+        retries included -- must respect the sliding-window budget, and
+        the scan must still produce every record exactly once."""
+        budget, window = 32, 1.5
+        n_pages, per_page = 96, 5
+        records = [
+            {"rec_id": i, "payload": f"t-{i}"} for i in range(n_pages * per_page)
+        ]
+        # chaos: spread across early/middle/late pages; two codes on one
+        # page proves multi-retry pacing (attempts 1..3 each paced)
+        flaky = {3: [429], 17: [500], 40: [429, 500], 66: [500], 90: [429]}
+        script = paged_script(records, per_page=per_page, flaky=flaky)
+        s = serve(_paths(script, "https://api.example.test/v1"))
+        client = FixtureHttpClient(LiveHttpTransport(), base_url=s.base_url)
+
+        df = paginated_source(
+            spark,
+            client.fetch_page,
+            total_count=len(records),
+            schema=SCHEMA,
+            per_page=per_page,
+            requests_per_minute=budget,
+            window_seconds=window,
+            retry_attempts=3,
+        )
+        got = df.select("rec_id").collect()
+        # completeness + exactly-once despite mid-run chaos
+        assert sorted(r["rec_id"] for r in got) == list(range(len(records)))
+
+        times = sorted(s.get_times)
+        n_chaos = sum(len(v) for v in flaky.values())
+        # non-vacuous: every injected failure produced a real extra wire
+        # request (the flaky scripts are positional, consumed exactly once)
+        assert len(times) == n_pages + n_chaos
+        span = times[-1] - times[0]
+        assert span >= 2 * window * 0.9, span
+        # sliding-window bound over ALL arrivals, retries included: the
+        # in-task retry layer re-acquires a token per attempt, so chaos
+        # cannot push any window over budget (same 0.85 latency-tolerant
+        # probe as the healthy-server test above)
+        probe = window * 0.85
+        j = 0
+        worst = 0
+        for i in range(len(times)):
+            while times[i] - times[j] > probe:
+                j += 1
+            worst = max(worst, i - j + 1)
+        assert worst <= budget, (worst, budget)
+        # long-run amortized throughput <= budget/window (first burst free)
+        assert (len(times) - budget) / span <= budget / window * 1.05
+
+    def test_resume_receipts_exact_once_with_429_retry_after_and_5xx(
+        self, spark, serve
+    ):
+        """The resume proof (TestSyncTicketsResumeLive) under chaos: the
+        publish path serves Retry-After'd 429s (transport paces and
+        replays -- SyncCommandBase.php:163-193's mandated wait), then a
+        hard mid-run 500 kills run 1; fetch pages are flaky too. The
+        union of ACCEPTED receipts across both runs must still be
+        exactly-once-complete, with the 429'd attempts excluded from the
+        receipt set by status."""
+        paths = _paths(
+            paged_script(
+                TICKETS, per_page=20, flaky={2: [500], 5: [429]}
+            ),
+            "https://api.example.test/v1",
+        )
+        ok = (201, json.dumps({"ok": True}), {})
+        ra = (429, json.dumps({"slow": True}), {"Retry-After": "0.2"})
+        # run 1: accept, mandated-wait 429 then accept, hard 500 (crash)
+        paths["/v1/conversations"] = [ok, ra, ok, (500, "boom", {}), ok]
+        s = serve(paths)
+        client = FixtureHttpClient(LiveHttpTransport(), base_url=s.base_url)
+
+        total = client.probe_total()
+
+        def load():
+            df = paginated_source(
+                spark, client.fetch_page, total_count=total, schema=SCHEMA,
+                per_page=20, requests_per_minute=6000, retry_attempts=3,
+            )
+            return df.select(
+                "rec_id", F.upper(F.col("payload")).alias("payload")
+            )
+
+        with pytest.raises(Exception, match="500"):
+            foreach_partition_sink(load(), client.publish, requests_per_minute=6000)
+
+        def accepted():
+            with s.lock:
+                return [
+                    int(r["rec_id"])
+                    for p in s.posts
+                    if p["status"] in (200, 201)
+                    for r in p["payload"]
+                ]
+
+        run1 = accepted()
+        assert 0 < len(run1) < 123      # genuinely mid-run
+        assert len(set(run1)) == len(run1)
+        with s.lock:
+            # the mandated wait actually happened on the wire: at least
+            # one post was served 429 and its payload was NOT receipted
+            assert any(p["status"] == 429 for p in s.posts)
+
+        # resume: receipts fetched over the wire, anti-joined, remainder
+        # published against a publish path that AGAIN starts with a
+        # Retry-After'd 429
+        s.script["/v1/imported"] = [
+            (200, json.dumps({"imported": [{"rec_id": i} for i in run1]}), {})
+        ]
+        with s.lock:
+            s.script["/v1/conversations"] = [ra, ok]
+            s.calls["/v1/conversations"] = 0
+        status, body = client.transport.get(f"{s.base_url}/imported")
+        assert status == 200
+        existing = spark.createDataFrame(
+            [(int(r["rec_id"]),) for r in json.loads(body)["imported"]],
+            "existing_id long",
+        )
+        remainder = dedup_anti_join(
+            load(), existing, [(F.col("rec_id"), F.col("existing_id"))]
+        )
+        foreach_partition_sink(remainder, client.publish, requests_per_minute=6000)
+
+        final = accepted()
+        assert sorted(final) == list(range(123))        # complete
+        assert len(set(final)) == len(final) == 123     # exactly once
+        assert sorted(set(final) - set(run1)) == sorted(
+            set(range(123)) - set(run1)
+        )

@@ -67,3 +67,57 @@ def test_bench_warm_runs_parse_fails_soft(monkeypatch):
     assert bench._warm_runs() == 3
     monkeypatch.setenv("SPARK_GRAFT_WARM_RUNS", "1")
     assert bench._warm_runs() == 2  # spread metric needs two samples
+
+
+def test_bench_compare_calib_ref_mirrors_bench():
+    # bench_compare stays stdlib-only (no pyspark import just to read a
+    # constant), so it mirrors CALIB_REF as a literal -- this pin keeps
+    # the mirror honest when the reference anchor is re-stamped.
+    import bench
+    import bench_compare
+
+    assert bench_compare.CALIB_REF == bench.CALIB_REF
+
+
+def test_bench_compare_accepts_detail_shaped_calib():
+    # ADVICE r11: BENCH_DETAIL*.json stamps calib as the full
+    # {pre, post, median, ref} dict; the bare float() raised TypeError.
+    import bench_compare
+
+    assert bench_compare._calib_of(
+        {"calib": {"pre": 1.1, "post": 1.3, "median": 1.2, "ref": 0.99}},
+        "detail.json",
+    ) == 1.2
+    assert bench_compare._calib_of({"calib": 1.05}, "compact.json") == 1.05
+    assert bench_compare._calib_of({}, "none.json") == 1.0
+    try:
+        bench_compare._calib_of({"calib": "garbage"}, "bad.json")
+    except SystemExit as e:
+        assert "bad.json" in str(e)
+    else:
+        raise AssertionError("junk calib must raise a clear SystemExit")
+
+
+def test_bench_compare_rounds_totals_are_in_value_norm_units(tmp_path):
+    # the --rounds totals must match the committed value_norm convention
+    # (wall * CALIB_REF / calib), so a round's stamped value_norm and the
+    # compare's total for the same artifact agree (ADVICE r11: the 0.99
+    # factor was missing; ratios were right, absolute totals were not).
+    import bench_compare
+
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps(
+        {"sha": "a", "calib": 1.1, "queries": {"q1": 11.0, "q2": 11.0}}))
+    new.write_text(json.dumps(
+        {"sha": "b", "calib": 0.99, "queries": {"q1": 10.0, "q2": 10.0}}))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_compare.py"),
+         "--rounds", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    out = json.loads(proc.stdout)
+    assert out["total_norm_old"] == round(22.0 * 0.99 / 1.1, 3)
+    assert out["total_norm_new"] == round(20.0 * 0.99 / 0.99, 3)
+    # 19.8 -> 20.0 is ~+1%: inside both triggers
+    assert proc.returncode == 0, proc.stdout

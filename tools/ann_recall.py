@@ -14,26 +14,52 @@ scale, so numbers are comparable across snapshots):
             two_phase_topk -- the llm_ann_topk_cosine plan with the
             wider panel), the ground truth;
   - lsh:    similarity.lsh_topk   (bucket join + exact re-rank);
-  - ivf:    similarity.ivf_topk   (nprobe=3 coarse cells);
+  - ivf:    similarity.ivf_topk   (nprobe=5 coarse cells -- the catalog
+            llm_ann_ivf_topk config, raised from 3 in r11 exactly
+            because this sweep measured 0.61 at sf1; keep in lockstep
+            with catalog/llm_ops.py);
   - sq8:    similarity.sq8_topk   (int8 first pass + exact re-rank;
             bit-identical to brute by design -- a 1.0-recall control
             that validates the harness itself).
 
-recall@k(family) = mean over panel queries of |approx_q ∩ brute_q| / k.
-Tie noise at the rank-k boundary (equal ROUNDED cosines ordered by nid)
-can cost a slot legitimately; the asserted floor (0.7) is far below it.
+Asserted floors (VERDICT r11 task 1: the tail, not just the mean):
+  - mean recall@k >= 0.7 per family per snapshot;
+  - p10 per-query recall >= 0.4 per family per snapshot (the r11
+    artifact asserted only the mean; IVF's min query sat at 0.2 --
+    outlier queries whose true top-5 is cross-cluster noise-level
+    cosine, see NOTES.md round 12);
+  - scale-path wall pin (VERDICT r11 task 2): at the LARGEST snapshot
+    ivf_wall <= IVF_WALL_RATIO_MAX * brute_wall. LSH carries NO wall
+    floor -- it is the documented small-N path (a config sweep measured
+    every >=0.9-recall LSH config at >=0.42 candidate fraction on this
+    corpus geometry, so it cannot beat brute by 2x at any bit budget;
+    COVERAGE.md + NOTES.md round 12).
+
+Each family runs TWICE per snapshot: wall_build_s is the first pass
+(includes the one-time index/artifact build -- at 100 TB a bucketed
+table written once per corpus snapshot and amortized over every query
+batch), wall_s is the second pass (steady state, the per-query-batch
+cost the wall pin is about). The two differ by ~4x for LSH at sf10
+(301s vs 77s measured r12), so conflating them makes the artifact
+non-reproducible across sessions -- r11's single-pass stamp happened to
+catch a warm index and read 79.5s where a cold session reads ~230s.
 
 Usage: python tools/ann_recall.py [sf_dir ...]
-       (default: /root/repo/testdata_sf1 /root/repo/testdata_sf10)
-Env:   ANN_RECALL_JSON=<path>  write the artifact (default RECALL_r11.json)
+       (default: /root/testdata/sf0.1 /root/repo/testdata_sf1
+                 /root/repo/testdata_sf10)
+Env:   ANN_RECALL_JSON=<path>  write the artifact (default RECALL_r12.json)
        ANN_RECALL_QUERIES=<n>  panel size (default 200)
        ANN_RECALL_K=<k>        k (default 5)
 
-Output JSON: {"panel": n, "k": k, "floor": 0.7,
+Output JSON: {"panel": n, "k": k, "floor": 0.7, "p10_floor": 0.4,
+              "ivf_wall_ratio_max": 0.5,
               "snapshots": {dir: {"n_vectors": N,
-                                  "recall": {family: r},
+                                  "recall": {family: mean},
+                                  "p10_query_recall": {family: r},
                                   "min_query_recall": {family: r},
-                                  "wall_s": {family: s}}},
+                                  "wall_build_s": {family: s},
+                                  "wall_s": {family: s (steady state)},
+                                  "wall_ratio_vs_brute": {family: r}}},
               "floor_violations": [...]}
 """
 
@@ -52,7 +78,9 @@ from groove_to_helpscout_migration_tool_spark import get_session
 from groove_to_helpscout_migration_tool_spark.operators import similarity as SIM
 from groove_to_helpscout_migration_tool_spark.session import load_tables
 
-FLOOR = 0.7
+FLOOR = 0.7            # per-family MEAN recall@k floor
+P10_FLOOR = 0.4        # per-family 10th-percentile per-query floor
+IVF_WALL_RATIO_MAX = 0.5   # scale-path pin at the largest snapshot
 
 
 def brute_topk(emb, k: int, query_max_id: int):
@@ -92,33 +120,56 @@ def normalize(df):
     return df.select(F.col(qcol).alias("qid"), F.col(ncol).alias("nid"))
 
 
+def p10(values: list[float]) -> float:
+    """10th percentile, lower-interpolation (the conservative side: the
+    reported p10 is an ACTUAL per-query recall, never an interpolated
+    value above one)."""
+    if not values:
+        return 0.0
+    s = sorted(values)
+    return s[int(0.10 * (len(s) - 1))]
+
+
 def main() -> None:
-    dirs = sys.argv[1:] or ["/root/repo/testdata_sf1", "/root/repo/testdata_sf10"]
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1",
+        "/root/repo/testdata_sf1",
+        "/root/repo/testdata_sf10",
+    ]
     n_queries = int(os.environ.get("ANN_RECALL_QUERIES", "200"))
     k = int(os.environ.get("ANN_RECALL_K", "5"))
-    out_path = os.environ.get("ANN_RECALL_JSON", "/root/repo/RECALL_r11.json")
+    out_path = os.environ.get("ANN_RECALL_JSON", "/root/repo/RECALL_r12.json")
     spark = get_session()
     snapshots: dict[str, dict] = {}
     violations: list[str] = []
+    sized: list[tuple[int, str]] = []
     for sf_dir in dirs:
         t = load_tables(spark, sf_dir, ["embeddings"])
         emb = t.embeddings
         n_vec = emb.count()
-        # ground truth once per snapshot
+        sized.append((n_vec, sf_dir))
+        # ground truth once per snapshot; brute also gets the two-pass
+        # treatment (pass 1 builds/caches prepared(); pass 2 is the
+        # steady-state scan every approximate family is compared to)
+        t0 = time.time()
+        truth = pairs(normalize(brute_topk(emb, k, n_queries)))
+        builds = {"brute": round(time.time() - t0, 2)}
         t0 = time.time()
         truth = pairs(normalize(brute_topk(emb, k, n_queries)))
         walls = {"brute": round(time.time() - t0, 2)}
         fams = {
             "lsh": lambda: SIM.lsh_topk(emb, k=k, query_max_id=n_queries),
-            # nprobe=5 == the catalog llm_ann_ivf_topk config (raised
-            # from 3 in r11 exactly because this sweep measured 0.61 at
-            # sf1 -- keep this in lockstep with catalog/llm_ops.py)
+            # nprobe=5 == the catalog llm_ann_ivf_topk config
             "ivf": lambda: SIM.ivf_topk(emb, k=k, query_max_id=n_queries, nprobe=5),
             "sq8": lambda: SIM.sq8_topk(emb, k=k, query_max_id=n_queries),
         }
         recall: dict[str, float] = {}
+        p10_q: dict[str, float] = {}
         min_q: dict[str, float] = {}
         for fam, build in fams.items():
+            t0 = time.time()
+            got = pairs(normalize(build()))
+            builds[fam] = round(time.time() - t0, 2)
             t0 = time.time()
             got = pairs(normalize(build()))
             walls[fam] = round(time.time() - t0, 2)
@@ -127,31 +178,57 @@ def main() -> None:
                 for qid, tset in truth.items()
             ]
             recall[fam] = round(sum(per_q) / max(len(per_q), 1), 4)
+            p10_q[fam] = round(p10(per_q), 4)
             min_q[fam] = round(min(per_q), 4) if per_q else 0.0
             if recall[fam] < FLOOR:
                 violations.append(f"{sf_dir}:{fam}={recall[fam]}")
+            if p10_q[fam] < P10_FLOOR:
+                violations.append(f"{sf_dir}:{fam}:p10={p10_q[fam]}")
             print(
                 f"{sf_dir} {fam}: recall@{k}={recall[fam]}"
-                f" min={min_q[fam]} wall={walls[fam]}s",
+                f" p10={p10_q[fam]} min={min_q[fam]}"
+                f" build={builds[fam]}s steady={walls[fam]}s",
                 flush=True,
             )
+        ratios = {
+            fam: round(walls[fam] / max(walls["brute"], 1e-9), 3)
+            for fam in fams
+        }
         snapshots[sf_dir] = {
             "n_vectors": n_vec,
             "recall": recall,
+            "p10_query_recall": p10_q,
             "min_query_recall": min_q,
+            "wall_build_s": builds,
             "wall_s": walls,
+            "wall_ratio_vs_brute": ratios,
         }
         spark.catalog.clearCache()
+    # scale-path pin: IVF must actually accelerate at the largest scale
+    largest = max(sized)[1]
+    ivf_ratio = snapshots[largest]["wall_ratio_vs_brute"]["ivf"]
+    if ivf_ratio > IVF_WALL_RATIO_MAX:
+        violations.append(f"{largest}:ivf_wall_ratio={ivf_ratio}")
     out = {
         "panel": n_queries,
         "k": k,
         "floor": FLOOR,
+        "p10_floor": P10_FLOOR,
+        "ivf_wall_ratio_max": IVF_WALL_RATIO_MAX,
+        "lsh_scope": (
+            "small-N path: a 7-config (bands x bits x probe-budget) sweep at"
+            " sf1/sf10 measured every >=0.9-recall config at >=0.42 candidate"
+            " fraction -- this corpus's true top-5 cosines sit in the"
+            " hyperplane noise band (0.32-0.48), so sign-LSH cannot prune it;"
+            " IVF and SQ8 are the asserted scale paths (NOTES.md round 12)"
+        ),
         "snapshots": snapshots,
         "floor_violations": violations,
     }
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"wrote {out_path}; violations: {violations}")
+    sys.exit(1 if violations else 0)
 
 
 if __name__ == "__main__":

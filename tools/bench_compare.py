@@ -37,6 +37,12 @@ import sys
 TOTAL_DRIFT_TRIGGER = 0.10   # >10% normalized-total delta -> matched pair
 QUERY_DRIFT_TRIGGER = 1.25   # per-query normalized ratio -> matched pair
 
+# Mirror of bench.py's CALIB_REF (the r10 reference-session calibration
+# median). Kept as a literal so this tool stays stdlib-only -- importing
+# bench.py would pull pyspark just to read one constant.
+# tests/test_bench_compare.py asserts the two stay equal.
+CALIB_REF = 0.99
+
 
 def _load_bench(path: str) -> dict:
     """Accept either the driver's BENCH_r*.json wrapper (payload under
@@ -46,17 +52,44 @@ def _load_bench(path: str) -> dict:
     return rec.get("parsed", rec)
 
 
+def _calib_of(rec: dict, path: str) -> float:
+    """Calibration stamp of a bench record, as a float.
+
+    Compact BENCH_r*.json files stamp `calib` as the pooled pre/post
+    median scalar; BENCH_DETAIL*.json files stamp the full dict
+    {pre, post, median, ref} -- accept both (ADVICE r11: the bare
+    float() raised a TypeError on detail files)."""
+    calib = rec.get("calib")
+    if isinstance(calib, dict):
+        calib = calib.get("median")
+    if calib is None:
+        return 1.0
+    try:
+        return float(calib)
+    except (TypeError, ValueError):
+        raise SystemExit(
+            f"{path}: unreadable calib stamp {rec.get('calib')!r} -- expected"
+            " a number or a {{pre,post,median,ref}} dict"
+        )
+
+
 def rounds() -> None:
     old = _load_bench(sys.argv[2])
     new = _load_bench(sys.argv[3])
-    oc, nc = float(old.get("calib") or 1.0), float(new.get("calib") or 1.0)
+    oc = _calib_of(old, sys.argv[2])
+    nc = _calib_of(new, sys.argv[3])
     oq, nq = old.get("queries", {}), new.get("queries", {})
     common = sorted(set(oq) & set(nq))
     queries = {}
     flagged = []
     for name in common:
-        # normalize each side by ITS session's calibration stamp
-        o, n = float(oq[name]) / oc, float(nq[name]) / nc
+        # normalize each side by ITS session's calibration stamp, scaled
+        # by CALIB_REF so per-query and total values are in the same
+        # value_norm units the committed artifacts stamp (ADVICE r11:
+        # plain wall/calib was off the convention by the 0.99 factor --
+        # ratios and delta_pct were unaffected)
+        o = float(oq[name]) * CALIB_REF / oc
+        n = float(nq[name]) * CALIB_REF / nc
         ratio = round(n / max(o, 1e-9), 2)
         queries[name] = {
             "old_norm": round(o, 3),
@@ -65,8 +98,8 @@ def rounds() -> None:
         }
         if ratio > QUERY_DRIFT_TRIGGER:
             flagged.append(name)
-    t_old = sum(float(oq[n]) for n in common) / oc
-    t_new = sum(float(nq[n]) for n in common) / nc
+    t_old = sum(float(oq[n]) for n in common) * CALIB_REF / oc
+    t_new = sum(float(nq[n]) for n in common) * CALIB_REF / nc
     delta = (t_new - t_old) / max(t_old, 1e-9)
     need_pair = abs(delta) > TOTAL_DRIFT_TRIGGER or bool(flagged)
     out = {

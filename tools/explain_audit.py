@@ -447,10 +447,24 @@ def main() -> None:
             failures.append(name)
     import os
 
+    # The scale-regime rows execute the two audited queries at the
+    # (gitignored) sf1/sf10 snapshots -- minutes of runtime that a quick
+    # sf0.01 plan audit or a fresh clone without snapshots should not
+    # pay or fail on (ADVICE r11). They run only under
+    # EXPLAIN_AUDIT_SCALE=1; otherwise each row is emitted as SKIPPED
+    # (with the enabling command) and does NOT count as a failure.
+    scale_enabled = os.environ.get("EXPLAIN_AUDIT_SCALE") == "1"
     for name, regimes in SCALE_REGIME_AUDIT.items():
         for rdir, exp in regimes.items():
             label = os.path.basename(rdir)
             row = f"| `{name} @ {label}` | SMJ == {exp['smj']}, joins == {exp['total']}, no cartesian/BNLJ | "
+            if not scale_enabled:
+                lines.append(
+                    row
+                    + "SKIPPED — set EXPLAIN_AUDIT_SCALE=1 (needs sf1/sf10"
+                    " snapshots: python tools/regen_snapshots.py) |"
+                )
+                continue
             if not os.path.isdir(rdir):
                 lines.append(
                     row + "FAIL — snapshot missing (python tools/regen_snapshots.py) |"
@@ -458,6 +472,12 @@ def main() -> None:
                 failures.append(f"{name}@{label}")
                 continue
             df = catalog.QUERIES[name].fn(spark, rdir)
+            # materialize so AQE finalizes THIS QueryExecution (a
+            # count()/agg would be a different plan -- column pruning
+            # can legitimately drop the joins under audit). collect()
+            # here is bounded by construction: both audited queries are
+            # fixed-panel top-k outputs (<= panel x k rows), never
+            # corpus-sized.
             df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
             final = plan.split("+- == Initial Plan ==")[0]
