@@ -116,3 +116,18 @@ def test_control_demonstrates_quadratic_growth():
     ]
     assert controls
     assert max(controls) > 50.0  # the quadratic signature (~100x at 10x data)
+
+
+def test_wall_inversions_are_annotated_overhead_dominated():
+    """VERDICT r11 task 4: decade-1 walls may legitimately invert
+    (small > 2x large) because sub-~10s absolute walls sit at the fixed
+    per-plan floor even after the per-probe warm pass -- but then the
+    artifact must SAY so per probe (wall_regime), and no inversion may
+    occur at real magnitudes (the harness files those as violations)."""
+    art = _latest_artifact()
+    for name, p in art["probes"].items():
+        ws, wl = p.get("wall_small_s"), p.get("wall_large_s")
+        if ws is None or wl is None or ws <= 2 * wl:
+            continue
+        regime = p.get("wall_regime", "")
+        assert regime.startswith("overhead-dominated"), (name, ws, wl, regime)

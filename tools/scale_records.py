@@ -61,6 +61,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA_RATIO = 10.0
 LINEAR_BOUND = 30.0  # linear-class ops: max allowed record-growth ratio
+# Wall-inversion annotation threshold: below this absolute small-side
+# wall, a small>2x-large inversion is classed overhead-dominated (the
+# fixed per-plan floor at fixture scales); at or above it the inversion
+# is flagged as a real violation (VERDICT r11 task 4).
+OVERHEAD_WALL_CEIL_S = 10.0
 
 # phase-class probes: name -> (max shuffle records per input row at
 # EITHER scale, tables whose parquet row counts are the input). The
@@ -412,6 +417,28 @@ def main() -> None:
             "wall_small_s": wall_small.get(name),
             "wall_large_s": wall_large.get(name),
         }
+        # Wall-inversion annotation (VERDICT r11 task 4): at decade-1
+        # absolute magnitudes (sub-~10s walls) the fixed per-plan floor
+        # -- stage scheduling, codegen compile, Arrow worker spin-up --
+        # dominates the data term even after the per-probe warm pass, so
+        # small-scale walls can legitimately exceed large-scale ones.
+        # Annotate those probes explicitly so the inversion reads as the
+        # measurement regime, not a scaling anomaly; an inversion at
+        # BIG walls gets a loud marker instead (it would be real).
+        ws, wl = wall_small.get(name), wall_large.get(name)
+        if ws is not None and wl is not None and ws > 2 * wl:
+            if ws < OVERHEAD_WALL_CEIL_S:
+                report[name]["wall_regime"] = (
+                    "overhead-dominated: absolute walls at the fixed"
+                    " per-plan floor; ordering at this magnitude is"
+                    " noise -- the record counts carry the scale claim"
+                )
+            else:
+                report[name]["wall_regime"] = "INVERTED-AT-SCALE (investigate)"
+                violations.append(
+                    f"{name}: wall {ws}s small > 2x {wl}s large at"
+                    f" >= {OVERHEAD_WALL_CEIL_S}s magnitude"
+                )
         if klass == "phase":
             coef_bound, tables = PHASE_PROBES[name]
             rs, rl = _input_rows(small, tables), _input_rows(large, tables)
