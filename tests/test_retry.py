@@ -115,3 +115,39 @@ class TestRetryThroughSource:
         )
         with pytest.raises(Exception, match="429 on page 2"):
             df.collect()
+
+
+class TestInTaskRetryGovernance:
+    """retry_attempts on paginated_source itself (r12): retries happen
+    INSIDE the task and every attempt re-acquires a bucket token, so a
+    retried wire request can never bypass the rate budget (the chaos
+    test asserts the aggregate bound on live TCP; this pins the unit
+    semantics without sockets)."""
+
+    def test_in_task_retries_recover_and_count_attempts(self, spark):
+        flaky = make_scripted_flaky_fetch({1: 2, 3: 1})
+        df = paginated_source(
+            spark, flaky, total_count=120, schema=PAGE_SCHEMA, per_page=50,
+            requests_per_minute=600, retry_attempts=3, retry_backoff=0.0,
+        )
+        assert sorted(r["rec_id"] for r in df.collect()) == list(range(120))
+
+    def test_in_task_budget_exhaustion_reraises_cause(self, spark):
+        doomed = make_scripted_flaky_fetch({2: 99})
+        df = paginated_source(
+            spark, doomed, total_count=120, schema=PAGE_SCHEMA, per_page=50,
+            requests_per_minute=600, retry_attempts=2, retry_backoff=0.0,
+        )
+        with pytest.raises(Exception, match="429 on page 2"):
+            df.collect()
+
+    def test_default_is_single_attempt(self, spark):
+        # retry_attempts defaults to 1: the pre-r12 behavior (transient
+        # error fails the task) is unchanged for every existing caller
+        flaky = make_scripted_flaky_fetch({1: 1})
+        df = paginated_source(
+            spark, flaky, total_count=120, schema=PAGE_SCHEMA, per_page=50,
+            requests_per_minute=600,
+        )
+        with pytest.raises(Exception, match="429 on page 1"):
+            df.collect()
