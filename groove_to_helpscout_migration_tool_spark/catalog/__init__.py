@@ -159,6 +159,12 @@ _CHANGED = {
     # SF (more probed cells => different candidate sets).
     "llm_ann_ivf_topk": 11,
     "llm_ann_ivf_kmeans_topk": 11,
+    # round 12: paginated_source's fetch task gained the in-task retry
+    # wrapper (every attempt re-acquires a bucket token; retry_attempts
+    # defaults to 1 so this query's values are identical by
+    # construction) -- but the mapInPandas closure bytes changed, so the
+    # sweep must re-certify the one catalog query that routes through it
+    "ref_s1_http_fixture_scan": 12,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB
