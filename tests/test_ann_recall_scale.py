@@ -106,3 +106,26 @@ def test_lsh_recall_does_not_degrade_with_scale():
     art = _load()
     snaps = sorted(art["snapshots"].values(), key=lambda s: s["n_vectors"])
     assert snaps[-1]["recall"]["lsh"] >= snaps[0]["recall"]["lsh"] - 0.05
+
+
+def test_lsh_scope_sweep_backs_the_small_n_re_scope():
+    """LSHSCOPE_r12.json (tools/lsh_scope_sweep.py): the committed
+    config sweep behind the r12 re-scope. The scope claim is exactly
+    `pruning_winners == []` -- NO (bands x bits x probe-budget) config
+    reaches >=0.9 recall below a 0.42 candidate fraction at sf1 or sf10,
+    so LSH cannot be this corpus's scale index at any bit budget. The
+    shipped 2x6 config's recall must still come out on top (it is the
+    small-N path precisely because it trades candidates for recall)."""
+    with open(os.path.join(REPO, "LSHSCOPE_r12.json")) as fh:
+        art = json.load(fh)
+    assert art["pruning_winners"] == []
+    for sf_dir, cfgs in art.items():
+        if sf_dir == "pruning_winners":
+            continue
+        shipped = cfgs["shipped-2x6"]
+        assert shipped["recall"] >= 0.9
+        others = [
+            r["recall"] for n, r in cfgs.items()
+            if isinstance(r, dict) and "recall" in r and n != "shipped-2x6"
+        ]
+        assert shipped["recall"] >= max(others), (sf_dir, shipped, max(others))
