@@ -165,6 +165,14 @@ _CHANGED = {
     # construction) -- but the mapInPandas closure bytes changed, so the
     # sweep must re-certify the one catalog query that routes through it
     "ref_s1_http_fixture_scan": 12,
+    # round 13: sq8_topk's pool cut and final rank moved from
+    # row_number().over(partitionBy("qid")) -- a corpus-wide window
+    # hash-exchanged into exactly Q partitions, the r12 weak grade -- to
+    # the shared salted two_phase_topk. Same (score DESC, nid ASC) order
+    # on bit-stable scores at both stages, so values are identical by
+    # construction, but the plan changed (now Window-free, audit-
+    # enforced), so the sweep must re-certify.
+    "llm_ann_quantized_topk": 13,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

@@ -723,6 +723,7 @@ def ivf_topk(
 # Scalar-quantized (SQ8 / int8) ANN: quantized scan + exact re-rank
 # ---------------------------------------------------------------------------
 SQ8_POOL = 50  # candidate pool per query fed to the exact re-rank
+SQ8_SALT = 8   # two_phase_topk salt width (matches the brute ANN path)
 
 
 def sq8_corpus(emb: DataFrame) -> DataFrame:
@@ -761,9 +762,11 @@ def sq8_topk(
 ) -> DataFrame:
     """ANN top-k with a scalar-quantized first pass: scan the int8
     corpus against the (broadcast) int8 query set, keep the top `pool`
-    candidates per query by approximate cosine, then exact-re-rank the
-    pool with the float path shared by every other ANN operator (so the
-    emitted cosines/order are bit-identical to the brute-force oracle).
+    candidates per query by approximate cosine via the salted
+    two_phase_topk (never a corpus-wide per-query window), then
+    exact-re-rank the pool with the float path shared by every other
+    ANN operator (so the emitted cosines/order are bit-identical to the
+    brute-force oracle). The whole plan is Window-free (audit-enforced).
 
     Exactness contract: the output EQUALS brute force whenever the true
     top-k survives the pool cut. SQ8's relative dot error is ~0.4%
@@ -796,13 +799,43 @@ def sq8_topk(
             ).alias("acos"),
         )
     )
-    wp = W.partitionBy("qid").orderBy(F.desc("acos"), F.asc("nid"))
-    cand = (
-        scored.withColumn("_r", F.row_number().over(wp))
-        .filter(F.col("_r") <= pool)
-        .select("qid", "nid")
+    # Pool cut through the shared salted two-phase top-k (r12 weak-grade
+    # fix): the old row_number().over(partitionBy("qid")) hash-exchanged
+    # all N x Q scored rows into exactly Q partitions and sorted the
+    # whole corpus inside each query's single task -- parallelism capped
+    # at the panel width no matter the cluster size. two_phase_topk
+    # bounds every (qid, salt) group map-side and merges <= SQ8_SALT *
+    # pool rows per query. acos needs no pre-rounding here: the int8 dot
+    # is exact and order-free and the scale division is one fixed
+    # per-row expression, so every row's acos is bit-stable under any
+    # partitioning; struct(acos DESC, nid ASC) == the old window's
+    # (acos DESC, nid ASC) order, making the pool set -- and therefore
+    # the output -- bit-identical to the r10-certified values.
+    cand = two_phase_topk(
+        scored.select("qid", "nid", F.col("acos").alias("cosine")),
+        "qid",
+        pool,
+        SQ8_SALT,
+    ).select("qid", "nid")
+    # Exact re-rank of the <= pool * Q survivors, also via the shared
+    # two-phase path (cosine pre-rounded to 6 by _rejoin_cosine), so the
+    # whole sq8 plan is Window-free -- tools/explain_audit.py forbids
+    # Window for this query. Same (cosine DESC, nid ASC) order and int
+    # rank as the _topk window it replaces.
+    ranked = two_phase_topk(
+        _rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv").select(
+            "qid", "nid", "cosine"
+        ),
+        "qid",
+        k,
+        SQ8_SALT,
     )
-    return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)
+    return ranked.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 

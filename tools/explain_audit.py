@@ -86,8 +86,13 @@ AUDIT = {
     # must both broadcast; the training side must never sort-merge
     "llm_decontaminate_bloom": (["BroadcastHashJoin", "BroadcastNestedLoopJoin"], ["SortMergeJoin", "CartesianProduct"]),
     # SQ8 ANN: int8 dot runs Arrow-batched; the corpus-side scan must
-    # never cartesian (the query side is a broadcast)
-    "llm_ann_quantized_topk": (["ArrowEvalPython|EvalPython", "BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    # never cartesian (the query side is a broadcast). Since r13 the
+    # pool cut AND the final rank route through the salted two-phase
+    # top-k, so the whole plan must be WINDOW-FREE: the r12 weak grade
+    # was a row_number().over(partitionBy(qid)) that hash-exchanged the
+    # N x Q scored frame into exactly Q partitions -- the corpus-wide
+    # per-query sort two_phase_topk exists to kill
+    "llm_ann_quantized_topk": (["ArrowEvalPython|EvalPython", "BroadcastNestedLoopJoin", "HashAggregate"], ["CartesianProduct", "Window"]),
     # temperature mixing: the O(languages) rate table joins back onto
     # the corpus as a broadcast; the corpus itself must never shuffle
     # (the tiny tot crossJoin is a 5x1 BroadcastNestedLoop -- allowed)
