@@ -68,7 +68,17 @@ def dedup_anti_join(
     """J5: drop incoming rows whose composite key already exists in the sink
     (duplicate-ticket skip, TicketProcessor.php:353-372). ``keys`` pairs
     (incoming_key, existing_key); string keys compare case-insensitively
-    upstream via lower()."""
+    upstream via lower().
+
+    Resume recipe caveat (the reference warns the same hazard as
+    HelpScout's pickup delay, README.md:74: receipts lag publishes): a
+    crashed publish run can still have POSTs in flight when the driver
+    regains control -- a job abort does not wait for sibling tasks'
+    requests on the wire. QUIESCE THE SINK (no active publisher work,
+    receipt feed stable), THEN fetch ``existing`` and anti-join;
+    snapshotting receipts immediately after the failure undercounts and
+    re-publishes whatever landed late. Exercised under injected chaos in
+    tests/test_http_live.py::_quiesce_publishes."""
     cond = None
     for ik, ek in keys:
         c = ik.eqNullSafe(ek)

@@ -337,6 +337,11 @@ class TestSyncTicketsResumeLive:
         with pytest.raises(Exception, match="500"):
             foreach_partition_sink(load(), client.publish, requests_per_minute=6000)
 
+        # The abort races in-flight sibling POSTs -- quiesce before the
+        # receipt snapshot or a straggler 201 lands after it and the
+        # resume anti-join re-publishes that partition (the r12 flake).
+        _quiesce_publishes(spark, s)
+
         def accepted():
             with s.lock:
                 return [
@@ -464,6 +469,39 @@ class TestGovernorUnderConcurrency:
         assert (len(times) - budget) / span <= budget / window * 1.05
 
 
+def _quiesce_publishes(spark, s, settle: float = 1.0, timeout: float = 30.0):
+    """Wait until run-1's publisher can no longer land receipts before
+    snapshotting them. A job abort (the injected mid-run 500) returns
+    control to the driver WHILE sibling tasks' POSTs are still on the
+    wire: a straggler's 201 can arrive AFTER a naive `accepted()`
+    snapshot, so the resume anti-join misses that record and one
+    partition re-publishes (the r12 flake: 20 duplicate receipts,
+    ~1-in-4 isolated runs). The production recipe is the same --
+    quiesce the sink, THEN fetch receipts (the reference documents the
+    dual hazard as HelpScout's pickup delay: receipts lag publishes, so
+    an immediate refetch undercounts). Two conditions, in order:
+    (1) Spark reports no active jobs -- no task can issue a new POST;
+    (2) the server's POST log is stable for `settle` seconds -- requests
+    already on the wire have been handled."""
+    deadline = time.time() + timeout
+    tracker = spark.sparkContext.statusTracker()
+    while tracker.getActiveJobsIds() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not tracker.getActiveJobsIds(), "publisher jobs never went idle"
+    with s.lock:
+        n = len(s.posts)
+    stable_at = time.time()
+    while time.time() < deadline:
+        time.sleep(0.1)
+        with s.lock:
+            m = len(s.posts)
+        if m != n:
+            n, stable_at = m, time.time()
+        elif time.time() - stable_at >= settle:
+            return
+    raise AssertionError("server POST log never quiesced")
+
+
 class TestGovernorUnderChaos:
     """VERDICT r11 task 7: the aggregate-budget and resume/receipt
     invariants under a server that injects 429/Retry-After and 5xx
@@ -568,6 +606,10 @@ class TestGovernorUnderChaos:
 
         with pytest.raises(Exception, match="500"):
             foreach_partition_sink(load(), client.publish, requests_per_minute=6000)
+
+        # Quiesce before snapshotting receipts (see _quiesce_publishes:
+        # the abort races in-flight sibling POSTs -- the r12 flake).
+        _quiesce_publishes(spark, s)
 
         def accepted():
             with s.lock:
