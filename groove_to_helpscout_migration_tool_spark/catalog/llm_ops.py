@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..operators.cache import persist_artifact
-from ..registry import register
+from ..registry import QUERIES, register
 from ..session import load_tables
 
 _TOKENS_SQL = "list_filter(str_split_regex(text, '\\s+'), x -> x <> '')"
@@ -1006,6 +1006,39 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return SIM.ivf_topk(t.embeddings, k=5, query_max_id=10, nprobe=5, kmeans_iters=1)
+
+
+@register(
+    "llm_ann_ivf_hybrid_topk",
+    oracle=None,  # assigned below: byte-identical to the brute-force oracle
+    doc=(
+        "Floor-carrying ANN (r13): the IVF probe's candidates UNIONED"
+        " with the global int8 two-phase pool as an exact safety net, one"
+        " shared exact re-rank (similarity.ivf_sq8_hybrid_topk). Built"
+        " after the committed routing sweep (tools/ivf_route_sweep.py,"
+        " IVFROUTE_r13.json) measured that NO per-query signal -- probe"
+        " margin, boundary gap, or retrieved-cosine -- separates the"
+        " quantizer-resolution-bound recall-tail offenders below a 0.25"
+        " routed fraction at every scale, so a per-query min-recall floor"
+        " requires a net over every query, not routing. min recall >= the"
+        " net's pool survival by construction (1.0 measured; >= 0.4"
+        " asserted per snapshot in tools/ann_recall.py). Certified"
+        " against the brute-force oracle itself: like the quantized"
+        " query, the net must be output-invisible."
+    ),
+)
+def llm_ann_ivf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return SIM.ivf_sq8_hybrid_topk(t.embeddings, k=5, query_max_id=10, nprobe=5)
+
+
+_hspec = QUERIES["llm_ann_ivf_hybrid_topk"]
+QUERIES["llm_ann_ivf_hybrid_topk"] = type(_hspec)(
+    name=_hspec.name,
+    fn=_hspec.fn,
+    oracle=QUERIES["llm_ann_topk_cosine"].oracle,
+    doc=_hspec.doc,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -361,9 +361,10 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, query_max_id: int = 10) -> DataF
     corpus geometry the true top-5 cosines sit in the sign-LSH noise
     band (0.32-0.48), so every config with >=0.9 recall needs a >=0.42
     candidate fraction (10-config sweep over bands 2-4 x bits 6-10 x
-    probe budgets 22-64/band) -- at sf10 the measured steady-state wall
-    is ~0.8x brute force, i.e. saturation, not indexing. For large
-    corpora use ivf_topk (steady-state ~0.2x brute at sf10, wall-pinned
+    probe budgets 22-64/band) -- the pinned artifact measures the sf10
+    steady-state wall at 0.675x brute (RECALL_r12.json
+    wall_ratio_vs_brute), i.e. saturation, not indexing. For large
+    corpora use ivf_topk (steady-state ~0.4x brute at sf10, wall-pinned
     in tools/ann_recall.py) or sq8_topk (exact, ~0.2x)."""
     emb = prepared(embeddings)
     ex = lsh_index(emb)
@@ -675,6 +676,20 @@ def ivf_topk(
     table; queries touch nprobe cells -- cost scales with cell
     occupancy, not corpus size."""
     emb = prepared(embeddings)
+    cand = _ivf_candidates(embeddings, emb, query_max_id, nprobe, kmeans_iters)
+    return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)
+
+
+def _ivf_candidates(
+    embeddings: DataFrame,
+    emb: DataFrame,
+    query_max_id: int,
+    nprobe: int,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """(qid, nid) candidate pairs from the IVF probe -- the candidate
+    generation of ivf_topk, extracted verbatim (r13) so the hybrid can
+    union it with the int8 safety net; ivf_topk's plan is unchanged."""
     if "label" in embeddings.columns:
         reps = embeddings.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
         cent_ids = reps.select(F.col("rep_id").alias("vec_id"))
@@ -710,13 +725,12 @@ def ivf_topk(
         )
         .select("qid", (-F.col("_s")["ncid"]).alias("cell"))
     )
-    cand = (
+    return (
         probes.join(assigned, ["cell"])
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("nid"))
         .distinct()
     )
-    return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)
 
 
 # ---------------------------------------------------------------------------
@@ -776,6 +790,34 @@ def sq8_topk(
     At 100 TB the approximate pass reads 1/4 the bytes of a float scan
     and the exact pass touches only pool * n_queries vectors."""
     emb = prepared(embeddings)
+    cand = _sq8_pool_candidates(emb, pool, query_max_id)
+    # Exact re-rank of the <= pool * Q survivors, also via the shared
+    # two-phase path (cosine pre-rounded to 6 by _rejoin_cosine), so the
+    # whole sq8 plan is Window-free -- tools/explain_audit.py forbids
+    # Window for this query. Same (cosine DESC, nid ASC) order and int
+    # rank as the _topk window it replaces.
+    ranked = two_phase_topk(
+        _rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv").select(
+            "qid", "nid", "cosine"
+        ),
+        "qid",
+        k,
+        SQ8_SALT,
+    )
+    return ranked.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _sq8_pool_candidates(
+    emb: DataFrame, pool: int, query_max_id: int
+) -> DataFrame:
+    """(qid, nid) candidate pairs from the int8 approximate pass -- the
+    pool cut of sq8_topk, extracted (r13) so the IVF hybrid can union it
+    as its exact safety net; sq8_topk's plan is unchanged."""
     qc = sq8_corpus(emb)
     q = qc.filter(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("qid"),
@@ -811,17 +853,55 @@ def sq8_topk(
     # partitioning; struct(acos DESC, nid ASC) == the old window's
     # (acos DESC, nid ASC) order, making the pool set -- and therefore
     # the output -- bit-identical to the r10-certified values.
-    cand = two_phase_topk(
+    return two_phase_topk(
         scored.select("qid", "nid", F.col("acos").alias("cosine")),
         "qid",
         pool,
         SQ8_SALT,
     ).select("qid", "nid")
-    # Exact re-rank of the <= pool * Q survivors, also via the shared
-    # two-phase path (cosine pre-rounded to 6 by _rejoin_cosine), so the
-    # whole sq8 plan is Window-free -- tools/explain_audit.py forbids
-    # Window for this query. Same (cosine DESC, nid ASC) order and int
-    # rank as the _topk window it replaces.
+
+
+def ivf_sq8_hybrid_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_max_id: int = 10,
+    nprobe: int = 5,
+    pool: int = SQ8_POOL,
+) -> DataFrame:
+    """Floor-carrying ANN (VERDICT r12 task 3): per-query candidates =
+    the IVF probe's candidates UNION the global int8 two-phase pool,
+    one shared exact re-rank. nprobe=5 is the certified catalog IVF
+    config (llm_ann_ivf_topk).
+
+    Why a union over EVERY query and not margin routing: the committed
+    routing sweep (tools/ivf_route_sweep.py, IVFROUTE_r13.json) measured
+    every candidate signal -- the probe-horizon margin VERDICT r12
+    named, the probe-boundary gap, and the result-aware k-th retrieved
+    cosine -- against the actual recall-tail offenders at sf0.1/sf1/sf10
+    and found NONE that catches them below a 0.25 routed fraction at
+    every scale (at sf10 the offenders sit AT the panel median margin:
+    0.18-0.20 vs median 0.20). The offenders are quantizer-resolution-
+    bound (their true top-5 are cross-cluster noise-band cosines spread
+    uniformly over unprobed cells -- NOTES.md round 12), so no cell-
+    geometry statistic can see them. The floor therefore needs an exact
+    safety net on every query; the cheapest is the int8 pool (1
+    byte/dim scan bandwidth, pool cut via the salted two_phase_topk,
+    pool-survival recall 1.0 measured at every snapshot), giving
+    min-recall >= the net's pool survival by construction -- asserted
+    >= 0.4 per snapshot in tools/ann_recall.py.
+
+    At 100 TB: the IVF leg serves the clustered mass at sublinear cost;
+    the net leg is one quantized linear scan at a quarter of the float
+    bandwidth -- the price of a per-query guarantee on a corpus whose
+    tail is provably invisible to the quantizer. Plan: Window-free, no
+    cartesian (the query side broadcasts in both legs), candidates
+    deduped by one (qid, nid) hash aggregate."""
+    emb = prepared(embeddings)
+    cand = (
+        _ivf_candidates(embeddings, emb, query_max_id, nprobe)
+        .unionByName(_sq8_pool_candidates(emb, pool, query_max_id))
+        .distinct()
+    )
     ranked = two_phase_topk(
         _rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv").select(
             "qid", "nid", "cosine"

@@ -5,9 +5,19 @@ Hash certification proves the bucketed/capped ANN plans compute their
 own semantics exactly; it cannot see approximation-quality drift (LSH
 bucket saturation, quantizer overlap). tools/ann_recall.py measures
 recall@k against the brute-force baseline on a FIXED 200-query panel at
-sf0.1/sf1/sf10 and stamps RECALL_r12.json; this test asserts the
+sf0.1/sf1/sf10 and stamps RECALL_r13.json; this test asserts the
 committed artifact's floors so a regenerated artifact with degraded
 recall turns the suite red.
+
+r13 adds the hybrid family (similarity.ivf_sq8_hybrid_topk: IVF probe
+candidates UNION the int8 pool as an exact safety net) and the MIN
+per-query floor it carries -- built after the committed routing sweep
+(tools/ivf_route_sweep.py, IVFROUTE_r13.json) measured that no
+per-query signal separates the quantizer-resolution-bound IVF tail
+offenders below a 0.25 routed fraction at every scale, so routing (the
+form VERDICT r12 named) cannot carry the floor; a net over every query
+can. Plain ivf stays measured (lockstep with the certified catalog
+config) with a documented min-floor exemption.
 
 History: under nprobe=3 the label-seeded IVF quantizer measured
 recall@5 = 0.612 at sf1 / 0.648 at sf10 -- below the 0.7 floor the
@@ -25,12 +35,15 @@ import json
 import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ARTIFACT = os.path.join(REPO, "RECALL_r12.json")
+ARTIFACT = os.path.join(REPO, "RECALL_r13.json")
 
 FLOOR = 0.7
 P10_FLOOR = 0.4
+MIN_FLOOR = 0.4
 IVF_WALL_RATIO_MAX = 0.5
-FAMILIES = ("lsh", "ivf", "sq8")
+HYBRID_WALL_RATIO_MAX = 0.75
+FAMILIES = ("lsh", "ivf", "sq8", "hybrid")
+MIN_FLOOR_FAMILIES = ("lsh", "sq8", "hybrid")  # ivf: documented exemption
 
 
 def _load():
@@ -70,6 +83,61 @@ def test_per_query_tail_floors_hold():
             assert r >= P10_FLOOR, f"{sf_dir} {fam} p10 {r} < {P10_FLOOR}"
 
 
+def test_min_query_floor_holds_for_floor_carrying_families():
+    # VERDICT r12 task 3: the floor raised from p10-only to MIN. Plain
+    # ivf carries a documented exemption (quantizer-resolution-bound
+    # tail, no usable routing signal -- IVFROUTE_r13.json); every other
+    # family must keep its worst query at or above the floor.
+    art = _load()
+    assert art["min_floors"]["hybrid"] == MIN_FLOOR
+    assert art["min_floors"]["ivf"] is None
+    assert "ivf" in art["min_floor_exemption"]
+    for sf_dir, snap in art["snapshots"].items():
+        for fam in MIN_FLOOR_FAMILIES:
+            r = snap["min_query_recall"][fam]
+            assert r >= MIN_FLOOR, f"{sf_dir} {fam} min {r} < {MIN_FLOOR}"
+
+
+def test_routing_sweep_backs_the_exemption_and_the_net():
+    """IVFROUTE_r13.json (tools/ivf_route_sweep.py): the measurement
+    behind both the ivf min-floor exemption and the hybrid's design --
+    no signal catches the recall-tail offenders below a 0.25 routed
+    fraction at every snapshot, so the floor needs a net, not routing."""
+    with open(os.path.join(REPO, "IVFROUTE_r13.json")) as fh:
+        art = json.load(fh)
+    assert art["routing_signal_usable"] is False
+    names = list(next(iter(art["snapshots"].values()))["signals"])
+    for name in names:
+        worst = max(
+            s["signals"][name]["routed_fraction_at_catch_all"]
+            for s in art["snapshots"].values()
+        )
+        assert worst >= 0.25, (name, worst)
+
+
+def test_hybrid_dominates_ivf_everywhere():
+    # the hybrid's candidates are a superset of ivf's by construction
+    # (union with the int8 pool), so its recall can never be below
+    # ivf's at any percentile; a violation means the union broke.
+    art = _load()
+    for sf_dir, snap in art["snapshots"].items():
+        for stat in ("recall", "p10_query_recall", "min_query_recall"):
+            assert snap[stat]["hybrid"] >= snap[stat]["ivf"], (sf_dir, stat)
+
+
+def test_lsh_build_cost_is_priced():
+    # VERDICT r12 task 6: the index-build premium must be amortization
+    # math in the artifact, not a vibe. At the largest snapshot the
+    # break-even must be finite (LSH steady does beat brute there) and
+    # small enough that the small-N scope note is coherent.
+    art = _load()
+    be = art["lsh_break_even_batches"]
+    largest_dir = max(
+        art["snapshots"], key=lambda d: art["snapshots"][d]["n_vectors"]
+    )
+    assert be[largest_dir] is not None and be[largest_dir] > 0
+
+
 def test_sq8_is_an_exactness_control():
     # sq8's 10x pool + exact re-rank makes it bit-identical to brute
     # force by design; anything below 1.0 means the pool cut lost a true
@@ -90,10 +158,16 @@ def test_ivf_is_the_asserted_scale_path():
     # carry the documented LSH small-N scope.
     art = _load()
     assert art["ivf_wall_ratio_max"] == IVF_WALL_RATIO_MAX
+    assert art["hybrid_wall_ratio_max"] == HYBRID_WALL_RATIO_MAX
     assert "small-N" in art["lsh_scope"]
     largest = max(art["snapshots"].values(), key=lambda s: s["n_vectors"])
     ratio = largest["wall_ratio_vs_brute"]["ivf"]
     assert ratio <= IVF_WALL_RATIO_MAX, ratio
+    # the floor-carrying hybrid must also beat the guarantee-free exact
+    # scan at the largest snapshot -- a per-query guarantee that costs
+    # more than brute force is not a scale path
+    hratio = largest["wall_ratio_vs_brute"]["hybrid"]
+    assert hratio <= HYBRID_WALL_RATIO_MAX, hratio
 
 
 def test_lsh_recall_does_not_degrade_with_scale():

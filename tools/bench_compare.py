@@ -61,7 +61,15 @@ def _calib_of(rec: dict, path: str) -> float:
     float() raised a TypeError on detail files)."""
     calib = rec.get("calib")
     if isinstance(calib, dict):
+        # a calib DICT is a detail stamp by contract -- one without a
+        # numeric median is malformed, not "unset"; falling back to 1.0
+        # here would silently mis-normalize the comparison (ADVICE r12)
         calib = calib.get("median")
+        if calib is None:
+            raise SystemExit(
+                f"{path}: calib dict lacks a numeric 'median':"
+                f" {rec.get('calib')!r}"
+            )
     if calib is None:
         return 1.0
     try:

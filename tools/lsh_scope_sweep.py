@@ -97,7 +97,15 @@ def sweep_config(V, nrm, cosq, nbands, bits, pats, panel, k):
             buckets[key].append(i)
     recs, fracs = [], []
     for q in range(panel):
-        true_nb = set(np.argsort(-np.round(cosq[q], 9))[:k])
+        # deterministic truth order: (cosine DESC, nid ASC) -- the
+        # lsh_topk / ann_recall tie-break (ADVICE r12: a bare unstable
+        # argsort breaks rank-k ties arbitrarily, and the shipped-config
+        # must-win assertion rides on a 0.007 margin at sf10)
+        true_nb = set(
+            np.lexsort((np.arange(cosq.shape[1]), -np.round(cosq[q], 9)))[
+                :k
+            ].tolist()
+        )
         cand: set[int] = set()
         for b in range(nbands):
             seg = bitsm[q, b * bits : (b + 1) * bits]
