@@ -262,8 +262,11 @@ def main() -> None:
     for sf_dir, snap in snapshots.items():
         saving = snap["wall_s"]["brute"] - snap["wall_s"]["lsh"]
         premium = snap["wall_build_s"]["lsh"] - snap["wall_build_s"]["brute"]
+        # premium <= 0 (build no dearer than brute's own prepared()
+        # build) pays back immediately -> 0 batches; saving <= 0 (steady
+        # LSH not faster) -> the index NEVER pays back -> null
         lsh_break_even[sf_dir] = (
-            round(premium / saving, 1) if saving > 0 else None
+            round(max(premium, 0.0) / saving, 1) if saving > 0 else None
         )
     from tools.lsh_scope_sweep import CONFIGS as LSH_CONFIGS
 

@@ -93,6 +93,11 @@ AUDIT = {
     # N x Q scored frame into exactly Q partitions -- the corpus-wide
     # per-query sort two_phase_topk exists to kill
     "llm_ann_quantized_topk": (["ArrowEvalPython|EvalPython", "BroadcastNestedLoopJoin", "HashAggregate"], ["CartesianProduct", "Window"]),
+    # r13 floor-carrying hybrid: IVF probe candidates UNION the int8
+    # pool -- both legs broadcast their query side and rank through the
+    # salted two-phase aggregates, so like the sq8 plan it must be
+    # entirely Window-free and cartesian-free
+    "llm_ann_ivf_hybrid_topk": (["ArrowEvalPython|EvalPython", "BroadcastNestedLoopJoin", "HashAggregate", "Union"], ["CartesianProduct", "Window"]),
     # temperature mixing: the O(languages) rate table joins back onto
     # the corpus as a broadcast; the corpus itself must never shuffle
     # (the tiny tot crossJoin is a 5x1 BroadcastNestedLoop -- allowed)

@@ -40,6 +40,102 @@ def complex_output_cols(schema) -> list[str]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# Bounded-output certification forms for the full-window sorts
+# (VERDICT r12 task 4). At sf10 these queries emit the whole 15M-row
+# orders window; the engines compute them in seconds but this mirror's
+# canonicalizer (collect + python sort/sha256 of 15M rows PER ENGINE)
+# costs ~10min/query -- which is why q10/w01-w03 kept riding stale sf10
+# certs. With MINIDRIVER_DIGEST=1 the listed queries are certified
+# through an order-insensitive integer digest computed INSIDE each
+# engine: rows bucket by (key % 4096) and each output column
+# contributes per bucket its count, its coalesced sum, and a
+# weight-mixed sum (value * (weight % 99991 + 1)) that binds values to
+# their rows -- a cross-row value swap inside a bucket flips the mixed
+# sum. Money columns go through floor(x*100 + 0.5) cents first (the
+# repo's exact-cents discipline; both engines floor the SAME rounded
+# double, so the digest is integer-exact). All sums fit BIGINT with
+# >100x headroom at sf10 (max |value*weight| ~ 2e14/row, <= 4k rows per
+# bucket). The official sf0.01 driver path never digests -- full
+# value-hash certification there is cheap and stays the gate.
+SCALE_DIGEST: dict[str, dict] = {
+    "w01_order_rank_lag": {
+        "key": "custkey",
+        "weight": "orderkey",
+        "int_cols": [
+            "custkey", "orderkey", "rn", "rnk",
+            "prev_orderkey", "next_orderkey",
+        ],
+        "money_cols": [],
+    },
+    "w02_running_customer_spend": {
+        "key": "custkey",
+        "weight": "orderkey",
+        "int_cols": ["custkey", "orderkey"],
+        "money_cols": ["running_spend"],
+    },
+    "w03_top3_orders_per_customer": {
+        "key": "custkey",
+        "weight": "orderkey",
+        "int_cols": ["custkey", "orderkey", "rn"],
+        "money_cols": [],
+    },
+}
+DIGEST_BUCKETS = 4096
+DIGEST_MIX_MOD = 99991
+
+
+def digest_spark(df, spec):
+    """Wrap a query's output DataFrame in the bucketed integer digest."""
+    from pyspark.sql import functions as F
+
+    w = (
+        F.pmod(F.col(spec["weight"]), F.lit(DIGEST_MIX_MOD)) + F.lit(1)
+    ).cast("bigint")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in spec["int_cols"]:
+        v = F.coalesce(F.col(c).cast("bigint"), F.lit(0))
+        aggs.append(F.sum(v).cast("bigint").alias(f"s_{c}"))
+        aggs.append(F.sum(v * w).cast("bigint").alias(f"m_{c}"))
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"c_{c}"))
+    for c in spec["money_cols"]:
+        cents = F.coalesce(
+            F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint"), F.lit(0)
+        )
+        aggs.append(F.sum(cents).cast("bigint").alias(f"s_{c}"))
+        aggs.append(F.sum(cents * w).cast("bigint").alias(f"m_{c}"))
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"c_{c}"))
+    bucket = (
+        F.pmod(F.col(spec["key"]), F.lit(DIGEST_BUCKETS))
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return df.groupBy(bucket).agg(*aggs)
+
+
+def digest_sql(oracle: str, spec) -> str:
+    """The DuckDB mirror of digest_spark over the query's oracle SQL."""
+    w = f"({spec['weight']} % {DIGEST_MIX_MOD} + 1)"
+    cols = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in spec["int_cols"]:
+        cols.append(f"CAST(sum(coalesce({c}, 0)) AS BIGINT) AS s_{c}")
+        cols.append(
+            f"CAST(sum(coalesce({c}, 0) * {w}) AS BIGINT) AS m_{c}"
+        )
+        cols.append(f"CAST(count({c}) AS BIGINT) AS c_{c}")
+    for c in spec["money_cols"]:
+        cents = f"coalesce(CAST(floor({c} * 100 + 0.5) AS BIGINT), 0)"
+        cols.append(f"CAST(sum({cents}) AS BIGINT) AS s_{c}")
+        cols.append(f"CAST(sum({cents} * {w}) AS BIGINT) AS m_{c}")
+        cols.append(f"CAST(count({c}) AS BIGINT) AS c_{c}")
+    return (
+        f"WITH _digest_base AS ({oracle})\n"
+        f"SELECT CAST({spec['key']} % {DIGEST_BUCKETS} AS BIGINT) AS bucket,\n"
+        + ",\n".join("       " + c for c in cols)
+        + "\nFROM _digest_base GROUP BY 1"
+    )
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -124,12 +220,16 @@ def main():
             "oracle_rows": oracle_rows, "err": err,
         }
 
+    digest_on = os.environ.get("MINIDRIVER_DIGEST") == "1"
     for name, spec in catalog.QUERIES.items():
         if only and name not in only:
             continue
+        dspec = SCALE_DIGEST.get(name) if digest_on else None
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
+            if dspec is not None:
+                sdf = digest_spark(sdf, dspec)
             bad = complex_output_cols(sdf.schema)
             if bad:
                 # Mirror the OFFICIAL driver's failure mode, loudly: its
@@ -153,7 +253,12 @@ def main():
             rec(name, spark_rows=len(srows), err="no_oracle")
             continue
         try:
-            res = con.execute(spec.oracle)
+            osql = (
+                digest_sql(spec.oracle, dspec)
+                if dspec is not None
+                else spec.oracle
+            )
+            res = con.execute(osql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:
@@ -186,7 +291,10 @@ def main():
             if os_:
                 print(f"      duck-only  sample: {os_}")
         else:
-            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            tag = " [digest]" if dspec is not None else ""
+            print(
+                f"PASS  {name}: {len(srows)} rows{tag} ({time.time()-t0:.1f}s)"
+            )
         rec(
             name,
             rows_match=len(srows) == len(orows),
@@ -196,6 +304,8 @@ def main():
             oracle_rows=len(orows),
             err="; ".join(problems) or None,
         )
+        if dspec is not None:
+            record[name]["digest"] = True
     out = os.environ.get("MINIDRIVER_JSON")
     if out:
         with open(out, "w") as f:
