@@ -65,6 +65,24 @@ def test_sq8_topk_equals_brute(spark, sf_dir):
     unpersist_artifacts()
 
 
+def test_ivf_hybrid_equals_brute_and_contains_ivf(spark, sf_dir):
+    """The r13 floor-carrying hybrid: (a) output bit-identical to brute
+    (its int8 net's pool survival is 1.0, so the exact re-rank over the
+    union sees every true neighbor -- the certification contract); (b)
+    the union really is a superset of the IVF leg: every (qid, nid) the
+    plain IVF query returns with a top-k-worthy cosine is reachable,
+    which we pin structurally by checking the hybrid's result is never
+    WORSE than ivf's per query (same-or-higher cosine at every rank)."""
+    brute = catalog.QUERIES["llm_ann_topk_cosine"].fn(spark, sf_dir)
+    hy = catalog.QUERIES["llm_ann_ivf_hybrid_topk"].fn(spark, sf_dir)
+    assert _rows(hy) == _rows(brute)
+    ivf = catalog.QUERIES["llm_ann_ivf_topk"].fn(spark, sf_dir)
+    hyc = {(r["query_id"], r["rank"]): r["cosine"] for r in hy.collect()}
+    for r in ivf.collect():
+        assert hyc[(r["query_id"], r["rank"])] >= r["cosine"], r
+    unpersist_artifacts()
+
+
 def test_sq8_pool_recall_has_margin(spark, sf_dir):
     """Every true top-5 neighbor must sit WELL inside the approx pool
     (rank <= pool/2), so the exactness contract holds with margin rather
