@@ -183,14 +183,18 @@ def test_lsh_recall_does_not_degrade_with_scale():
 
 
 def test_lsh_scope_sweep_backs_the_small_n_re_scope():
-    """LSHSCOPE_r12.json (tools/lsh_scope_sweep.py): the committed
-    config sweep behind the r12 re-scope. The scope claim is exactly
+    """LSHSCOPE_r13.json (tools/lsh_scope_sweep.py): the committed
+    config sweep behind the r12 re-scope, regenerated r13 with the
+    deterministic (cosine DESC, nid ASC) ground-truth tie-break (ADVICE
+    r12: the shipped-must-win assertion rides on a 0.007 margin at
+    sf10, so tie noise had to go; the regenerated values match r12's to
+    <0.005 everywhere). The scope claim is exactly
     `pruning_winners == []` -- NO (bands x bits x probe-budget) config
     reaches >=0.9 recall below a 0.42 candidate fraction at sf1 or sf10,
     so LSH cannot be this corpus's scale index at any bit budget. The
     shipped 2x6 config's recall must still come out on top (it is the
     small-N path precisely because it trades candidates for recall)."""
-    with open(os.path.join(REPO, "LSHSCOPE_r12.json")) as fh:
+    with open(os.path.join(REPO, "LSHSCOPE_r13.json")) as fh:
         art = json.load(fh)
     assert art["pruning_winners"] == []
     for sf_dir, cfgs in art.items():

@@ -107,6 +107,9 @@ PROBES = {
     "llm_ann_lsh_topk": "linear",
     "llm_ann_ivf_topk": "linear",
     "llm_ann_quantized_topk": "linear",
+    # r13 floor-carrying hybrid: both legs are corpus-linear (IVF cell
+    # join + int8 scan vs a fixed query panel), so the union is too
+    "llm_ann_ivf_hybrid_topk": "linear",
     # corpus-maintenance family (r6 continuation): segment hashing,
     # delta-bounded incremental probe, broadcast retrieval, vocab-bounded
     # BPE round, NFEAT-bounded DSIR scoring -- all must grow ~linearly
