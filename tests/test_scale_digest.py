@@ -36,7 +36,10 @@ from tools.minidriver import (  # noqa: E402
 )
 
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = ["customer", "orders", "lineitem", "nation"]
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 
 
 def _duck():

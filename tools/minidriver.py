@@ -66,7 +66,6 @@ SCALE_DIGEST: dict[str, dict] = {
             "custkey", "orderkey", "rn", "rnk",
             "prev_orderkey", "next_orderkey",
         ],
-        "money_cols": [],
     },
     "w02_running_customer_spend": {
         "key": "custkey",
@@ -78,7 +77,57 @@ SCALE_DIGEST: dict[str, dict] = {
         "key": "custkey",
         "weight": "orderkey",
         "int_cols": ["custkey", "orderkey", "rn"],
-        "money_cols": [],
+    },
+    # The other large-output rotation members (r13): digesting these
+    # keeps EVERY future sweep-front sf10 refresh in the
+    # seconds-per-query regime no matter which cohort rotates in (the
+    # r13 front paid 210s for ref_s5's 15M-row canonicalization and
+    # 153s for hashing_vectorizer's 9.5M rows). String columns digest
+    # as length + first-codepoint mixes plus an exact per-bucket
+    # distinct count; fixed6 columns are round(x, 6) outputs whose 6dp
+    # cents-style scaling is exact cross-engine (both engines emit the
+    # same rounded double, pinned by the full-form certs at sf0.01-1).
+    "ref_s5_nested_scan_fanout": {
+        "key": "ticket_number",
+        "weight": "ticket_number",
+        "int_cols": ["ticket_number", "n_messages", "n_pages"],
+    },
+    "ref_p8_thread_classify": {
+        "key": "event_id",
+        "weight": "event_id",
+        "int_cols": ["event_id"],
+        "str_cols": ["thread_type"],
+    },
+    "llm_hashing_vectorizer": {
+        "key": "doc_id",
+        "weight": "dim",
+        "int_cols": ["doc_id", "dim", "weight_raw"],
+        "fixed6_cols": ["weight_l2"],
+    },
+    "llm_tfidf_top_terms": {
+        "key": "doc_id",
+        "weight": "rank",
+        "int_cols": ["doc_id", "rank"],
+        "str_cols": ["term"],
+        "fixed6_cols": ["tfidf"],
+    },
+    "ref_p2_name_split": {
+        "key": "custkey",
+        "weight": "custkey",
+        "int_cols": ["custkey"],
+        "str_cols": ["full_name", "first_name", "last_name"],
+    },
+    "ref_p4_email_split": {
+        "key": "custkey",
+        "weight": "custkey",
+        "int_cols": ["custkey", "n_emails", "all_valid"],
+        "str_cols": ["primary_email", "emails_joined"],
+    },
+    "ref_p6_link_extract": {
+        "key": "custkey",
+        "weight": "custkey",
+        "int_cols": ["custkey"],
+        "str_cols": ["href", "kind", "link_id"],
     },
 }
 DIGEST_BUCKETS = 4096
@@ -93,17 +142,36 @@ def digest_spark(df, spec):
         F.pmod(F.col(spec["weight"]), F.lit(DIGEST_MIX_MOD)) + F.lit(1)
     ).cast("bigint")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
-    for c in spec["int_cols"]:
+    for c in spec.get("int_cols", []):
         v = F.coalesce(F.col(c).cast("bigint"), F.lit(0))
         aggs.append(F.sum(v).cast("bigint").alias(f"s_{c}"))
         aggs.append(F.sum(v * w).cast("bigint").alias(f"m_{c}"))
         aggs.append(F.count(F.col(c)).cast("bigint").alias(f"c_{c}"))
-    for c in spec["money_cols"]:
+    for c in spec.get("money_cols", []):
         cents = F.coalesce(
             F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint"), F.lit(0)
         )
         aggs.append(F.sum(cents).cast("bigint").alias(f"s_{c}"))
         aggs.append(F.sum(cents * w).cast("bigint").alias(f"m_{c}"))
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"c_{c}"))
+    for c in spec.get("fixed6_cols", []):
+        v6 = F.coalesce(
+            F.floor(F.col(c) * 1000000 + F.lit(0.5)).cast("bigint"), F.lit(0)
+        )
+        aggs.append(F.sum(v6).cast("bigint").alias(f"s_{c}"))
+        aggs.append(F.sum(v6 * w).cast("bigint").alias(f"m_{c}"))
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"c_{c}"))
+    for c in spec.get("str_cols", []):
+        sig = F.coalesce(
+            (
+                F.length(F.col(c)).cast("bigint") * F.lit(31)
+                + F.ascii(F.substring(F.col(c), 1, 1)).cast("bigint")
+            ),
+            F.lit(0),
+        )
+        aggs.append(F.sum(sig).cast("bigint").alias(f"s_{c}"))
+        aggs.append(F.sum(sig * w).cast("bigint").alias(f"m_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"d_{c}"))
         aggs.append(F.count(F.col(c)).cast("bigint").alias(f"c_{c}"))
     bucket = (
         F.pmod(F.col(spec["key"]), F.lit(DIGEST_BUCKETS))
@@ -117,16 +185,29 @@ def digest_sql(oracle: str, spec) -> str:
     """The DuckDB mirror of digest_spark over the query's oracle SQL."""
     w = f"({spec['weight']} % {DIGEST_MIX_MOD} + 1)"
     cols = ["CAST(count(*) AS BIGINT) AS n"]
-    for c in spec["int_cols"]:
-        cols.append(f"CAST(sum(coalesce({c}, 0)) AS BIGINT) AS s_{c}")
-        cols.append(
-            f"CAST(sum(coalesce({c}, 0) * {w}) AS BIGINT) AS m_{c}"
-        )
+    for c in spec.get("int_cols", []):
+        v = f"coalesce(CAST({c} AS BIGINT), 0)"
+        cols.append(f"CAST(sum({v}) AS BIGINT) AS s_{c}")
+        cols.append(f"CAST(sum({v} * {w}) AS BIGINT) AS m_{c}")
         cols.append(f"CAST(count({c}) AS BIGINT) AS c_{c}")
-    for c in spec["money_cols"]:
+    for c in spec.get("money_cols", []):
         cents = f"coalesce(CAST(floor({c} * 100 + 0.5) AS BIGINT), 0)"
         cols.append(f"CAST(sum({cents}) AS BIGINT) AS s_{c}")
         cols.append(f"CAST(sum({cents} * {w}) AS BIGINT) AS m_{c}")
+        cols.append(f"CAST(count({c}) AS BIGINT) AS c_{c}")
+    for c in spec.get("fixed6_cols", []):
+        v6 = f"coalesce(CAST(floor({c} * 1000000 + 0.5) AS BIGINT), 0)"
+        cols.append(f"CAST(sum({v6}) AS BIGINT) AS s_{c}")
+        cols.append(f"CAST(sum({v6} * {w}) AS BIGINT) AS m_{c}")
+        cols.append(f"CAST(count({c}) AS BIGINT) AS c_{c}")
+    for c in spec.get("str_cols", []):
+        sig = (
+            f"coalesce(CAST(length({c}) AS BIGINT) * 31"
+            f" + CAST(ascii(substr({c}, 1, 1)) AS BIGINT), 0)"
+        )
+        cols.append(f"CAST(sum({sig}) AS BIGINT) AS s_{c}")
+        cols.append(f"CAST(sum({sig} * {w}) AS BIGINT) AS m_{c}")
+        cols.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS d_{c}")
         cols.append(f"CAST(count({c}) AS BIGINT) AS c_{c}")
     return (
         f"WITH _digest_base AS ({oracle})\n"
