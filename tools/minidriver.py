@@ -129,6 +129,28 @@ SCALE_DIGEST: dict[str, dict] = {
         "int_cols": ["custkey"],
         "str_cols": ["href", "kind", "link_id"],
     },
+    # the single biggest full-form output in the catalog: all 60M
+    # lineitem rows with ~60-char synthesized bodies; the r13 cohort
+    # run measured its full-form sf10 canonicalization at >48min
+    "ref_p15_attachment_failure_note": {
+        "key": "orderkey",
+        "weight": "linenumber",
+        "int_cols": ["orderkey", "linenumber", "author_user_id"],
+        "str_cols": ["thread_type", "body"],
+    },
+    # ~48M rows at sf10 (80% of lineitem passes the size filter)
+    "ref_p14_size_guard": {
+        "key": "orderkey",
+        "weight": "linenumber",
+        "int_cols": ["orderkey", "linenumber", "size_bytes", "oversize_warn"],
+    },
+    # ~11M orders rows at sf10
+    "ref_p16_tags_passthrough": {
+        "key": "orderkey",
+        "weight": "orderkey",
+        "int_cols": ["orderkey", "n_tags"],
+        "str_cols": ["tags_joined"],
+    },
 }
 DIGEST_BUCKETS = 4096
 DIGEST_MIX_MOD = 99991
