@@ -173,6 +173,12 @@ _CHANGED = {
     # construction, but the plan changed (now Window-free, audit-
     # enforced), so the sweep must re-certify.
     "llm_ann_quantized_topk": 13,
+    # round 13 (continuation): candidate generation extracted from
+    # ivf_probe_delta into _ivf_delta_candidates so the incremental
+    # hybrid can union it with the int8 net -- identical expressions,
+    # plan-identical by construction, but code moved, so fronted (the
+    # r9 "code moved, fronted anyway" discipline).
+    "llm_ann_incremental_ivf": 13,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

@@ -1041,6 +1041,65 @@ def llm_ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_probe_delta(t.embeddings, k=5, delta_mod=DELTA_MOD, nprobe=3)
 
 
+# Certification panel cap for the incremental HYBRID: keeps the brute
+# oracle at <= 200 delta queries at every generated scale (the
+# RAG_QUERY_CAP precedent -- an uncapped panel grows with the corpus and
+# makes the sf10 oracle a 1.9B-pair scan). Production: query_cap=None.
+DELTA_QUERY_CAP = 4000
+
+
+@register(
+    "llm_ann_incremental_hybrid",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id % {DELTA_MOD} = 0 AND vec_id < {DELTA_QUERY_CAP}),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(
+           list_sum(list_transform(range(1, len(q.qv) + 1),
+                    i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                    i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6)
+           AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id % {DELTA_MOD} <> 0
+)
+SELECT qid AS query_id, nid AS neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+  FROM pairs
+) WHERE rn <= 5
+""",
+    doc=(
+        "Floor-carrying INCREMENTAL ANN (r13): the living-dataset twin"
+        " of llm_ann_ivf_hybrid_topk. The delta batch probes the"
+        " standing IVF index exactly as llm_ann_incremental_ivf does,"
+        " UNIONED with the int8 two-phase pool of the delta queries"
+        " against the base corpus, one shared exact re-rank"
+        " (similarity.ivf_sq8_hybrid_delta). The probe leg's per-batch"
+        " cost scales with delta x nprobe x cell width; the net leg is"
+        " one quantized (1 byte/dim) base scan per batch -- the price"
+        " of a per-query min-recall guarantee that IVFROUTE_r13.json"
+        " shows no routing signal can deliver. Certified against the"
+        " brute-force oracle over (capped delta x base): like SQ8, the"
+        " whole approximate machinery must be output-invisible. The"
+        " certification panel caps delta at vec_id < 4000 (~200"
+        " queries at every generated scale, the RAG_QUERY_CAP"
+        " precedent); production runs uncapped."
+    ),
+)
+def llm_ann_incremental_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as SIM
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return SIM.ivf_sq8_hybrid_delta(
+        t.embeddings, k=5, delta_mod=DELTA_MOD, nprobe=3,
+        query_cap=DELTA_QUERY_CAP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-source drift report: delta batch vs standing corpus (ingestion QA)
 # ---------------------------------------------------------------------------

@@ -813,26 +813,43 @@ def sq8_topk(
 
 
 def _sq8_pool_candidates(
-    emb: DataFrame, pool: int, query_max_id: int
+    emb: DataFrame,
+    pool: int,
+    query_max_id: int | None = None,
+    *,
+    query_cond=None,
+    corpus_cond=None,
+    self_exclude: bool = True,
 ) -> DataFrame:
     """(qid, nid) candidate pairs from the int8 approximate pass -- the
-    pool cut of sq8_topk, extracted (r13) so the IVF hybrid can union it
-    as its exact safety net; sq8_topk's plan is unchanged."""
+    pool cut of sq8_topk, extracted (r13) so the IVF hybrids can union
+    it as their exact safety net; sq8_topk's plan is unchanged. The
+    query side is either ``vec_id < query_max_id`` (the fixed-panel
+    form) or an arbitrary ``query_cond`` (the delta form), and
+    ``corpus_cond`` restricts the scanned side (e.g. the base corpus in
+    the incremental path, where ``self_exclude`` is redundant because
+    the sides are disjoint by construction)."""
     qc = sq8_corpus(emb)
-    q = qc.filter(F.col("vec_id") < query_max_id).select(
+    if query_cond is None:
+        query_cond = F.col("vec_id") < query_max_id
+    q = qc.filter(query_cond).select(
         F.col("vec_id").alias("qid"),
         F.col("q8").alias("qq8"),
         F.col("qs").alias("qqs"),
     )
+    corpus = qc if corpus_cond is None else qc.filter(corpus_cond)
     # approx cosine = int_dot / (scale_a*scale_b) / (|a||b|); norms come
     # from the prepared corpus (already computed once per snapshot).
     nrms = emb.select("vec_id", "nrm")
     qn = nrms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm"))
     scored = (
-        qc.join(nrms, ["vec_id"])
+        corpus.join(nrms, ["vec_id"])
         .crossJoin(F.broadcast(q.join(qn, ["qid"])))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
+    )
+    if self_exclude:
+        scored = scored.filter(F.col("vec_id") != F.col("qid"))
+    scored = (
+        scored.select(
             "qid",
             F.col("vec_id").alias("nid"),
             (
@@ -951,9 +968,29 @@ def ivf_probe_delta(
     The oracle mirrors the quantizer exactly (GROUP BY label, vec_id %
     S with S from the same count)."""
     emb = prepared(embeddings)
+    cand = _ivf_delta_candidates(embeddings, emb, delta_mod, nprobe, cell_target)
+    return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)
+
+
+def _ivf_delta_candidates(
+    embeddings: DataFrame,
+    emb: DataFrame,
+    delta_mod: int,
+    nprobe: int,
+    cell_target: int,
+    query_cap: int | None = None,
+) -> DataFrame:
+    """(qid, nid) candidate pairs of the incremental IVF probe -- the
+    candidate generation of ivf_probe_delta, extracted verbatim (r13)
+    so the incremental hybrid can union it with the int8 net;
+    ivf_probe_delta's plan is unchanged. ``query_cap`` additionally
+    bounds the delta query panel (vec_id < cap) for certification-cost
+    reasons -- the RAG_QUERY_CAP precedent; None = the full delta."""
     is_delta = F.col("vec_id") % delta_mod == 0
     base = emb.filter(~is_delta)
     dq = emb.filter(is_delta)
+    if query_cap is not None:
+        dq = dq.filter(F.col("vec_id") < query_cap)
     raw_base = embeddings.filter(~is_delta)
     n_base = raw_base.select("vec_id").count()
     sub = max(1, n_base // (10 * cell_target))
@@ -983,9 +1020,77 @@ def ivf_probe_delta(
         )
         .select("qid", (-F.col("_s")["ncid"]).alias("cell"))
     )
-    cand = (
+    return (
         probes.join(assigned, ["cell"])
         .select("qid", F.col("vec_id").alias("nid"))
         .distinct()
     )
-    return _topk(_rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv"), k)
+
+
+def ivf_sq8_hybrid_delta(
+    embeddings: DataFrame,
+    k: int = 5,
+    delta_mod: int = 20,
+    nprobe: int = 3,
+    cell_target: int = 200,
+    pool: int = SQ8_POOL,
+    query_cap: int | None = 4000,
+) -> DataFrame:
+    """Floor-carrying INCREMENTAL ANN (r13): the living-dataset twin of
+    ivf_sq8_hybrid_topk. A newly-arrived delta batch (vec_id %
+    delta_mod == 0, the corpus_ops DELTA_MOD convention) probes the
+    standing IVF index exactly as ivf_probe_delta does, UNIONED with
+    the int8 two-phase pool of the same delta queries against the BASE
+    corpus (the exact safety net), one shared exact re-rank. No
+    self-hit handling is needed anywhere: delta and base are disjoint
+    by construction.
+
+    The net is what the probe path cannot give: a per-query min-recall
+    guarantee. IVFROUTE_r13.json showed the quantizer-resolution-bound
+    tail is invisible to every cell-geometry signal, and an arriving
+    delta hits the same tail -- so the incremental path needs the same
+    exact int8 net, priced at one quantized scan of the base per delta
+    batch (1 byte/dim; at 100 TB this is the per-batch cost of the
+    guarantee, amortized across the whole batch's queries in one
+    broadcast pass). ``query_cap`` bounds the CERTIFICATION panel
+    (vec_id < 4000 keeps the brute oracle ~200 queries at every
+    generated scale -- the RAG_QUERY_CAP precedent); production runs
+    query_cap=None. Output == brute force over (capped delta x base)
+    whenever the pool survives the true top-k (pool-survival 1.0
+    measured; the sq8 exactness contract), so the oracle IS the brute
+    scan. Plan: Window-free, cartesian-free, both legs broadcast the
+    query side."""
+    emb = prepared(embeddings)
+    is_delta = F.col("vec_id") % delta_mod == 0
+    qcond = is_delta if query_cap is None else (
+        is_delta & (F.col("vec_id") < query_cap)
+    )
+    cand = (
+        _ivf_delta_candidates(
+            embeddings, emb, delta_mod, nprobe, cell_target, query_cap
+        )
+        .unionByName(
+            _sq8_pool_candidates(
+                emb,
+                pool,
+                query_cond=qcond,
+                corpus_cond=~is_delta,
+                self_exclude=False,
+            )
+        )
+        .distinct()
+    )
+    ranked = two_phase_topk(
+        _rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv").select(
+            "qid", "nid", "cosine"
+        ),
+        "qid",
+        k,
+        SQ8_SALT,
+    )
+    return ranked.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )

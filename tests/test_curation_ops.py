@@ -83,6 +83,27 @@ def test_ivf_hybrid_equals_brute_and_contains_ivf(spark, sf_dir):
     unpersist_artifacts()
 
 
+def test_incremental_hybrid_dominates_incremental_ivf(spark, sf_dir):
+    """The r13 incremental twin: per-(query, rank) the hybrid's cosine
+    is never below llm_ann_incremental_ivf's (its candidates are a
+    strict superset on the shared panel), and every delta query the
+    probe path answers is present in the hybrid output."""
+    hy = catalog.QUERIES["llm_ann_incremental_hybrid"].fn(spark, sf_dir)
+    iv = catalog.QUERIES["llm_ann_incremental_ivf"].fn(spark, sf_dir)
+    from groove_to_helpscout_migration_tool_spark.catalog.corpus_ops import (
+        DELTA_QUERY_CAP,
+    )
+
+    hyc = {(r["query_id"], r["rank"]): r["cosine"] for r in hy.collect()}
+    hq = {q for q, _ in hyc}
+    for r in iv.collect():
+        if r["query_id"] >= DELTA_QUERY_CAP:
+            continue  # outside the certification panel
+        assert r["query_id"] in hq
+        assert hyc[(r["query_id"], r["rank"])] >= r["cosine"], r
+    unpersist_artifacts()
+
+
 def test_sq8_pool_recall_has_margin(spark, sf_dir):
     """Every true top-5 neighbor must sit WELL inside the approx pool
     (rank <= pool/2), so the exactness contract holds with margin rather

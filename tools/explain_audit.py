@@ -98,6 +98,10 @@ AUDIT = {
     # salted two-phase aggregates, so like the sq8 plan it must be
     # entirely Window-free and cartesian-free
     "llm_ann_ivf_hybrid_topk": (["ArrowEvalPython|EvalPython", "BroadcastNestedLoopJoin", "HashAggregate", "Union"], ["CartesianProduct", "Window"]),
+    # incremental twin: same two-leg union contract (probe leg joins
+    # the standing cell assignment, net leg broadcasts the capped
+    # delta panel over the int8 base) -- Window- and cartesian-free
+    "llm_ann_incremental_hybrid": (["ArrowEvalPython|EvalPython", "BroadcastNestedLoopJoin", "HashAggregate", "Union"], ["CartesianProduct", "Window"]),
     # temperature mixing: the O(languages) rate table joins back onto
     # the corpus as a broadcast; the corpus itself must never shuffle
     # (the tiny tot crossJoin is a 5x1 BroadcastNestedLoop -- allowed)

@@ -181,6 +181,9 @@ PROBES = {
     # shape under the query_set class and spilled out the third
     # decade; the adaptive codebook is the production story.)
     "llm_ann_incremental_ivf": "linear",
+    # r13 incremental hybrid: probe leg bounded by delta x cell width,
+    # net leg by the CAPPED panel x base (panel fixed from sf0.1 up)
+    "llm_ann_incremental_hybrid": "linear",
     # agg-then-join: the full-outer input is day-partials, not facts
     "s04_full_outer_ship_reconciliation": "linear",
     # conditional stats + gram-presence collapse: one shingle pass
