@@ -746,8 +746,16 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c12 = bg.groupBy("bigram", "w1").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = bg.agg(F.countDistinct("w1").alias("v"))
+    # c1 and V are DERIVED from c12 instead of re-scanning the corpus-
+    # sized bigram stream (r13): c1(w1) = sum of c12 over that prefix's
+    # bigrams (exact integer identity), and V = |distinct w1| = the c1
+    # row count. The r12 form paid two more full passes over bg -- at
+    # 100 TB that is two corpus-sized scans + one expand-based distinct
+    # replaced by vocab-bounded aggregations over the already-reduced
+    # c12 frame. Values are bit-identical by construction.
+    c12 = persist_artifact(c12)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
     probs = (
         c12.join(c1, ["w1"])
         .crossJoin(F.broadcast(v))

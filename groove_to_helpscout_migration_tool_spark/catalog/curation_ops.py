@@ -120,14 +120,23 @@ def bloom_might_contain(col: str) -> F.Column:
     ),
 )
 def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import persist_artifact
+
     t = load_tables(spark, sf_dir, ["documents"])
     docs = DD.shingled_docs(t.documents)
-    eval_grams = (
+    # Both build artifacts persist (r13): eval_grams is referenced TWICE
+    # (bitmap build + exact verify join) and was recomputed per
+    # reference; the bitmap itself is THE build-once prefilter the
+    # docstring describes -- rebuilding its two-exchange aggregation on
+    # every query batch priced the steady state as build work. Same
+    # BUILD_SPLIT semantics as the signature/index artifacts: at 100 TB
+    # these are written once per eval-set snapshot.
+    eval_grams = persist_artifact(
         docs.filter(F.col("doc_id") < 50)
         .select(F.explode("xs").alias("g"))
         .distinct()
     )
-    bloom = bloom_bitmap(eval_grams, "g")
+    bloom = persist_artifact(bloom_bitmap(eval_grams, "g"))
     train = docs.filter(F.col("doc_id") >= 50).select(
         "doc_id", F.size("xs").alias("n_grams"), F.explode("xs").alias("g")
     )

@@ -22,8 +22,11 @@ once at the end -- no float-accumulation drift between engines.
 Scale notes (100 TB stance): partsupp is a fact-sized table (4x part).
 part after its selective filters, supplier, nation, and region are all
 broadcast; the only shuffles are the per-key aggregations, each preceded
-by a map-side partial agg.  Q2's min-cost-per-part uses groupBy+rejoin on
-the already-filtered subset rather than a window over the full fact.
+by a map-side partial agg.  Q2's min-cost-per-part is a window over the
+part-filtered slice (<= 4 rows per ps_partkey partition by construction),
+chosen over groupBy+broadcast-rejoin because the rejoin form re-executed
+the whole 5-way cascade for the second reference (no shuffle boundary to
+reuse below the agg -- 12 file scans in the r12 adaptive plan).
 
 Reference parity: the reference has no relational tier at all (SURVEY.md
 section 2.9) -- these queries are part of the Spark-free-tier surface.
@@ -31,7 +34,7 @@ section 2.9) -- these queries are part of the Spark-free-tier surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -117,8 +120,10 @@ LIMIT 100
     doc=(
         "TPC-H Q2 shape: cheapest EUROPE supplier per small PROMO part. "
         "Selective part filter broadcast against the partsupp fact; min "
-        "cost via groupBy+rejoin on exact integer cents (no float min); "
-        "deterministic top-100 (TakeOrderedAndProject)."
+        "cost via a per-part window over the filtered slice (<= 4 rows "
+        "per partition; exact integer cents, no float min) so the join "
+        "cascade builds ONCE; deterministic top-100 "
+        "(TakeOrderedAndProject)."
     ),
 )
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,26 +140,29 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_partkey", "ps_cost_cents", "s_acctbal", "s_name", "n_name")
     )
     part_sel = t.part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "PROMO"))
-    # prune rs to the selected parts FIRST (broadcast), then min+rejoin on
-    # the pruned subset -- at scale this is two shuffles over a tiny slice
-    # of the fact, not a window over all of partsupp
+    # prune rs to the selected parts FIRST (broadcast), then take the
+    # per-part min in ONE pass with a window over ps_partkey. The r12
+    # groupBy+broadcast-rejoin form referenced rs_sel twice and Spark has
+    # no shuffle boundary to reuse below the agg, so the ENTIRE 5-way
+    # cascade (part scan, supplier-count agg, 4-way explode, three
+    # broadcast joins, part_sel join) executed twice -- 12 file scans in
+    # the final adaptive plan. The window partitions are <= 4 rows by
+    # construction (4 suppliers per part, then region-filtered), so this
+    # is NOT a window over the fact: it is a hash exchange of the
+    # part-filtered slice on a key whose cardinality grows with |part|
+    # -- embarrassingly parallel at any scale -- replacing a second full
+    # build of the cascade. min is over exact integer cents; ties keep
+    # every row, exactly as the min+rejoin did.
     rs_sel = rs.join(
         F.broadcast(part_sel.select("p_partkey", "p_name", "p_brand")),
         rs.ps_partkey == part_sel.p_partkey,
     )
-    # one row per selected part -- small by construction, broadcast the
-    # rejoin (estimator stats can't see that through the agg)
-    mins = F.broadcast(
-        rs_sel.groupBy("ps_partkey").agg(
-            F.min("ps_cost_cents").alias("min_cost_cents")
-        )
-    )
+    min_w = W.partitionBy("ps_partkey")
     return (
-        rs_sel.join(
-            mins,
-            (rs_sel.ps_partkey == mins.ps_partkey)
-            & (rs_sel.ps_cost_cents == mins.min_cost_cents),
+        rs_sel.withColumn(
+            "min_cost_cents", F.min("ps_cost_cents").over(min_w)
         )
+        .filter(F.col("ps_cost_cents") == F.col("min_cost_cents"))
         .select(
             "p_partkey",
             "p_name",

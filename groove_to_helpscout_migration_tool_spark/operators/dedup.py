@@ -390,10 +390,23 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             ).alias("new_label"),
             "label",
         )
-        new_labels = new_labels.checkpoint()
-        changed = new_labels.filter(
-            F.col("new_label") != F.col("label")
-        ).count()
+        # The convergence statistic piggybacks on the checkpoint job via
+        # an Observation (CollectMetrics is evaluated by the eager
+        # checkpoint's own materialization -- verified on this Spark
+        # build), so each round runs ONE job, not two: the r12 form paid
+        # a second full scan of the checkpointed labels per round just
+        # to count changes. At 100 TB that second pass is an N-row scan
+        # per round; here it was one extra job launch per round.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs,
+            F.sum(
+                (F.col("new_label") != F.col("label")).cast("long")
+            ).alias("changed"),
+        ).checkpoint()
+        changed = int(obs.get["changed"] or 0)
         CC_LAST["rounds"] = it + 1
         CC_LAST["changed_per_round"].append(changed)
         labels = new_labels.select("node", F.col("new_label").alias("label"))
