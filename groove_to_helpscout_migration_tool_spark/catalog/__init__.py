@@ -179,6 +179,35 @@ _CHANGED = {
     # plan-identical by construction, but code moved, so fronted (the
     # r9 "code moved, fronted anyway" discipline).
     "llm_ann_incremental_ivf": 13,
+    # round 13 (optimization): redundant-pass removals, all value-
+    # identical by construction (integer/exact identities, same
+    # expressions) but plan- or code-changed, so the sweep must
+    # re-certify. Q2: min-cost via a per-part window over the filtered
+    # slice instead of groupBy+broadcast-rejoin (the rejoin re-executed
+    # the whole cascade). Bigram LM: c1/V derived from persisted c12
+    # instead of two more corpus passes. Bloom decontaminate: eval-gram
+    # set + bitmap persisted (build-once artifacts). Dedup clusters:
+    # connected_components' convergence count piggybacks the checkpoint
+    # job via an Observation (code changed; result frame identical).
+    "q02_min_cost_supplier": 13,
+    "llm_bigram_lm_score": 13,
+    "llm_decontaminate_bloom": 13,
+    "llm_dedup_clusters": 13,  # overrides the round-9 entry above
+    # round 13 (optimization, session 2): the AQE no-stage-reuse finding
+    # -- a twice-referenced aggregate subtree executes twice under AQE
+    # (exchange reuse only fires with AQE off), so every scalar-total
+    # crossJoin(broadcast(frame.agg())) re-ran its upstream cascade.
+    # Bounded aggregates (languages / sources / NFEAT / cells) now take
+    # totals from a global window over the tiny frame; q11 materializes
+    # the slim per-part frame once (localCheckpoint); embedding_outlier
+    # persists the slim d2 frame. Integer sums are order-free, values
+    # bit-identical; plans changed, so the sweep must re-certify.
+    "q11_important_stock": 13,
+    "llm_lang_temperature_sample": 13,
+    "llm_mixture_epochs": 13,
+    "llm_importance_weights_dsir": 13,  # overrides the round-9 entry
+    "llm_cluster_balanced_sample": 13,
+    "llm_embedding_outlier": 13,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

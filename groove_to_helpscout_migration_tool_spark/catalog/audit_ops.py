@@ -725,9 +725,10 @@ FROM d, tot
         " The 2x-mean threshold compares d2 > (2*total) DIV n -- same"
         " truncation convention on both sides. Plan: one 1-row stats"
         " aggregate broadcast back over the scan (the allowed one-row"
-        " BroadcastNestedLoop, as in DSIR/temperature), then a map-only"
-        " scoring pass + one 1-row total -- two corpus scans, zero"
-        " corpus shuffles, linear at 100 TB."
+        " BroadcastNestedLoop, as in DSIR/temperature), then ONE map-only"
+        " scoring pass whose slim (vec_id, d2) output persists and feeds"
+        " both the 1-row total and the output projection -- two corpus"
+        " scans, one fold pass, zero corpus shuffles, linear at 100 TB."
     ),
 )
 def llm_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,13 +757,21 @@ def llm_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("jm")), lambda s: s.getField("m")
         ).alias("m"),
     )
-    d = q.crossJoin(F.broadcast(mv)).select(
-        "vec_id",
-        F.aggregate(
-            F.zip_with("xq", "m", lambda x, mm: (x - mm) * (x - mm)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).alias("d2"),
+    # d is referenced twice (the 1-row total + the output projection).
+    # AQE does not stage-reuse a twice-referenced subtree (r13 finding,
+    # q11), so without the persist the interpreted per-row zip_with
+    # fold -- the expensive map stage here -- executed twice over the
+    # corpus. Persisting the SLIM (vec_id, d2) frame makes it one fold
+    # pass + two cheap reads of 16-byte rows.
+    d = cache.persist_artifact(
+        q.crossJoin(F.broadcast(mv)).select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("xq", "m", lambda x, mm: (x - mm) * (x - mm)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
     )
     tot = d.agg(
         F.sum(F.col("d2").cast("decimal(38,0)")).alias("s2"),

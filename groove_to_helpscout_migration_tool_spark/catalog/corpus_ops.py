@@ -883,16 +883,31 @@ def llm_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("lang") == "en", 1)), F.lit(0)
         ).alias("tcnt"),
     )
-    tot = model.agg(
-        (F.sum("rcnt") + DSIR_NFEAT).cast("decimal(38,0)").alias("rtot"),
-        (F.sum("tcnt") + DSIR_NFEAT).cast("decimal(38,0)").alias("ttot"),
+    # Model totals via a global window over the NFEAT-bounded model
+    # frame, not a second model reference through agg+crossJoin: AQE
+    # does not stage-reuse a twice-referenced subtree (r13 finding,
+    # q11), so the broadcast-total form re-aggregated the whole cached
+    # corpus-sized feature stream a second time. The single-partition
+    # window covers <= NFEAT rows (a constant); integer sums are
+    # order-free, values bit-identical.
+    tot_w = W.partitionBy()
+    model = model.select(
+        "f",
+        "rcnt",
+        "tcnt",
+        (F.sum("rcnt").over(tot_w) + DSIR_NFEAT)
+        .cast("decimal(38,0)")
+        .alias("rtot"),
+        (F.sum("tcnt").over(tot_w) + DSIR_NFEAT)
+        .cast("decimal(38,0)")
+        .alias("ttot"),
     )
     # exact rational floor, never floor(double): the r9 sf1 run caught a
     # ULP-boundary flip between the engines' double pipelines at 50k
     # docs (a weight off by 1 shifts score_raw for every doc holding
     # that feature). DECIMAL(38,0) DIV here == HUGEINT // in the oracle;
     # the triple product stays far under 38 digits at any certified SF.
-    weights = model.crossJoin(F.broadcast(tot)).select(
+    weights = model.select(
         "f",
         F.expr(
             f"CAST(((CAST(tcnt AS DECIMAL(38,0)) + 1) * rtot * {DSIR_SCALE})"

@@ -529,10 +529,22 @@ def llm_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.floor(F.sqrt(F.col("c").cast("double"))).cast("bigint").alias("sw"),
     )
-    tot = stats.agg(
-        F.sum("c").alias("n_total"), F.sum("sw").alias("w_total")
-    )
-    rates = stats.crossJoin(F.broadcast(tot)).select(
+    # Totals ride a global window over the O(languages) aggregate
+    # instead of a second reference through agg+crossJoin: AQE does not
+    # stage-reuse a twice-referenced subtree (r13 finding, q11), so the
+    # broadcast-total form re-ran the whole corpus lang-count scan. The
+    # single-partition window is over a frame BOUNDED by the language
+    # count (a constant, not a corpus dimension), so it is not the
+    # forbidden corpus-wide-window shape; integer sums are order-free,
+    # values bit-identical.
+    tot_w = W.partitionBy()
+    rates = stats.select(
+        "lang",
+        "c",
+        "sw",
+        F.sum("c").over(tot_w).alias("n_total"),
+        F.sum("sw").over(tot_w).alias("w_total"),
+    ).select(
         "lang",
         F.least(
             F.lit(1000).cast("bigint"),

@@ -831,7 +831,6 @@ def llm_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.floor(F.sqrt(F.col("c").cast("double"))).cast("bigint").alias("sw"),
     )
-    tot = stats.agg(F.sum("c").alias("n_total"), F.sum("sw").alias("w_total"))
     # 128-bit exact rate arithmetic (ADVICE r6): in BIGINT the numerator
     # 1000 * (n_total div 2) * sw overflows once n_total*sw nears
     # ~1.8e16 -- i.e. at the 100 TB corpus the doc narrative targets.
@@ -839,7 +838,20 @@ def llm_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hold the full product exactly (bound ~1e38 >> any corpus), so the
     # formula stays integer-exact with NO added rounding step; `div`
     # returns the floored BIGINT both engines agree on.
-    rates = stats.crossJoin(F.broadcast(tot)).select(
+    # Totals via a global window over the O(cells) aggregate, not a
+    # second stats reference through agg+crossJoin: AQE does not
+    # stage-reuse a twice-referenced subtree (r13 finding, q11), so the
+    # broadcast-total form re-ran the whole kmeans-assign cascade above
+    # stats. Single-partition window over a cells-bounded frame; integer
+    # sums are order-free, values bit-identical.
+    tot_w = W.partitionBy()
+    rates = stats.select(
+        "cell",
+        "c",
+        "sw",
+        F.sum("c").over(tot_w).alias("n_total"),
+        F.sum("sw").over(tot_w).alias("w_total"),
+    ).select(
         "cell",
         F.least(
             F.lit(1000).cast("bigint"),

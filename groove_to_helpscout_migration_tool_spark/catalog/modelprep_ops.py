@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import hashlib as _hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -200,8 +200,20 @@ def llm_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stok",
         F.floor(F.sqrt(F.col("stok").cast("double"))).cast("bigint").alias("sw"),
     )
-    tot = s.agg(F.sum("stok").alias("n_total"), F.sum("sw").alias("w_total"))
-    rates = s.crossJoin(F.broadcast(tot)).select(
+    # Totals via a global window over the O(sources) aggregate, not a
+    # second reference through agg+crossJoin: AQE does not stage-reuse a
+    # twice-referenced subtree (r13 finding, q11), so the broadcast-
+    # total form re-ran the whole corpus tokenize+count cascade. The
+    # single-partition window covers a frame bounded by the source
+    # count; integer sums are order-free, values bit-identical.
+    tot_w = W.partitionBy()
+    rates = s.select(
+        "source",
+        "stok",
+        "sw",
+        F.sum("stok").over(tot_w).alias("n_total"),
+        F.sum("sw").over(tot_w).alias("w_total"),
+    ).select(
         "source",
         "stok",
         F.expr(

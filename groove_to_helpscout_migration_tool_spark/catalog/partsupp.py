@@ -205,7 +205,9 @@ WHERE value_cents * 1000 > total_cents
         "suppliers, kept when above 0.1% of the total. Exact integer-cents "
         "sums; the HAVING threshold is value*1000 > total, all-integer, so "
         "no engine can disagree at the boundary. Total enters as a "
-        "broadcast one-row cross join (scalar-subquery pattern)."
+        "broadcast one-row cross join (scalar-subquery pattern) computed "
+        "over the materialized per-part frame, so the partsupp cascade "
+        "builds once."
     ),
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +222,20 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = g.groupBy("ps_partkey").agg(
         F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents")
     )
+    # v is referenced twice (the scalar total + the output rows). AQE
+    # does NOT stage-reuse the duplicated subtree (measured r13: the
+    # final adaptive plan holds TWO full cascades -- part scan,
+    # supplier-count agg, 4-way explode, both broadcast joins, the
+    # ps_partkey exchange -- with exchange reuse firing only when AQE is
+    # OFF), so the fact-sized synth + shuffle executed twice. Eagerly
+    # materializing the SLIM per-part frame (16 bytes/row, |part|-
+    # bounded) truncates the lineage: one cascade build, then both the
+    # total and the filter read the materialized rows -- guide-8's
+    # "decide with small rows" shape. localCheckpoint, not persist: the
+    # artifact must not outlive the call or leak into a cache another
+    # run could reuse, and lineage fault-tolerance of a derived slim
+    # frame is not worth a second cascade.
+    v = v.localCheckpoint()
     tot = v.agg(F.sum("value_cents").alias("total_cents"))
     return (
         v.crossJoin(F.broadcast(tot))

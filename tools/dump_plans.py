@@ -5,6 +5,14 @@ against these instead of running Spark).
 
 Usage: python tools/dump_plans.py <sf_dir> <tag> <suffix> <query...|ALL>
 e.g.   python tools/dump_plans.py /root/testdata/sf0.1 r13 after q02_min_cost_supplier
+
+SPARK_GRAFT_PLAN_FINAL=1 additionally EXECUTES each query (count(), the
+bench action) before dumping, so the file holds the FINAL adaptive plan
+(AdaptiveSparkPlan isFinalPlan=true): AQE's runtime decisions --
+ReusedExchange/stage reuse, coalesced AQEShuffleReads, demoted/promoted
+joins, InMemoryTableScans of persisted artifacts -- none of which the
+static dump can show. Static dumps stay the default: they are cheap and
+match what `.explain("formatted")` prints before a run.
 """
 
 from __future__ import annotations
@@ -32,9 +40,12 @@ def main() -> None:
         "plans", tag)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app_name="dump-plans")
+    final = os.environ.get("SPARK_GRAFT_PLAN_FINAL", "0") == "1"
     for name in names:
         spec = catalog.QUERIES[name]
         df = spec.fn(spark, sf_dir)
+        if final:
+            df.count()
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")

@@ -41,7 +41,13 @@ AUDIT = {
     # intentional (broadcast nested loop over 1 row), so only sort-merge
     # against broadcast-able sides is forbidden
     "q02_min_cost_supplier": (["BroadcastHashJoin", "TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct"]),
-    "q11_important_stock": (["BroadcastHashJoin", "HashAggregate"], ["SortMergeJoin", "CartesianProduct"]),
+    # q11 (r13): the per-part value frame is eagerly materialized
+    # (localCheckpoint) so the partsupp cascade builds ONCE -- AQE does
+    # not stage-reuse the twice-referenced subtree the old scalar-total
+    # form created. The audited plan therefore starts at the
+    # materialized RDD; the cascade's join strategy is covered by q02's
+    # rule (same build_partsupp machinery).
+    "q11_important_stock": (["BroadcastNestedLoopJoin", "HashAggregate", "Scan ExistingRDD"], ["SortMergeJoin", "CartesianProduct", "Scan parquet"]),
     "q16_parts_supplier_cnt": (["BroadcastHashJoin", "LeftAnti"], ["SortMergeJoin", "CartesianProduct"]),
     "q20_surplus_suppliers": (["BroadcastHashJoin", "HashAggregate"], ["CartesianProduct"]),
     "llm_simhash_dedup_assign": (["HashAggregate"], ["CartesianProduct"]),
@@ -156,9 +162,11 @@ AUDIT = {
     # TakeOrderedAndProject, never a global sort
     "llm_bpe_pair_counts": (["TakeOrderedAndProject", "HashAggregate"], ["Sort \\[", "CartesianProduct"]),
     # DSIR: the NFEAT-bounded weight table must broadcast back over the
-    # corpus (the one-row totals crossJoin is a BroadcastNestedLoop --
-    # allowed); scoring is partial-agg, never a window
-    "llm_importance_weights_dsir": (["BroadcastHashJoin"], ["Window", "CartesianProduct", "SortMergeJoin"]),
+    # corpus; scoring is partial-agg, never a PARTITIONED window (the
+    # r13 totals ride a global window over the NFEAT-bounded model --
+    # windowspecdefinition with a column ref (#) is the forbidden
+    # corpus-keyed form, the empty spec over a bounded frame is not)
+    "llm_importance_weights_dsir": (["BroadcastHashJoin"], ["windowspecdefinition\\([^)]*#", "CartesianProduct", "SortMergeJoin"]),
     # mining ops (r6 session 3, re-planned r9): the brute dense scans
     # stream the corpus once through ONE Arrow stage against the
     # collected query matrix (scores_vs_query_matrix) -- no per-pair
@@ -200,9 +208,10 @@ AUDIT = {
     # corpus scale (unlike the broadcast-able dims elsewhere)
     "llm_semantic_dedup_clusters": (["ArrowEvalPython|EvalPython", "Exchange hashpartitioning", "Window"], ["CartesianProduct", "Exchange rangepartitioning"]),
     # cluster-balanced sampler: rates table broadcast back over the
-    # assignment (the one-row totals crossJoin is BroadcastNestedLoop --
-    # allowed, as in the DSIR/temperature plans)
-    "llm_cluster_balanced_sample": (["BroadcastHashJoin", "HashAggregate"], ["CartesianProduct", "Window", "SortMergeJoin"]),
+    # assignment; totals ride a global window over the cells-bounded
+    # stats frame (r13) -- only a column-keyed windowspecdefinition
+    # (the corpus-keyed form) is forbidden
+    "llm_cluster_balanced_sample": (["BroadcastHashJoin", "HashAggregate"], ["CartesianProduct", "windowspecdefinition\\([^)]*#", "SortMergeJoin"]),
     # IVF-indexed negative miner: cell-bucketed candidate join + Arrow
     # re-rank; the brute scan's BroadcastNestedLoop must NOT appear --
     # the whole point of the index path
@@ -220,9 +229,10 @@ AUDIT = {
     # projection -- no Exchange, no UDF, scan pruned to (doc_id, text)
     "llm_quality_classifier_score": (["ReadSchema: struct<doc_id:bigint,text:string"], ["Exchange", "CartesianProduct", "EvalPython"]),
     # r7 epoch plan: sources-sized rate table broadcast back over the
-    # scan + bounded explode; the one-row totals crossJoin is the
-    # allowed BroadcastNestedLoop (as in the DSIR/temperature plans)
-    "llm_mixture_epochs": (["BroadcastHashJoin", "Generate explode"], ["SortMergeJoin", "CartesianProduct", "Window"]),
+    # scan + bounded explode; totals ride a global window over the
+    # sources-bounded aggregate (r13) -- only a column-keyed
+    # windowspecdefinition (the corpus-keyed form) is forbidden
+    "llm_mixture_epochs": (["BroadcastHashJoin", "Generate explode"], ["SortMergeJoin", "CartesianProduct", "windowspecdefinition\\([^)]*#"]),
     # r7 group-back: aggregate below the orders join -- the orders side
     # participates only as a LeftSemi filter (broadcast at bench scale),
     # and the thread lists aggregate via ObjectHashAggregate, never a
