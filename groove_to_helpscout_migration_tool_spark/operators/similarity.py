@@ -362,10 +362,11 @@ def lsh_topk(embeddings: DataFrame, k: int = 5, query_max_id: int = 10) -> DataF
     band (0.32-0.48), so every config with >=0.9 recall needs a >=0.42
     candidate fraction (10-config sweep over bands 2-4 x bits 6-10 x
     probe budgets 22-64/band) -- the pinned artifact measures the sf10
-    steady-state wall at 0.675x brute (RECALL_r12.json
-    wall_ratio_vs_brute), i.e. saturation, not indexing. For large
-    corpora use ivf_topk (steady-state ~0.4x brute at sf10, wall-pinned
-    in tools/ann_recall.py) or sq8_topk (exact, ~0.2x)."""
+    steady-state wall at ~0.64-0.68x brute across sessions
+    (RECALL_r13.json wall_ratio_vs_brute; r12 measured 0.675), i.e.
+    saturation, not indexing. For large corpora use ivf_topk
+    (steady-state ~0.15-0.4x brute at sf10, wall-pinned in
+    tools/ann_recall.py) or sq8_topk (exact, ~0.12-0.2x)."""
     emb = prepared(embeddings)
     ex = lsh_index(emb)
     q = lsh_probe_frame(emb, query_max_id)
