@@ -134,6 +134,43 @@ def _calibration_runs(spark, n_warm: int = 3) -> list[float]:
     return runs
 
 
+# Second constant-work probe: the PYTHON/ARROW boundary (r13). The
+# codegen probe above cannot see drift in Python-worker spawn, Arrow
+# serialization, or interpreted-Python throughput -- the r12 matched
+# pair proved such drift exists ("+77% walls at the r11 stamp's own
+# calib") and the r13 host-variance session re-confirmed it (stamps
+# with near-equal calib medians disagreed 2-3x on Arrow-stage queries).
+# This probe times a fixed mapInPandas fold so cross-round detail
+# stamps can ATTRIBUTE drift (JVM vs boundary); it is telemetry only:
+# value_norm stays defined on the JVM probe (comparability with
+# r9-r12), and the compact contract line is unchanged.
+CALIB_ARROW_ROWS = 4_000_000
+
+
+def _calibration_runs_arrow(spark, n_warm: int = 3) -> list[float]:
+    """One discarded warmup + ``n_warm`` timed runs of the Arrow probe."""
+
+    def _fold(batches):
+        for pdf in batches:
+            yield pdf[["id"]].assign(id=(pdf["id"] * 2654435761) % 1000003).groupby(
+                pdf["id"] % 97
+            ).sum().reset_index(drop=True)
+
+    runs = []
+    for i in range(n_warm + 1):
+        t0 = time.time()
+        (
+            spark.range(0, CALIB_ARROW_ROWS, 1, 32)
+            .mapInPandas(_fold, "id long")
+            .selectExpr("sum(id)")
+            .collect()
+        )
+        dt = time.time() - t0
+        if i > 0:
+            runs.append(round(dt, 3))
+    return runs
+
+
 def _git_sha() -> str:
     """HEAD sha (+ '-dirty' if the tree differs): stamped into the bench
     JSON so a bench record taken at a stale commit is detectable."""
@@ -280,6 +317,7 @@ def main() -> None:
         except Exception:
             pass
     calib_pre = _calibration_runs(spark)
+    calib_arrow_pre = _calibration_runs_arrow(spark)
     _gc()
 
     for name in HEADLINE:
@@ -348,6 +386,7 @@ def main() -> None:
         spark.catalog.clearCache()
         _gc()
     calib_post = _calibration_runs(spark)
+    calib_arrow_post = _calibration_runs_arrow(spark)
     # the bench session's 32 threads are idle but its JVM still holds
     # memory; stop it before the skew harness spawns its own JVM
     spark.stop()
@@ -356,6 +395,16 @@ def main() -> None:
         timings, build, spreads, sf_val, _git_sha(),
         calib={"pre": calib_pre, "post": calib_post},
     )
+    # Arrow-boundary probe rides the detail sidecar only (see
+    # _calibration_runs_arrow): drift attribution, not normalization.
+    detail["calib_arrow"] = {
+        "rows": CALIB_ARROW_ROWS,
+        "pre": calib_arrow_pre,
+        "post": calib_arrow_post,
+        "median": round(
+            statistics.median(sorted(calib_arrow_pre + calib_arrow_post)), 3
+        ),
+    }
     if cc_stats:
         detail["cc_convergence"] = cc_stats
     skew = _skew_metrics()
