@@ -524,6 +524,8 @@ def two_phase_topk(
     k: int,
     salt_mod: int,
     label_col: str | None = None,
+    *,
+    bounded_input: bool = False,
 ) -> DataFrame:
     """Per-``qid`` deterministic top-k WITHOUT a corpus-wide window
     partition: phase 1 takes a partial top-k per (qid, salt) hash
@@ -536,7 +538,19 @@ def two_phase_topk(
     The ONE implementation of the salted brute top-k -- the mining ops
     (hard negatives, kNN vote, IVF negatives) and the brute ANN baseline
     all rank through here, so a tie-break or salt fix reaches every
-    consumer at once."""
+    consumer at once.
+
+    ``bounded_input=True`` (r13) skips the salted phase 1 and runs the
+    phase-2 merge directly: ONLY for inputs whose per-``qid`` row count
+    is already bounded by a CONSTANT upstream (e.g. sq8_topk's final
+    re-rank reads the <= pool rows/query its own pool cut just
+    emitted). The merge aggregate is then exactly phase 2 over the same
+    rows -- per-group state bounded by that constant, one exchange
+    instead of two, and the result is bit-identical because the salted
+    form's slice(sort_array(concat of per-salt top-k)) equals the
+    direct slice(sort_array(all rows)) under the total (cos DESC, nid
+    ASC) order. A corpus-sized input must NEVER pass bounded_input: the
+    salt is what keeps a hot query's group from collecting the corpus."""
     fields = [
         F.col("cosine").alias("cos"),
         (-F.col("nid")).alias("nnid"),
@@ -545,18 +559,27 @@ def two_phase_topk(
     if label_col is not None:
         fields.append(F.col(label_col).alias(label_col))
     s = F.struct(*fields)
-    phase1 = (
-        scored.withColumn("_salt", F.pmod(F.col("nid"), F.lit(salt_mod)))
-        .groupBy(qid, "_salt")
-        .agg(F.slice(F.sort_array(F.collect_list(s), asc=False), 1, k).alias("top"))
-    )
-    merged = (
-        phase1.select(qid, F.explode("top").alias("s"))
-        .groupBy(qid)
-        .agg(
-            F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, k).alias("top")
+    if bounded_input:
+        merged = scored.groupBy(qid).agg(
+            F.slice(F.sort_array(F.collect_list(s), asc=False), 1, k).alias("top")
         )
-    )
+    else:
+        phase1 = (
+            scored.withColumn("_salt", F.pmod(F.col("nid"), F.lit(salt_mod)))
+            .groupBy(qid, "_salt")
+            .agg(
+                F.slice(F.sort_array(F.collect_list(s), asc=False), 1, k).alias("top")
+            )
+        )
+        merged = (
+            phase1.select(qid, F.explode("top").alias("s"))
+            .groupBy(qid)
+            .agg(
+                F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, k).alias(
+                    "top"
+                )
+            )
+        )
     out = [
         qid,
         (F.col("pos") + 1).cast("bigint").alias("rank"),
@@ -796,7 +819,13 @@ def sq8_topk(
     # two-phase path (cosine pre-rounded to 6 by _rejoin_cosine), so the
     # whole sq8 plan is Window-free -- tools/explain_audit.py forbids
     # Window for this query. Same (cosine DESC, nid ASC) order and int
-    # rank as the _topk window it replaces.
+    # rank as the _topk window it replaces. bounded_input: the pool cut
+    # directly above emits <= SQ8_POOL rows per qid BY CONSTRUCTION, so
+    # the re-rank's merge aggregate is already constant-bounded and the
+    # salted phase 1 would only add an exchange (r13: reclaims part of
+    # the two-phase re-plan's constant stage overhead; the hybrids keep
+    # the salted form because their IVF candidate legs are cell-sized,
+    # not constant-bounded).
     ranked = two_phase_topk(
         _rejoin_cosine(cand, emb, "qid", "nid", "qv", "nv").select(
             "qid", "nid", "cosine"
@@ -804,6 +833,7 @@ def sq8_topk(
         "qid",
         k,
         SQ8_SALT,
+        bounded_input=True,
     )
     return ranked.select(
         F.col("qid").alias("query_id"),

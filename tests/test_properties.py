@@ -655,6 +655,45 @@ class TestTwoPhaseTopKProperty:
         )
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),      # qid
+                st.integers(min_value=0, max_value=200),    # nid
+                st.integers(min_value=-5, max_value=5),     # coarse score (forces ties)
+            ),
+            min_size=1, max_size=80,
+        )
+    )
+    def test_bounded_input_equals_salted(self, spark, rows):
+        """two_phase_topk(bounded_input=True) -- the r13 single-exchange
+        merge for constant-bounded inputs (sq8's final re-rank) -- must
+        return EXACTLY the salted form's rows for any input, ties and
+        small groups included."""
+        from groove_to_helpscout_migration_tool_spark.operators.similarity import (
+            two_phase_topk,
+        )
+
+        seen = set()
+        uniq = []
+        for qid, nid, sc in rows:
+            if (qid, nid) in seen:
+                continue
+            seen.add((qid, nid))
+            uniq.append((qid, nid, float(sc) / 2.0))
+        df = spark.createDataFrame(uniq, ["qid", "nid", "cosine"])
+        k = 3
+        cols = ["qid", "rank", "nid", "cosine"]
+        salted = two_phase_topk(df, "qid", k, salt_mod=4).select(*cols).collect()
+        bounded = (
+            two_phase_topk(df, "qid", k, salt_mod=4, bounded_input=True)
+            .select(*cols)
+            .collect()
+        )
+        assert sorted(map(tuple, bounded)) == sorted(map(tuple, salted))
+
 
 class TestShardedCumsumProperty:
     """The token-budget sampler's two-phase cumulative sum (ordered
