@@ -208,6 +208,19 @@ _CHANGED = {
     "llm_importance_weights_dsir": 13,  # overrides the round-9 entry
     "llm_cluster_balanced_sample": 13,
     "llm_embedding_outlier": 13,
+    # round 13 (optimization, session 4): the scan-census follow-up to
+    # the AQE finding (tools/scan_census.py counts per-relation scans
+    # in every headline query's executed plan). dataset_card held the
+    # worst leftover -- THREE full tokenize+md5 documents scans (base
+    # referenced by two branches, lang_cnt itself referenced twice);
+    # now the slim projection is persisted and top-lang + n_langs merge
+    # into one aggregate. bigram_lm_score's persisted bigram stream
+    # drops the w1 column (a byte-for-byte prefix of bigram) and c12
+    # groups by bigram alone (w1 functionally dependent -- identical
+    # groups, narrower shuffle key). Values bit-identical by
+    # construction; plans changed, so the sweep must re-certify.
+    "llm_dataset_card": 13,  # overrides the round-9 entry above
+    # (llm_bigram_lm_score already fronted at 13 by the session-2 entry)
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

@@ -729,23 +729,33 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t") >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size("t") - 1),
-            lambda i: F.struct(
-                F.element_at("t", i).alias("w1"),
-                F.concat_ws(
-                    " ", F.element_at("t", i), F.element_at("t", i + 1)
-                ).alias("bigram"),
+            lambda i: F.concat_ws(
+                " ", F.element_at("t", i), F.element_at("t", i + 1)
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,bigram:string>>"))
+    ).otherwise(F.array().cast("array<string>"))
+    # The persisted corpus-sized artifact carries ONLY (doc_id, pos,
+    # bigram) (r13: the narrower projection the round record flagged):
+    # w1 is a byte-for-byte prefix of bigram -- tokens are \s+-split so
+    # they cannot contain the ' ' separator, and bigram therefore holds
+    # exactly one space -- so persisting it duplicated one token column
+    # across the largest intermediate in the query.
     bg = persist_artifact(
-        toks.select("doc_id", F.posexplode(bigrams).alias("pos", "s")).select(
+        toks.select("doc_id", F.posexplode(bigrams).alias("pos", "bigram")).select(
             "doc_id",
             (F.col("pos") + 1).cast("bigint").alias("pos"),
-            F.col("s.w1").alias("w1"),
-            F.col("s.bigram").alias("bigram"),
+            "bigram",
         )
     )
-    c12 = bg.groupBy("bigram", "w1").agg(F.count(F.lit(1)).alias("c12"))
+    # group by bigram alone -- w1 is functionally dependent on bigram,
+    # so the groups (and counts) are identical while the shuffle key
+    # narrows from two strings to one; w1 is re-derived on the already-
+    # reduced vocab-bounded frame.
+    c12 = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+    )
     # c1 and V are DERIVED from c12 instead of re-scanning the corpus-
     # sized bigram stream (r13): c1(w1) = sum of c12 over that prefix's
     # bigrams (exact integer identity), and V = |distinct w1| = the c1

@@ -424,10 +424,14 @@ FROM per_src p JOIN top t USING (source)
         " spread with a DETERMINISTIC top language (min over"
         " struct(-count, lang) = count DESC, lang ASC -- no arbitrary-tie"
         " mode()), and the exact-duplicate ratio (1 - distinct md5/count"
-        " within source). Plan: one scan feeds two map-side-combining"
-        " aggregations -- per-(source, lang) for the language mode and"
-        " per-(source, text-hash) collapse then per-source for the rest --"
-        " joined by broadcast on the tiny source key. Averages are"
+        " within source). Plan: ONE scan -- the slim tokenized"
+        " projection is persisted, because under AQE a twice-referenced"
+        " subtree executes per reference (the r13 scan census caught"
+        " this query at three documents scans) -- feeding two map-side-"
+        "combining aggregations: per-(source, lang) for language mode"
+        " AND count in a single aggregate, and per-(source, text-hash)"
+        " collapse then per-source for the rest, joined by broadcast on"
+        " the tiny source key. Averages are"
         " exact-integer half-up rounds (halfup(10^d * sum / count) /"
         " 10^d via DIV // on both engines), never avg() and never"
         " round(double, d) -- accumulation order cannot wobble the hash"
@@ -438,12 +442,22 @@ FROM per_src p JOIN top t USING (source)
 )
 def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    base = DD.spread_off_file_layout(t.documents, "doc_id").select(
-        "source",
-        "lang",
-        "n_chars",
-        TX.token_count_ws(F.col("text")).alias("n_toks"),
-        F.md5("text").alias("th"),
+    # persist the slim post-scan projection (r13 scan census): base is
+    # referenced by two aggregation branches, and under AQE a twice-
+    # referenced subtree executes twice (the round's central finding) --
+    # the executed plan held THREE documents scans (per_hash once,
+    # lang_cnt once per consumer), each re-running the \s+ tokenize and
+    # full-text md5. The persisted frame drops text (source/lang/
+    # n_chars/n_toks/th, ~60 B/row), so the expensive scan runs once and
+    # both branches read the materialized slim rows.
+    base = cache.persist_artifact(
+        DD.spread_off_file_layout(t.documents, "doc_id").select(
+            "source",
+            "lang",
+            "n_chars",
+            TX.token_count_ws(F.col("text")).alias("n_toks"),
+            F.md5("text").alias("th"),
+        )
     )
     # count(DISTINCT th) via an explicit pre-collapse keeps both
     # aggregations in plain hash-agg shape (no expand-based distinct).
@@ -475,17 +489,18 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ratio"),
     )
     lang_cnt = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
-    top = lang_cnt.groupBy("source").agg(
+    # top language and language count in ONE aggregate over lang_cnt
+    # (r13 scan census): as two aggregates, lang_cnt itself was a twice-
+    # referenced subtree and re-ran its corpus pass under AQE. Same
+    # groups, same expressions -- values identical by construction.
+    lang_stats = lang_cnt.groupBy("source").agg(
         F.min(F.struct((-F.col("cnt")).alias("ncnt"), F.col("lang").alias("lang"))).alias(
             "s"
-        )
-    )
-    n_langs = lang_cnt.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_langs")
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
     )
     return (
-        per_src.join(F.broadcast(top), ["source"])
-        .join(F.broadcast(n_langs), ["source"])
+        per_src.join(F.broadcast(lang_stats), ["source"])
         .select(
             "source",
             "n_docs",

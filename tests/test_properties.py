@@ -695,6 +695,58 @@ class TestTwoPhaseTopKProperty:
         assert sorted(map(tuple, bounded)) == sorted(map(tuple, salted))
 
 
+class TestBigramPrefixDerivationProperty:
+    """The r13 bigram-persist narrowing drops w1 from the persisted
+    stream and re-derives it as substring_index(bigram, ' ', 1). That
+    is only sound because tokens() splits on \\s+ (a token can never
+    contain the ' ' separator, so bigram holds exactly one space).
+    Property: for ANY text -- exotic whitespace, NBSP (which is NOT
+    regex \\s), punctuation, empty -- the derived w1 equals the w1 the
+    old struct form carried, position by position."""
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        st.lists(
+            st.text(
+                alphabet=string.ascii_lowercase + " \t\n .'-7",
+                max_size=40,
+            ),
+            min_size=1, max_size=30,
+        )
+    )
+    def test_derived_w1_equals_carried_w1(self, spark, texts):
+        from groove_to_helpscout_migration_tool_spark.functions import text as TX
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(texts)], ["doc_id", "text"]
+        ).select("doc_id", TX.tokens(F.lower(F.col("text"))).alias("t"))
+        old_pairs = F.when(
+            F.size("t") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ).alias("bigram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,bigram:string>>"))
+        rows = (
+            df.select("doc_id", F.posexplode(old_pairs).alias("pos", "s"))
+            .select(
+                "doc_id",
+                "pos",
+                F.col("s.w1").alias("w1_carried"),
+                F.substring_index(F.col("s.bigram"), " ", 1).alias("w1_derived"),
+            )
+            .collect()
+        )
+        for r in rows:
+            assert r.w1_derived == r.w1_carried, (r.doc_id, r.pos)
+
+
 class TestShardedCumsumProperty:
     """The token-budget sampler's two-phase cumulative sum (ordered
     key-prefix shards + shard offsets) must equal the one-window-per-
