@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.cache import checkpoint_artifact
 from ..registry import register
 from ..session import load_tables
 
@@ -234,8 +235,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "decide with small rows" shape. localCheckpoint, not persist: the
     # artifact must not outlive the call or leak into a cache another
     # run could reuse, and lineage fault-tolerance of a derived slim
-    # frame is not worth a second cascade.
-    v = v.localCheckpoint()
+    # frame is not worth a second cascade. Tracked (checkpoint_artifact)
+    # because the ContextCleaner only releases checkpoint blocks after a
+    # JVM GC enqueues their weak refs -- a looping library consumer must
+    # be able to release them deterministically via unpersist_artifacts.
+    v = checkpoint_artifact(v)
     tot = v.agg(F.sum("value_cents").alias("total_cents"))
     return (
         v.crossJoin(F.broadcast(tot))

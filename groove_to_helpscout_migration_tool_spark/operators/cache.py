@@ -34,6 +34,36 @@ def persist_artifact(df: DataFrame) -> DataFrame:
     return df
 
 
+_CHECKPOINT_RDDS: list = []  # py4j JavaRDD handles of tracked localCheckpoints
+
+
+def checkpoint_artifact(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` ``df`` and register its blocks for later bulk
+    release.
+
+    A localCheckpoint materializes eagerly and its blocks sit in
+    ``getPersistentRDDs`` until the async ContextCleaner gets around to
+    them -- which requires a JVM GC to enqueue the weak reference
+    (``spark.cleaner.periodicGC.interval`` defaults to 30 min), so in a
+    long-lived session a looping consumer accumulates checkpoint blocks
+    for unbounded time. ``DataFrame.unpersist`` cannot release them (it
+    only uncaches CacheManager entries, and the checkpoint RDD is a
+    plain RDD persist), so the JavaRDD handles that appear across the
+    checkpoint call are captured by id-diff (the driver builds plans
+    single-threaded) and unpersisted directly by
+    ``unpersist_artifacts``. Release only after the consumer's action:
+    a checkpointed frame's blocks ARE its data (lineage is truncated),
+    so an unpersisted checkpoint cannot be recomputed."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keys())
+    df = df.localCheckpoint()
+    after = jsc.getPersistentRDDs()
+    _CHECKPOINT_RDDS.extend(
+        after[k] for k in after.keys() if k not in before
+    )
+    return df
+
+
 def unpersist_artifacts(blocking: bool = False) -> int:
     """Unpersist every registered artifact; returns how many were
     released. Safe to call at any time -- unpersisting a frame whose
@@ -43,6 +73,13 @@ def unpersist_artifacts(blocking: bool = False) -> int:
         df = _ARTIFACTS.pop()
         try:
             df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped; nothing to release
+    while _CHECKPOINT_RDDS:
+        jrdd = _CHECKPOINT_RDDS.pop()
+        try:
+            jrdd.unpersist(blocking)
             n += 1
         except Exception:
             pass  # session already stopped; nothing to release

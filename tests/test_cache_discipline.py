@@ -32,16 +32,30 @@ def _load_emb(spark):
     return load_tables(spark, SF, ["embeddings"]).embeddings
 
 
-@pytest.fixture(autouse=True)
-def _clean_slate(spark):
-    # start and end every case empty so leaks cannot cross-contaminate
+def _force_drain(spark) -> None:
+    """Release EVERY persistent RDD, registered or not. Earlier tests in
+    the session may have materialized localCheckpoints whose blocks wait
+    on the async ContextCleaner (which needs a JVM GC to enqueue the
+    weak reference -- periodicGC defaults to 30 min), so a plain
+    clearCache + unpersist_artifacts can still see stragglers that are
+    not this suite's leaks. Everything persistent at fixture time
+    belongs to completed tests, so force-unpersisting is safe."""
     from groove_to_helpscout_migration_tool_spark.operators import cache
 
     spark.catalog.clearCache()
-    cache.unpersist_artifacts()
+    cache.unpersist_artifacts(blocking=True)
+    # py4j maps java.util.Map to a dict-like JavaMap
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist(True)
+
+
+@pytest.fixture(autouse=True)
+def _clean_slate(spark):
+    # start and end every case empty so leaks cannot cross-contaminate
+    _force_drain(spark)
     yield
-    spark.catalog.clearCache()
-    cache.unpersist_artifacts()
+    _force_drain(spark)
 
 
 class TestUnpersistDiscipline:
@@ -137,3 +151,14 @@ class TestUnpersistDiscipline:
         # reliable checkpoints live in the checkpoint dir, not the block
         # manager -- nothing may remain registered as persistent
         assert _n_persistent(spark) == 0
+
+    def test_q11_checkpoint_release(self, spark):
+        # q11's slim per-part frame is a tracked localCheckpoint
+        # (checkpoint_artifact): its blocks must release on
+        # unpersist_artifacts instead of waiting for the async
+        # ContextCleaner (the r13 session-5 flake source).
+        from groove_to_helpscout_migration_tool_spark.catalog import partsupp
+
+        self._assert_released(
+            spark, partsupp.q11_important_stock(spark, SF)
+        )
