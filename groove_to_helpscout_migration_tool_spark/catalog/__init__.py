@@ -221,6 +221,19 @@ _CHANGED = {
     # construction; plans changed, so the sweep must re-certify.
     "llm_dataset_card": 13,  # overrides the round-9 entry above
     # (llm_bigram_lm_score already fronted at 13 by the session-2 entry)
+    # round 13 (session 5): segment family re-shaped to decide-with-
+    # small-rows -- the tokenize+md5 segment pass runs once into a
+    # persisted slim (doc_id[, source], seg_idx, seg_hash) stream,
+    # drop decisions become per-doc position lists, and kept_text
+    # reassembles in one md5-free text pass with array expressions
+    # (no collect_list group-back). Values identical by construction
+    # (equivalence property-tested vs the old group-back inlined in
+    # tests/test_segment_reassembly.py, and hash-green vs the oracle
+    # at sf0.001/0.01/0.1), but plans changed: the sweep must
+    # re-certify.
+    "llm_segment_dedup": 13,
+    "llm_segment_dedup_keep_first": 13,
+    "llm_boilerplate_strip": 13,
 }
 
 # Queries measured >= 2s in the full sf0.01 oracle sweep (Spark + DuckDB

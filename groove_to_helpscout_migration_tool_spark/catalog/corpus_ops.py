@@ -69,15 +69,23 @@ _SIM_DIM = _LL.SIM.DIM
 SEG_W = 12
 
 
-def _segment_table(documents: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
-    """(doc_id, seg_idx, seg_text, seg_hash): non-overlapping SEG_W-token
+def _segment_table(
+    documents: DataFrame,
+    carry: tuple[str, ...] = (),
+    with_text: bool = True,
+) -> DataFrame:
+    """(doc_id, seg_idx[, seg_text], seg_hash): non-overlapping SEG_W-token
     windows, md5-hashed. md5-per-segment is the expensive stage: spread
     it off a one-split local scan (no-op on a many-split at-scale scan).
 
     ``carry`` passes extra per-doc columns (e.g. source) through the
     segment stream so source-scoped consumers never need to join the
     corpus projection back on -- at 100 TB a doc_id->source map is not
-    broadcastable, but a column riding the same scan is free."""
+    broadcastable, but a column riding the same scan is free.
+
+    ``with_text=False`` omits seg_text (the md5 is still computed from
+    it transiently): the SLIM hash stream is the form the dedup
+    deciders persist -- fixed-width ~48-byte rows, never corpus text."""
     docs = DD.spread_off_file_layout(documents, "doc_id")
     toked = docs.select("doc_id", *carry, TX.tokens(F.col("text")).alias("toks"))
     # sequence(1, 0) DESCENDS instead of being empty -> guard n > 0
@@ -93,39 +101,71 @@ def _segment_table(documents: DataFrame, carry: tuple[str, ...] = ()) -> DataFra
     seg_text = F.array_join(
         F.slice(F.col("toks"), (F.col("seg_idx") - 1) * SEG_W + 1, SEG_W), " "
     )
-    return segged.select(
-        "doc_id",
-        *carry,
+    cols = [
+        F.col("doc_id"),
+        *[F.col(c) for c in carry],
         F.col("seg_idx").cast("bigint").alias("seg_idx"),
-        seg_text.alias("seg_text"),
-        F.md5(seg_text).alias("seg_hash"),
+    ]
+    if with_text:
+        cols.append(seg_text.alias("seg_text"))
+    cols.append(F.md5(seg_text).alias("seg_hash"))
+    return segged.select(*cols)
+
+
+def _segment_drop_lists(dropped: DataFrame) -> DataFrame:
+    """(doc_id, drop_idxs): per-doc sorted list of dropped seg_idx from a
+    (doc_id, seg_idx) stream of drop decisions. Rows are unique by
+    construction (each slim-stream row matches at most one decider row),
+    so collect_list never duplicates; group size is bounded by
+    segments-per-doc, so the aggregate cannot skew. Only docs with at
+    least one drop appear -- the reassembly treats absence as
+    keep-everything, which keeps this frame dup-occurrence-sized
+    (broadcast-shaped on a healthy corpus) instead of corpus-sized."""
+    return dropped.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("seg_idx")).alias("drop_idxs")
     )
 
 
-def _segment_group_back(
-    marked: DataFrame, kept: F.Column, keys: tuple[str, ...] = ("doc_id",)
+def _segment_reassemble(
+    documents: DataFrame, drops: DataFrame, carry: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Reassemble per-doc output from a marked segment stream. ``keys``
-    widens the group-back key for streams carrying per-doc constants
-    (doc_id is unique, so extra key columns never change the groups)."""
-    return marked.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
-        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    """Rebuild (doc_id[, carry], n_segments, n_kept, kept_text) in ONE
+    text-bearing pass: re-tokenize, left-join the per-doc dropped-
+    seg_idx lists (no row => keep every segment), and cut + join the
+    kept segments with array expressions over the doc's own token
+    array. Replaces the r6 collect_list(struct(seg_idx, kept,
+    seg_text)) + sort_array group-back, which forced a SECOND full
+    tokenize+md5 segment pass (AQE never stage-reuses the shared
+    subtree -- the r13 finding) and pushed corpus text through an
+    ObjectHashAggregate buffer. Here the md5 stage runs exactly once
+    (in the persisted slim hash stream the deciders consume), this
+    pass re-tokenizes only, and no aggregate ever holds text. The
+    drops join is broadcast-shaped on a healthy corpus; if drops
+    outgrow the threshold the fallback doc_id shuffle moves the same
+    bytes the old group-back's partial-aggregate exchange moved."""
+    docs = DD.spread_off_file_layout(documents, "doc_id")
+    toked = docs.select("doc_id", *carry, TX.tokens(F.col("text")).alias("toks"))
+    joined = toked.filter(F.size("toks") > 0).join(drops, ["doc_id"], "left")
+    n_segs = F.ceil(F.size("toks") / F.lit(float(SEG_W))).cast("bigint")
+    drop_arr = F.coalesce(F.col("drop_idxs"), F.array().cast("array<bigint>"))
+    kept_idx = F.filter(
+        F.sequence(F.lit(1).cast("bigint"), n_segs),
+        lambda i: ~F.array_contains(drop_arr, i),
+    )
+    return joined.select(
+        "doc_id",
+        *carry,
+        n_segs.alias("n_segments"),
+        (n_segs - F.size(drop_arr)).cast("bigint").alias("n_kept"),
         F.array_join(
             F.transform(
-                F.filter(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col("seg_idx").alias("seg_idx"),
-                                kept.alias("kept"),
-                                F.col("seg_text").alias("seg_text"),
-                            )
-                        )
+                kept_idx,
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("toks"), ((i - 1) * SEG_W + 1).cast("int"), SEG_W
                     ),
-                    lambda s: s["kept"],
+                    " ",
                 ),
-                lambda s: s["seg_text"],
             ),
             " ",
         ).alias("kept_text"),
@@ -161,29 +201,34 @@ FROM m GROUP BY doc_id
         " synthetic corpus has no line structure): every document is cut"
         " into non-overlapping segments, each segment is md5-hashed, and"
         " every copy of any segment that occurs more than once CORPUS-WIDE"
-        " is dropped; surviving segments are reassembled in order. Plan:"
-        " one posexplode, a map-side-combining groupBy(seg_hash) whose"
-        " duplicated-hash survivors are a small frame, a left join back on"
-        " the high-cardinality hash (a hot boilerplate segment joins ONE"
-        " right row, so skew cannot amplify), and the sort_array group-back"
-        " idiom -- no windows. At 100 TB the segment-count table is the"
-        " reusable artifact; everything else streams."
+        " is dropped; surviving segments are reassembled in order. Plan"
+        " (r13 re-shape, guide 8.4 decide-with-small-rows): the expensive"
+        " tokenize+md5 segment pass runs ONCE into a persisted SLIM"
+        " (doc_id, seg_idx, seg_hash) stream -- fixed-width rows, never"
+        " corpus text (same persist discipline as the substring-dedup"
+        " gram stream); a map-side-combining groupBy(seg_hash) finds the"
+        " duplicated hashes (a hot boilerplate segment collapses to ONE"
+        " count row, so skew cannot amplify); the slim stream joins them"
+        " back to per-doc dropped-position lists; and kept_text is"
+        " reassembled in ONE md5-free text pass with array expressions --"
+        " no second segment cascade, no text through an aggregate buffer,"
+        " no windows."
     ),
 )
 def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    ex = _segment_table(t.documents)
+    slim = persist_artifact(_segment_table(t.documents, with_text=False))
     # Map-side partial counts make the groupBy skew-proof; only hashes
-    # seen more than once survive, so the join-back right side is small
+    # seen more than once survive, so the join right side is small
     # relative to the corpus (boilerplate is the exception, not the rule).
     dup_hashes = (
-        ex.groupBy("seg_hash")
+        slim.groupBy("seg_hash")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > 1)
-        .select("seg_hash", F.lit(True).alias("_dup"))
+        .select("seg_hash")
     )
-    marked = ex.join(dup_hashes, ["seg_hash"], "left")
-    return _segment_group_back(marked, F.col("_dup").isNull())
+    drops = _segment_drop_lists(slim.join(dup_hashes, ["seg_hash"]))
+    return _segment_reassemble(t.documents, drops)
 
 
 # ---------------------------------------------------------------------------
@@ -230,25 +275,35 @@ FROM m GROUP BY doc_id
         " canonical occurrence of each repeated segment -- lowest doc_id,"
         " then lowest position, chosen by a bit-packed integer argmin"
         " that stays inside HashAggregate codegen -- survives; every"
-        " other copy drops. The per-hash stats frame here covers ALL"
-        " distinct segments (the keep-first decision needs an argmin per"
-        " hash, not just the dup subset), so the join-back is a standard"
-        " high-cardinality shuffle join; a hot boilerplate segment still"
-        " joins ONE right row, so skew cannot amplify."
+        " other copy drops. Plan (r13 re-shape): the tokenize+md5 segment"
+        " pass runs ONCE into the persisted slim hash stream; the per-hash"
+        " argmin aggregate keeps only the dup subset (cnt > 1 -- a"
+        " unique-hash row can never produce a drop), so the join back to"
+        " the slim stream is against a SMALL frame instead of the old"
+        " all-hashes corpus-scale sort-merge join; dropped positions"
+        " (every dup occurrence except the packed argmin) become per-doc"
+        " drop lists and kept_text reassembles in one md5-free text pass."
     ),
 )
 def llm_segment_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    ex = _segment_table(t.documents).withColumn(
-        "packed", F.col("doc_id") * _SEG_PACK + F.col("seg_idx")
+    slim = persist_artifact(_segment_table(t.documents, with_text=False))
+    packed = F.col("doc_id") * _SEG_PACK + F.col("seg_idx")
+    stats = (
+        slim.groupBy("seg_hash")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(packed).alias("first_packed"),
+        )
+        # kept = (cnt == 1) | (packed == first_packed): a unique hash or
+        # its argmin occurrence never drops, so only dup hashes matter
+        .filter(F.col("cnt") > 1)
+        .select("seg_hash", "first_packed")
     )
-    stats = ex.groupBy("seg_hash").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("packed").alias("first_packed"),
+    drops = _segment_drop_lists(
+        slim.join(stats, ["seg_hash"]).filter(packed != F.col("first_packed"))
     )
-    marked = ex.join(stats, ["seg_hash"])
-    kept = (F.col("cnt") == 1) | (F.col("packed") == F.col("first_packed"))
-    return _segment_group_back(marked, kept)
+    return _segment_reassemble(t.documents, drops)
 
 
 # ---------------------------------------------------------------------------

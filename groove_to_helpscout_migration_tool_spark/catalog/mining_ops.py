@@ -59,7 +59,7 @@ from ..registry import register
 from ..session import load_tables
 from . import corpus_ops as _CO  # registration-order dependency
 from . import llm_ops as _LL
-from .corpus_ops import SEG_W, _segment_group_back, _segment_table
+from .corpus_ops import SEG_W, _segment_drop_lists, _segment_reassemble, _segment_table
 
 _TOKENS_SQL = _CO._TOKENS_SQL
 
@@ -350,38 +350,41 @@ FROM m GROUP BY doc_id, source
         " within that source drops; the same segment under another source"
         " survives. Differs from llm_segment_dedup in both key (source-"
         " scoped, not corpus-wide) and predicate (distinct-DOC count, so a"
-        " within-doc repetition is NOT boilerplate). Plan: distinct-doc"
-        " counting runs as groupBy(source, seg_hash, doc_id) collapse then"
+        " within-doc repetition is NOT boilerplate). Plan (r13 re-shape,"
+        " shared with llm_segment_dedup): the tokenize+md5 segment pass"
+        " runs ONCE into a persisted slim (doc_id, source, seg_idx,"
+        " seg_hash) stream; distinct-doc counting runs as"
+        " groupBy(source, seg_hash, doc_id) collapse then"
         " groupBy(source, seg_hash) count -- two map-side-combining hash"
         " aggregations, never a count-distinct sort; the boilerplate list"
-        " is small (chrome is rare) so the mark join-back is"
-        " broadcast-shaped at any scale; reassembly is the sort_array"
-        " group-back, no windows."
+        " is small (chrome is rare) so the mark join against the slim"
+        " stream is broadcast-shaped at any scale; kept_text reassembles"
+        " in one md5-free text pass with array expressions, no windows."
     ),
 )
 def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    # source rides the segment scan itself (carry=) and the group-back
-    # key (doc_id is unique, so adding source never changes the groups):
-    # the previous shape broadcast the full (doc_id, source) projection
-    # twice, which is corpus-sized -- not broadcastable at 100 TB.
-    ex = _segment_table(t.documents, carry=("source",))
+    # source rides the segment scan itself (carry=) and the reassembly
+    # pass: the pre-r10 shape broadcast the full (doc_id, source)
+    # projection twice, which is corpus-sized -- not broadcastable at
+    # 100 TB.
+    slim = cache.persist_artifact(
+        _segment_table(t.documents, carry=("source",), with_text=False)
+    )
     # count(DISTINCT doc_id) as two hash aggregations: collapse the
     # (source, seg_hash, doc_id) triples first (map-side combine kills
     # within-doc repeats early), then count per (source, seg_hash).
     boiler = (
-        ex.select("source", "seg_hash", "doc_id")
+        slim.select("source", "seg_hash", "doc_id")
         .groupBy("source", "seg_hash", "doc_id")
         .agg(F.lit(1).alias("_one"))
         .groupBy("source", "seg_hash")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= BP_MIN_DOCS)
-        .select("source", "seg_hash", F.lit(True).alias("_boiler"))
+        .select("source", "seg_hash")
     )
-    marked = ex.join(boiler, ["source", "seg_hash"], "left")
-    out = _segment_group_back(
-        marked, F.col("_boiler").isNull(), keys=("doc_id", "source")
-    )
+    drops = _segment_drop_lists(slim.join(boiler, ["source", "seg_hash"]))
+    out = _segment_reassemble(t.documents, drops, carry=("source",))
     return out.select("doc_id", "source", "n_segments", "n_kept", "kept_text")
 
 
