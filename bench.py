@@ -60,6 +60,15 @@ BUILD_SPLIT = {
     "llm_substring_dedup_spans",    # persists the sliding gram table
     "llm_bigram_lm_score",          # persists the positioned bigram stream
     "llm_bpe_train_merges",         # persists the per-round word tables
+    # r14 (VERDICT r13 task 2): the five queries that gained persisted
+    # slim artifacts in r13 report their one-time materialization in the
+    # build column like every other artifact query -- the warm median
+    # alone would silently exclude the expensive pass.
+    "llm_dataset_card",             # persists the slim tokenized projection
+    "llm_segment_dedup",            # persists the slim segment-hash stream
+    "llm_segment_dedup_keep_first",  # same slim segment-hash stream
+    "llm_boilerplate_strip",        # same slim segment-hash stream (+source)
+    "llm_embedding_outlier",        # persists the slim (vec_id, d2) frame
 }
 
 # Measurement shape (r6): an explicit BUILD run, then N_WARM timed warm
@@ -141,10 +150,22 @@ def _calibration_runs(spark, n_warm: int = 3) -> list[float]:
 # calib") and the r13 host-variance session re-confirmed it (stamps
 # with near-equal calib medians disagreed 2-3x on Arrow-stage queries).
 # This probe times a fixed mapInPandas fold so cross-round detail
-# stamps can ATTRIBUTE drift (JVM vs boundary); it is telemetry only:
-# value_norm stays defined on the JVM probe (comparability with
-# r9-r12), and the compact contract line is unchanged.
+# stamps can ATTRIBUTE drift (JVM vs boundary); value_norm stays
+# defined on the JVM probe (comparability with r9-r12). r14 (VERDICT
+# r13 task 3) adds value_norm_blend alongside: the r12/r13 evidence
+# showed the JVM probe alone misprices Arrow-heavy queries 2-3x, so
+# the blend normalizes by the GEOMETRIC MEAN of the two per-probe
+# speed factors (equal weights -- the headline set is roughly half
+# JVM-relational, half Arrow/Python-boundary LLM ops):
+#   value_norm_blend = value * sqrt((CALIB_REF/calib) * (CALIB_ARROW_REF/arrow))
+# Both fields ride every stamp so one round of side-by-side records
+# the divergence (BENCH_NOTES) before any convention switch.
 CALIB_ARROW_ROWS = 4_000_000
+# committed reference for the Arrow probe: the r13 final builder stamp
+# (sha 8a673dd, calib 1.549 / arrow 0.776) -- the first stamp the probe
+# existed in. The blend series therefore starts at r13; value_norm's
+# r10 anchor is untouched.
+CALIB_ARROW_REF = 0.776
 
 
 def _calibration_runs_arrow(spark, n_warm: int = 3) -> list[float]:
@@ -394,17 +415,8 @@ def main() -> None:
     detail, line = build_output(
         timings, build, spreads, sf_val, _git_sha(),
         calib={"pre": calib_pre, "post": calib_post},
+        calib_arrow={"pre": calib_arrow_pre, "post": calib_arrow_post},
     )
-    # Arrow-boundary probe rides the detail sidecar only (see
-    # _calibration_runs_arrow): drift attribution, not normalization.
-    detail["calib_arrow"] = {
-        "rows": CALIB_ARROW_ROWS,
-        "pre": calib_arrow_pre,
-        "post": calib_arrow_post,
-        "median": round(
-            statistics.median(sorted(calib_arrow_pre + calib_arrow_post)), 3
-        ),
-    }
     if cc_stats:
         detail["cc_convergence"] = cc_stats
     skew = _skew_metrics()
@@ -498,6 +510,7 @@ def build_output(
     sf_val,
     sha: str,
     calib: dict[str, list[float]] | None = None,
+    calib_arrow: dict[str, list[float]] | None = None,
 ) -> tuple[dict, str]:
     """(full detail dict, compact stdout contract line).
 
@@ -512,6 +525,24 @@ def build_output(
     if calib and (calib.get("pre") or calib.get("post")):
         all_runs = sorted((calib.get("pre") or []) + (calib.get("post") or []))
         calib_med = round(statistics.median(all_runs), 3)
+    arrow_med = None
+    if calib_arrow and (calib_arrow.get("pre") or calib_arrow.get("post")):
+        arrow_runs = sorted(
+            (calib_arrow.get("pre") or []) + (calib_arrow.get("post") or [])
+        )
+        arrow_med = round(statistics.median(arrow_runs), 3)
+    # blended normalization (r14, VERDICT r13 task 3): geometric mean of
+    # the two per-probe speed factors -- rides ALONGSIDE value_norm, it
+    # does not replace it (r9-r13 comparability).
+    norm_blend = (
+        round(
+            total
+            * ((CALIB_REF / calib_med) * (CALIB_ARROW_REF / arrow_med)) ** 0.5,
+            3,
+        )
+        if calib_med and arrow_med
+        else None
+    )
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -535,6 +566,16 @@ def build_output(
         "value_norm": (
             round(total * CALIB_REF / calib_med, 3) if calib_med else None
         ),
+        # Arrow-boundary probe (raw runs + median) and the blended
+        # normalization it feeds -- side-by-side with value_norm.
+        "calib_arrow": {
+            "rows": CALIB_ARROW_ROWS,
+            "pre": (calib_arrow or {}).get("pre"),
+            "post": (calib_arrow or {}).get("post"),
+            "median": arrow_med,
+            "ref": CALIB_ARROW_REF,
+        },
+        "value_norm_blend": norm_blend,
         # membership delta vs the newest recorded round, so a total that
         # moved because the SET moved is never mistaken for a perf change
         "set_delta": _set_delta(set(timings)),
@@ -554,6 +595,10 @@ def build_output(
         # the two cross-round-comparable numbers ride the contract line
         compact["calib"] = calib_med
         compact["value_norm"] = round(total * CALIB_REF / calib_med, 2)
+    if arrow_med:
+        compact["calib_arrow"] = arrow_med
+    if norm_blend is not None:
+        compact["value_norm_blend"] = round(norm_blend, 2)
     line = json.dumps(compact, separators=(",", ":"))
     # hard guard: never exceed the driver's ~2KB tail buffer. Precision
     # ladder 2dp -> 1dp -> int: at 4-digit timings 1dp saves nothing

@@ -211,7 +211,12 @@ WHERE value_cents * 1000 > total_cents
         "builds once."
     ),
 )
-def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q11_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11's pre-checkpoint cascade (the per-part value frame), exposed
+    as its own function so tools/explain_audit.py can pin the cascade's
+    join strategy directly (VERDICT r13 task 7): the checkpointed query
+    plan starts at Scan ExistingRDD, which hides the cascade from the
+    generic AUDIT loop."""
     t = load_tables(spark, sf_dir, ["supplier", "nation"])
     ps = build_partsupp(spark, sf_dir)
     g = (
@@ -220,9 +225,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
         .select("ps_partkey", "ps_cost_cents", "ps_availqty")
     )
-    v = g.groupBy("ps_partkey").agg(
+    return g.groupBy("ps_partkey").agg(
         F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents")
     )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _q11_value_frame(spark, sf_dir)
     # v is referenced twice (the scalar total + the output rows). AQE
     # does NOT stage-reuse the duplicated subtree (measured r13: the
     # final adaptive plan holds TWO full cascades -- part scan,

@@ -449,6 +449,41 @@ def main() -> None:
     if not ok:
         failures.append("q_release_layout_write_plan")
 
+    # q11 cascade-level audit (VERDICT r13 task 7): the query's own
+    # executed plan starts at the checkpoint's Scan ExistingRDD, so the
+    # generic AUDIT row above can never see the partsupp cascade below
+    # it. Audit the pre-checkpoint value frame directly: the 4-way
+    # explode + supplier/nation joins must stay broadcast (never
+    # sort-merge, never a true cartesian), aggregating per ps_partkey.
+    from groove_to_helpscout_migration_tool_spark.catalog.partsupp import (
+        _q11_value_frame,
+    )
+
+    vf = _q11_value_frame(spark, sf_dir)
+    vf.collect()
+    vplan = vf._jdf.queryExecution().executedPlan().toString()
+    v_require = ["BroadcastHashJoin", "HashAggregate", "Scan parquet"]
+    v_forbid = ["SortMergeJoin", "CartesianProduct"]
+    missing = [p for p in v_require if not re.search(p, vplan)]
+    present = [p for p in v_forbid if re.search(p, vplan)]
+    ok = not missing and not present
+    lines.append(
+        "| `q11_important_stock (pre-checkpoint cascade)` |"
+        f" {len(v_require)} required, {len(v_forbid)} forbidden | "
+        + (
+            "PASS"
+            if ok
+            else "FAIL — "
+            + " / ".join(
+                (["missing: " + "; ".join(missing)] if missing else [])
+                + (["forbidden present: " + "; ".join(present)] if present else [])
+            )
+        )
+        + " |"
+    )
+    if not ok:
+        failures.append("q11_cascade")
+
     for name, (require, forbid) in AUDIT.items():
         df = catalog.QUERIES[name].fn(spark, sf_dir)
         df.collect()  # run so AQE finalizes the plan
